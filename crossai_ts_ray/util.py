@@ -1,0 +1,17 @@
+"""Small driver-side helpers (results are small; the engine itself streams)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+
+def dataset_to_table(ds, schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a (small, final) Dataset to one Arrow table, skipping the
+    empty zero-column blocks Ray's sort/groupby can emit."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows > 0]
+    if not tables:
+        return pa.Table.from_pylist([], schema=schema) if schema else pa.table({})
+    tables = [t.cast(tables[0].schema) for t in tables]
+    out = pa.concat_tables(tables).combine_chunks()
+    return out.cast(schema) if schema is not None else out
