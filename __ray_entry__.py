@@ -78,11 +78,115 @@ FROM ntok_agg n JOIN tok_agg t USING (source, bucket)
 """
 
 
+# --------------------------------------------------------------------------
+# events family: wall-clock hour buckets, gap-fill, sliding windows
+# --------------------------------------------------------------------------
+
+def _events_hourly(sf_dir: str):
+    from crossai_ts_ray.pipelines.events_pipeline import hourly_rollup
+
+    return hourly_rollup(sf_dir)
+
+
+def _events_gapfill(mode: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines.events_pipeline import hourly_gapfill
+
+        return hourly_gapfill(sf_dir, mode)
+
+    return run
+
+
+def _events_sliding(sf_dir: str):
+    from crossai_ts_ray.pipelines.events_pipeline import sliding_hourly
+
+    return sliding_hourly(sf_dir, window_buckets=3)
+
+
+_EVENTS_AGG_SQL = """
+  SELECT event_type AS source,
+         (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         count(*)::BIGINT AS "count",
+         round(sum(value), 6) AS val_sum
+  FROM events GROUP BY 1, 2
+"""
+
+_EVENTS_GRID_SQL = f"""
+agg AS ({_EVENTS_AGG_SQL}),
+bounds AS (SELECT source, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
+grid AS (
+  SELECT b.source, unnest(generate_series(b.lo, b.hi)) AS bucket FROM bounds b
+),
+j AS (
+  SELECT g.source, g.bucket,
+         (a."count" IS NULL) AS filled,
+         coalesce(a."count", 0)::BIGINT AS "count",
+         a.val_sum AS v
+  FROM grid g LEFT JOIN agg a USING (source, bucket)
+)
+"""
+
+_EVENTS_HOURLY_SQL = f"SELECT * FROM ({_EVENTS_AGG_SQL})"
+
+_EVENTS_LOCF_SQL = f"""
+WITH {_EVENTS_GRID_SQL}
+SELECT source, bucket, filled, "count",
+       last_value(v IGNORE NULLS)
+         OVER (PARTITION BY source ORDER BY bucket) AS val_sum
+FROM j
+"""
+
+_EVENTS_LINEAR_SQL = f"""
+WITH {_EVENTS_GRID_SQL},
+m AS (
+  SELECT *,
+    last_value(v IGNORE NULLS)
+      OVER (PARTITION BY source ORDER BY bucket) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER (PARTITION BY source ORDER BY bucket) AS pb,
+    first_value(v IGNORE NULLS)
+      OVER (PARTITION BY source ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER (PARTITION BY source ORDER BY bucket
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+  FROM j
+)
+SELECT source, bucket, filled, "count",
+  CASE
+    WHEN v IS NOT NULL THEN v
+    WHEN pv IS NULL THEN nv
+    WHEN nv IS NULL THEN pv
+    ELSE round((nv - pv) / (nb - pb) * (bucket - pb) + pv, 6)
+  END AS val_sum
+FROM m
+"""
+
+_EVENTS_SLIDING_SQL = f"""
+WITH {_EVENTS_GRID_SQL},
+dense AS (
+  SELECT source, bucket, "count", coalesce(v, 0.0) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY bucket) AS rn
+  FROM j
+)
+SELECT source, bucket AS win_end,
+       sum("count") OVER w::BIGINT AS "count",
+       round(sum(v) OVER w, 6) AS val_sum
+FROM dense
+WINDOW w AS (PARTITION BY source ORDER BY bucket ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+QUALIFY rn >= 3
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "rollup_w4": _rollup_query("w4"),
         "rollup_w8_cascade": _rollup_query("w8"),
         "rollup_w16_cascade": _rollup_query("w16"),
+        "events_hourly": _events_hourly,
+        "events_gapfill_locf": _events_gapfill("locf"),
+        "events_gapfill_linear": _events_gapfill("linear"),
+        "events_sliding_3h": _events_sliding,
     }
     return q
 
@@ -92,4 +196,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_w4": _rollup_sql(4),
         "rollup_w8_cascade": _rollup_sql(8),
         "rollup_w16_cascade": _rollup_sql(16),
+        "events_hourly": _EVENTS_HOURLY_SQL,
+        "events_gapfill_locf": _EVENTS_LOCF_SQL,
+        "events_gapfill_linear": _EVENTS_LINEAR_SQL,
+        "events_sliding_3h": _EVENTS_SLIDING_SQL,
     }
