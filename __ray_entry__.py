@@ -178,6 +178,64 @@ QUALIFY rn >= 3
 """
 
 
+# --------------------------------------------------------------------------
+# windowing family: reference sliding_window semantics over the token table
+# --------------------------------------------------------------------------
+
+def _window_counts_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.token_windows import doc_window_counts
+
+    return doc_window_counts(sf_dir, window=16, overlap=8)
+
+
+def _window_agg_q(window: int, overlap: int) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines.token_windows import doc_window_aggs
+
+        return doc_window_aggs(sf_dir, window, overlap)
+
+    return run
+
+
+_WINDOW_COUNTS_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       (CASE WHEN n_tok >= 16 THEN (n_tok - 16) // 8 + 1 ELSE 0 END)::BIGINT AS n_win
+FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents)
+"""
+
+
+def _window_agg_sql(window: int, overlap: int) -> str:
+    step = window - overlap
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, n_tok, unnest(words) AS w, generate_subscripts(words, 1) AS i
+  FROM tok
+),
+wins AS (
+  SELECT doc_id, unnest(generate_series(0, (n_tok - {window}) // {step})) AS win_id
+  FROM tok WHERE n_tok >= {window}
+),
+f AS (
+  SELECT fl.doc_id, wi.win_id, length(fl.w)::BIGINT AS v
+  FROM flat fl JOIN wins wi ON fl.doc_id = wi.doc_id
+   AND fl.i - 1 >= wi.win_id * {step}
+   AND fl.i - 1 <  wi.win_id * {step} + {window}
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, win_id,
+       sum(v)::BIGINT AS win_sum,
+       min(v)::INTEGER AS win_min,
+       max(v)::INTEGER AS win_max,
+       round(sum(v)::DOUBLE / {window}.0, 6) AS win_mean,
+       round(quantile_cont(v, 0.5), 6) AS win_p50
+FROM f GROUP BY doc_id, win_id
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "rollup_w4": _rollup_query("w4"),
@@ -187,6 +245,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_locf": _events_gapfill("locf"),
         "events_gapfill_linear": _events_gapfill("linear"),
         "events_sliding_3h": _events_sliding,
+        "window_counts_w16_o8": _window_counts_q,
+        "window_agg_tumbling_w16": _window_agg_q(16, 0),
+        "window_agg_sliding_w20_o10": _window_agg_q(20, 10),
     }
     return q
 
@@ -200,4 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill_locf": _EVENTS_LOCF_SQL,
         "events_gapfill_linear": _EVENTS_LINEAR_SQL,
         "events_sliding_3h": _EVENTS_SLIDING_SQL,
+        "window_counts_w16_o8": _WINDOW_COUNTS_SQL,
+        "window_agg_tumbling_w16": _window_agg_sql(16, 0),
+        "window_agg_sliding_w20_o10": _window_agg_sql(20, 10),
     }

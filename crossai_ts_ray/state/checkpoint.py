@@ -1,0 +1,175 @@
+"""Checkpointed, resumable rollup job: per-partition watermarks + lineage.
+
+Layout::
+
+    out_dir/
+      tier=1m/part=00/*.parquet      # atomic: written to .tmp-*, then rename
+      tier=1h/part=00/*.parquet
+      _lineage/part-00.parquet       # one row: partition id, input fragments,
+                                     # rows, bytes, wall_time_s, watermark
+                                     # (max finest-tier bucket completed)
+
+Partitions are the input shards (``shard=NN`` directories).  The synthetic
+table is sharded by ``source_index % num_shards`` (synth.py), so a
+(source, bucket) rollup group never spans partitions and per-partition rollups
+are final -- no cross-partition merge is needed and a killed run resumes by
+skipping every partition with a committed lineage row.  (On real ingestion the
+sharding key is hash(source); same invariant.)
+
+Atomicity on a POSIX store is tmp-dir + ``os.rename``; on an object store the
+rename becomes lineage-commit-last (the lineage row is only written after all
+tier files are in place, and readers/resumers trust lineage, not file
+listings).
+
+The reference has no checkpointing (SURVEY.md §4.1: per-file try/except that
+prints and skips, /root/reference/caits/loading/_csv_read.py:57-58); this is
+a north-rule addition.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+@dataclass
+class JobReport:
+    computed: list[str]
+    skipped: list[str]
+    rows_per_tier: dict[str, int]
+
+
+def plan_partitions(input_dir: str) -> list[tuple[str, str]]:
+    """[(partition_id, shard_dir)] -- one partition per input shard."""
+    shards = sorted(glob.glob(os.path.join(input_dir, "shard=*")))
+    if not shards:
+        # unsharded input: single partition
+        return [("00", input_dir)]
+    return [(os.path.basename(s).split("=")[1], s) for s in shards]
+
+
+def lineage_path(out_dir: str, pid: str) -> str:
+    return os.path.join(out_dir, "_lineage", f"part-{pid}.parquet")
+
+
+def completed_partitions(out_dir: str) -> set[str]:
+    return {
+        os.path.basename(p)[len("part-") : -len(".parquet")]
+        for p in glob.glob(os.path.join(out_dir, "_lineage", "part-*.parquet"))
+    }
+
+
+def read_lineage(out_dir: str) -> pa.Table | None:
+    files = sorted(glob.glob(os.path.join(out_dir, "_lineage", "part-*.parquet")))
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def _commit_lineage(out_dir: str, row: dict) -> None:
+    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    path = lineage_path(out_dir, row["partition"])
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pylist([row]), tmp)
+    os.rename(tmp, path)
+
+
+def _dir_stats(path: str) -> tuple[int, int, int]:
+    """(rows, bytes, max_bucket) from parquet footers -- no data read."""
+    rows = nbytes = 0
+    max_bucket = -1
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.read_metadata(f)
+        rows += md.num_rows
+        nbytes += os.path.getsize(f)
+        schema_names = md.schema.to_arrow_schema().names
+        if "bucket" in schema_names:
+            ci = schema_names.index("bucket")
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is not None and st.has_min_max:
+                    max_bucket = max(max_bucket, st.max)
+    return rows, nbytes, max_bucket
+
+
+def run_rollup_job(
+    input_dir: str,
+    out_dir: str,
+    tiers,
+    salt_mod: int = 8,
+    batch_size: int = 8192,
+    fail_after: int | None = None,
+) -> JobReport:
+    """Run (or resume) the tier-cascade rollup over every input partition.
+
+    ``fail_after=k`` aborts after k partitions commit (kill simulation for the
+    resume test).  Ray must already be initialised by the caller.
+    """
+    from ..sources.readers import read_token_table
+    from ..stages.rollup import rollup_cascade
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_partitions(out_dir)
+    computed, skipped = [], []
+    rows_per_tier: dict[str, int] = {t.name: 0 for t in tiers}
+    for pid, shard_dir in plan_partitions(input_dir):
+        if pid in done:
+            skipped.append(pid)
+            continue
+        t0 = time.perf_counter()
+        fragments = sorted(
+            os.path.basename(f) for f in glob.glob(os.path.join(shard_dir, "*.parquet"))
+        )
+        ds = read_token_table(shard_dir)
+        cascaded = rollup_cascade(ds, tiers, salt_mod=salt_mod, batch_size=batch_size)
+        part_rows = part_bytes = 0
+        watermark = -1
+        for tier in tiers:
+            final_dir = os.path.join(out_dir, f"tier={tier.name}", f"part={pid}")
+            tmp_dir = os.path.join(out_dir, f".tmp-{tier.name}-{pid}")
+            if os.path.exists(tmp_dir):
+                shutil.rmtree(tmp_dir)
+            if os.path.exists(final_dir):
+                shutil.rmtree(final_dir)  # uncommitted leftovers from a kill
+            cascaded[tier.name].write_parquet(tmp_dir)
+            os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+            os.rename(tmp_dir, final_dir)
+            r, b, mb = _dir_stats(final_dir)
+            part_rows += r
+            part_bytes += b
+            rows_per_tier[tier.name] += r
+            if tier is tiers[0]:
+                watermark = mb
+        _commit_lineage(
+            out_dir,
+            {
+                "partition": pid,
+                "input_fragments": fragments,
+                "rows": part_rows,
+                "bytes": part_bytes,
+                "wall_time_s": time.perf_counter() - t0,
+                "watermark": watermark,
+            },
+        )
+        computed.append(pid)
+        if fail_after is not None and len(computed) >= fail_after:
+            raise RuntimeError(f"simulated kill after {fail_after} partition(s)")
+    # account skipped partitions' rows for the report
+    for pid in skipped:
+        for tier in tiers:
+            r, _, _ = _dir_stats(os.path.join(out_dir, f"tier={tier.name}", f"part={pid}"))
+            rows_per_tier[tier.name] += r
+    return JobReport(computed=computed, skipped=skipped, rows_per_tier=rows_per_tier)
+
+
+def read_job_output(out_dir: str, tier_name: str) -> pa.Table:
+    files = sorted(
+        glob.glob(os.path.join(out_dir, f"tier={tier_name}", "part=*", "*.parquet"))
+    )
+    return pa.concat_tables([pq.read_table(f) for f in files]) if files else pa.table({})

@@ -1,0 +1,76 @@
+"""Kill-and-resume: a job aborted mid-run must resume without recomputing
+committed partitions and produce output identical to an uninterrupted run."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from crossai_ts_ray import oracle, synth
+from crossai_ts_ray.schema import Tier
+from crossai_ts_ray.state.checkpoint import (
+    completed_partitions,
+    read_job_output,
+    read_lineage,
+    run_rollup_job,
+)
+
+from .conftest import assert_tables_bitwise_equal
+
+TIERS = (Tier("t60", 60), Tier("t240", 240))
+
+
+def test_kill_and_resume(ray_session, tmp_path):
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out_a = str(tmp_path / "killed")
+    out_b = str(tmp_path / "clean")
+
+    # 1. killed run: commits exactly one partition then dies
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_rollup_job(d, out_a, TIERS, salt_mod=0, batch_size=256, fail_after=1)
+    assert len(completed_partitions(out_a)) == 1
+
+    # capture lineage mtime of the committed partition
+    pid = next(iter(completed_partitions(out_a)))
+    lin = os.path.join(out_a, "_lineage", f"part-{pid}.parquet")
+    mtime_before = os.path.getmtime(lin)
+
+    # 2. resume: must skip the committed partition, compute the rest
+    rep = run_rollup_job(d, out_a, TIERS, salt_mod=0, batch_size=256)
+    assert rep.skipped == [pid]
+    assert len(rep.computed) >= 1
+    assert os.path.getmtime(lin) == mtime_before, "committed partition was recomputed"
+
+    # 3. uninterrupted run in a fresh dir -> identical output at every tier
+    run_rollup_job(d, out_b, TIERS, salt_mod=0, batch_size=256)
+    for t in TIERS:
+        a = read_job_output(out_a, t.name)
+        b = read_job_output(out_b, t.name)
+        assert_tables_bitwise_equal(a, b, f"resume-vs-clean {t.name}")
+
+    # 4. ... and identical to the oracle
+    tbl = synth.read_all(d)
+    for t in TIERS:
+        gold = oracle.rollup(tbl, t)
+        got = read_job_output(out_a, t.name)
+        assert_tables_bitwise_equal(gold, got, f"job-vs-oracle {t.name}")
+
+    # 5. lineage records are complete and sane
+    lineage = read_lineage(out_a)
+    assert lineage.num_rows == len(completed_partitions(out_a))
+    rows = lineage.to_pylist()
+    for r in rows:
+        assert r["rows"] > 0 and r["bytes"] > 0 and r["wall_time_s"] > 0
+        assert r["watermark"] >= 0
+        assert len(r["input_fragments"]) > 0
+
+
+def test_rerun_is_noop(ray_session, tmp_path):
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out = str(tmp_path / "noop")
+    run_rollup_job(d, out, TIERS, salt_mod=0, batch_size=256)
+    rep = run_rollup_job(d, out, TIERS, salt_mod=0, batch_size=256)
+    assert rep.computed == []
+    assert len(rep.skipped) == 2  # TINY has 2 shards
