@@ -1,0 +1,196 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR + the synthetic
+token table, printing ONE JSON line.
+
+    python bench.py                # num_cpus = $RAY_GRAFT_CPUS (default 32)
+    python bench.py --scaling      # same job at 8 and 32 CPUs in fresh
+                                   # processes; reports throughputs + efficiency
+
+Headline: the checkpointed 3-tier rollup cascade + gap-fill + Gorilla/DoD
+compression over a deterministic synthetic token table (~GRAFT_BENCH_ROWS
+rows, Zipf-skewed sources), plus the documents/events/window query families
+over $GRAFT_SF_DIR.  Synth generation and page-cache warmup are excluded from
+timings.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _quiet():
+    os.environ.setdefault("RAY_DEDUP_LOGS", "1")
+    for name in ("ray", "ray.data"):
+        logging.getLogger(name).setLevel(logging.ERROR)
+
+
+def _warm(paths):
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def run_bench(ncpu: int, sf_dir: str) -> dict:
+    import ray
+
+    _quiet()
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.schema import DEFAULT_TIERS, Tier
+    from crossai_ts_ray.state.checkpoint import run_rollup_job
+
+    bench_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "600000"))
+    spec = synth.SynthSpec(
+        total_rows=bench_rows, num_sources=64, num_shards=16, mean_n_tok=96.0
+    )
+    token_dir = synth.generate(spec, synth.default_cache_dir(spec))
+    _warm(glob.glob(os.path.join(token_dir, "shard=*", "*.parquet")))
+    for t in ("documents", "events", "lineitem"):
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            _warm([p])
+
+    tiers = (Tier("1m", 60), Tier("1h", 3600), Tier("1d", 86400))
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # --- headline: full rollup job (cascade + atomic tier writes + lineage) ---
+    out_dir = f"/tmp/bench_rollup_out_{os.getpid()}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    rep = run_rollup_job(token_dir, out_dir, tiers, salt_mod=0, batch_size=65536, shards_per_commit=4)
+    timings["rollup_job"] = time.perf_counter() - t0
+    total_points = sum(rep.rows_per_tier.values())
+    # input token volume from parquet footers (cheap, excluded cost is tiny)
+    import pyarrow.parquet as pq
+
+    tok_total = 0
+    for f in glob.glob(os.path.join(token_dir, "shard=*", "*.parquet")):
+        md = pq.read_metadata(f)
+        tok_total += md.num_rows  # rows; token count separately below
+    extra["input_rows"] = tok_total
+    extra["rolled_points"] = total_points
+    extra["points_per_sec"] = round(total_points / timings["rollup_job"], 1)
+    extra["rows_per_sec"] = round(tok_total / timings["rollup_job"], 1)
+
+    # --- gap-fill + codec over the finest tier output ---
+    import ray.data as rd
+
+    from crossai_ts_ray.stages.codec import compress_rollup
+    from crossai_ts_ray.stages.gapfill import gapfill
+
+    roll = rd.read_parquet(os.path.join(out_dir, "tier=1m"))
+    t0 = time.perf_counter()
+    gf = gapfill(
+        roll,
+        ["mean", "p50", "p99", "tok_mean"],
+        "locf",
+        grid_mode="zero",
+    )
+    n_gf = gf.count()
+    timings["gapfill_locf"] = time.perf_counter() - t0
+    extra["gapfill_rows"] = n_gf
+
+    roll2 = rd.read_parquet(os.path.join(out_dir, "tier=1m"))
+    t0 = time.perf_counter()
+    segs = compress_rollup(roll2, concurrency=max(2, ncpu // 4), batch_size=16384)
+    stats = segs.map_batches(
+        lambda b: b.select(["raw_bytes", "enc_bytes"]), batch_format="pyarrow"
+    ).to_pandas()
+    timings["codec_compress"] = time.perf_counter() - t0
+    if len(stats):
+        extra["codec_ratio"] = round(
+            float(stats["raw_bytes"].sum()) / max(1.0, float(stats["enc_bytes"].sum())), 2
+        )
+
+    # --- query families over $GRAFT_SF_DIR ---
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # consume the result (small outputs)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas() if not hasattr(res, "count") else res.count()
+        timings[name] = time.perf_counter() - t0
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    total = sum(timings.values())
+    result = {
+        "metric": "rollup+query wall time (tokens/sec in extra.points_per_sec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "extra": extra,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at two parallelism levels in fresh processes (the sandbox
+    stand-in for N vs 4N nodes)."""
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    # scaling on the headline distributed job, not driver-side bookkeeping
+    t_lo = lo["queries"]["rollup_job"]
+    t_hi = hi["queries"]["rollup_job"]
+    eff = (t_lo / t_hi) / (32 / 8)
+    return {
+        "metric": "scaling efficiency 8->32 cpus (rollup_job)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "points_per_sec_8": lo["extra"]["points_per_sec"],
+        "points_per_sec_32": hi["extra"]["points_per_sec"],
+        "total_sec_8": lo["value"],
+        "total_sec_32": hi["value"],
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(ncpu, sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

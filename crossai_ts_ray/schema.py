@@ -85,10 +85,13 @@ ROLLUP_SCHEMA = pa.schema(ROLLUP_FIELDS)
 
 # Internal partial-aggregate schema: ROLLUP counters plus mergeable sparse
 # value histograms (exact percentiles recombine across partials because the
-# token / n_tok domains are bounded ints -- see stages/rollup.py).
+# token / n_tok domains are bounded ints -- see stages/rollup.py).  Hist
+# counts are int32: a (source, bucket) group holds at most
+# tier_width * MAX_N_TOK = 86400 * 2048 = 1.77e8 < 2^31 tokens, at any scale
+# (the bucket width bounds the group, not the table size).
 PARTIAL_EXTRA_FIELDS = [
     ("ntok_vals", pa.list_(pa.int32())),
-    ("ntok_cnts", pa.list_(pa.int64())),
+    ("ntok_cnts", pa.list_(pa.int32())),
     ("tok_vals", pa.list_(pa.int32())),
-    ("tok_cnts", pa.list_(pa.int64())),
+    ("tok_cnts", pa.list_(pa.int32())),
 ]

@@ -1,29 +1,32 @@
 """Distributed tier rollup: partial aggregation inside ``map_batches`` +
-salted ``groupby`` merge -- the engine's flagship path.
+hash-partitioned vectorized merges -- the engine's flagship path.
 
 Plan (all-Arrow, zero-copy in, vectorized NumPy kernels)::
 
     read_parquet(token table, columns pruned)
-      -> map_batches(partial_rollup, batch_format="pyarrow")   # 1 row per
+      -> map_batches(partial_rollup)            # 1 partial row per
          (source, bucket[, salt]) per batch: int64 counters + sparse hists
-      -> groupby([source, bucket, salt]).map_groups(merge)     # optional level
-      -> groupby([source, bucket]).map_groups(merge)           # exact combine
-      -> map_batches(finalize)                                 # mean, p50, p99
+      [salted level] -> prt = hash(source,bucket,salt) % P
+         -> groupby(prt).map_groups(vectorized merge)   # spreads hot sources
+      -> prt = hash(source,bucket) % P
+         -> groupby(prt).map_groups(vectorized merge)   # exact final combine
+      -> map_batches(finalize)                  # mean, p50/p99 (vectorized)
 
 Why this is exact (bitwise vs oracle.py): counters are int64 (commutative,
 associative, overflow-free at 10^12 rows x 2048 tokens); percentiles come from
 *sparse value histograms* -- the n_tok / token domains are bounded int32s, so
-the histogram is a lossless multiset of the raw values and merges by
-concatenate+re-unique.  ``finalize`` then replicates
+a histogram is a lossless multiset of the raw values and merges by
+concatenate + re-unique.  ``finalize`` replicates
 ``np.percentile(..., method="linear")`` arithmetic from the histogram
-(functions/numutil.py).  No step depends on combination order, so salting /
-retries / block boundaries cannot change a single output bit.
+(including NumPy's branched lerp).  No step depends on combination order, so
+salting / retries / block boundaries cannot change a single output bit.
 
 Why this scales: raw rows collapse to at most one partial row per
 (source, bucket) per input batch, so the all-to-all shuffle moves rollup-sized
-data, not raw data.  Skewed (hot) sources are spread with a salt derived from
-batch content, giving a two-level reduction (partial -> per-salt merge ->
-final merge), the classic combiner pattern (SURVEY.md §4.2).
+data, not raw data.  The merge is one Python call per *hash partition* (not
+per group) with segment reductions inside, so group count doesn't add Python
+overhead.  Hot (skewed) sources are spread with a salt derived from batch
+content, giving the classic two-level combiner (SURVEY.md §4.2).
 
 Reference semantics re-expressed here: fixed-length bucketing =
 /root/reference/caits/windowing.py:188 (create_chunks); the aggregate bundle =
@@ -33,14 +36,12 @@ the rms_max rollup-of-rollup pattern (/root/reference/caits/fe/_statistical.py:2
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
-from ..functions.numutil import (
-    group_boundaries,
-    merge_sparse_hists,
-    percentile_from_hist,
-)
+from ..functions.numutil import group_boundaries
 from ..schema import PARTIAL_EXTRA_FIELDS, ROLLUP_SCHEMA, Tier
 
 Q_LOW, Q_HIGH = 50.0, 99.0
@@ -53,26 +54,44 @@ def _list_col_to_numpy(col: pa.ChunkedArray | pa.Array):
         col = col.combine_chunks()
     flat = col.flatten()
     n = len(col)
-    # offsets relative to this array's slice
     offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     offs = offs - offs[0]
     return flat.to_numpy(zero_copy_only=False), offs[: n + 1]
 
 
+def _list_arr(offsets: np.ndarray, values: np.ndarray, vtype) -> pa.ListArray:
+    off = pa.array(offsets.astype(np.int64), pa.int64())
+    if offsets[-1] < 2**31:
+        off = off.cast(pa.int32())
+    return pa.ListArray.from_arrays(off, pa.array(values, vtype))
+
+
+def _dict_encode(col) -> tuple[np.ndarray, pa.Array]:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    return d.indices.to_numpy(zero_copy_only=False).astype(np.int64), d.dictionary
+
+
+# ---------------------------------------------------------------------------
+# stage 1: per-batch partial aggregation (combiner)
+# ---------------------------------------------------------------------------
+
 def partial_rollup(batch: pa.Table, width: int, salt_mod: int = 0) -> pa.Table:
-    """Per-batch combiner: one partial row per (source, bucket) in the batch."""
+    """Per-batch combiner: one partial row per (source, bucket) in the batch.
+
+    Hist columns in *partial* rows carry the raw value multiset with an EMPTY
+    counts list meaning "all counts are 1": the downstream merge sorts and
+    run-length-encodes anyway, so sorting/deduping here would be duplicated
+    work in the hot stage, and shipping ones doubles payload for nothing.
+    (Merged rows always carry real sorted-unique hists.)"""
     t = batch.combine_chunks()
     n = t.num_rows
     if n == 0:
         return _empty_partial(salt_mod)
     seq = t["seq"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
     n_tok = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-    src_col = t["source"]
-    if isinstance(src_col, pa.ChunkedArray):
-        src_col = src_col.combine_chunks()
-    dict_arr = src_col.dictionary_encode()
-    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    dictionary = dict_arr.dictionary
+    codes, dictionary = _dict_encode(t["source"])
 
     bucket = seq // width
     order = np.lexsort((bucket, codes))
@@ -84,52 +103,36 @@ def partial_rollup(batch: pa.Table, width: int, salt_mod: int = 0) -> pa.Table:
     sum_n = np.add.reduceat(n_s, starts)
     min_n = np.minimum.reduceat(n_s, starts)
     max_n = np.maximum.reduceat(n_s, starts)
+    # n_tok "hist": the grouped raw values (n_s is already grouped), cnts empty
+    ntok_offs = np.append(starts, n).astype(np.int64)
 
-    # sparse hist of n_tok per group: sort (group, value), run-length encode
-    order2 = np.lexsort((n_tok, bucket, codes))
-    c2, b2, v2 = codes[order2], bucket[order2], n_tok[order2]
-    pair_starts = group_boundaries(c2, b2, v2)
-    grp_new = np.zeros(n, dtype=bool)
-    grp_new[0] = True
-    grp_new[1:] = (c2[1:] != c2[:-1]) | (b2[1:] != b2[:-1])
-    pair_gid = np.cumsum(grp_new[pair_starts]) - 1
-    pair_cnt = np.diff(np.append(pair_starts, n))
-    ntok_vals = v2[pair_starts].astype(np.int32)
-    ntok_cnts = pair_cnt.astype(np.int64)
-    ntok_offs = np.zeros(G + 1, dtype=np.int64)
-    np.cumsum(np.bincount(pair_gid, minlength=G), out=ntok_offs[1:])
-
-    # token stream per group
-    tok_col = t["tokens"]
-    flat_vals, row_offs = _list_col_to_numpy(tok_col)
-    row_cnt = row_offs[1:] - row_offs[:-1]
-    row_gid = np.empty(n, dtype=np.int64)
-    gidx_sorted = np.cumsum(
-        np.concatenate(([True], (c_s[1:] != c_s[:-1]) | (b_s[1:] != b_s[:-1])))
-    ) - 1
-    row_gid[order] = gidx_sorted
-    flat_gid = np.repeat(row_gid, row_cnt)
-    forder = np.lexsort((flat_vals, flat_gid))
-    fg, fv = flat_gid[forder], flat_vals[forder]
-    fstarts = group_boundaries(fg)
-    if len(fstarts) != G:
-        raise AssertionError("every (source,bucket) group must have >=1 token")
-    fends = np.append(fstarts[1:], len(fg))
-    tok_count = (fends - fstarts).astype(np.int64)
-    fv64 = fv.astype(np.int64)
-    tok_sum = np.add.reduceat(fv64, fstarts)
-    tok_min = np.minimum.reduceat(fv, fstarts).astype(np.int32)
-    tok_max = np.maximum.reduceat(fv, fstarts).astype(np.int32)
-    tpair_starts = group_boundaries(fg, fv.astype(np.int64))
-    tgrp_new = np.zeros(len(fg), dtype=bool)
-    tgrp_new[0] = True
-    tgrp_new[1:] = fg[1:] != fg[:-1]
-    tpair_gid = np.cumsum(tgrp_new[tpair_starts]) - 1
-    tok_vals = fv[tpair_starts].astype(np.int32)
-    tok_cnts = np.diff(np.append(tpair_starts, len(fg))).astype(np.int64)
+    # token stream per group: gather token slices into group order
+    flat_vals, row_offs = _list_col_to_numpy(t["tokens"])
+    row_cnt = (row_offs[1:] - row_offs[:-1]).astype(np.int64)
+    lens_r = row_cnt[order]
+    total_tok = int(lens_r.sum())
+    out_excl = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens_r[:-1], out=out_excl[1:])
+    gather = (
+        np.arange(total_tok, dtype=np.int64)
+        - np.repeat(out_excl, lens_r)
+        + np.repeat(row_offs[order], lens_r)
+    )
+    tok_grouped = flat_vals[gather]
+    # per-group token segment offsets
     tok_offs = np.zeros(G + 1, dtype=np.int64)
-    np.cumsum(np.bincount(tpair_gid, minlength=G), out=tok_offs[1:])
+    np.cumsum(np.add.reduceat(lens_r, starts), out=tok_offs[1:])
+    gstarts = tok_offs[:-1]
+    if (tok_offs[1:] == gstarts).any():
+        raise AssertionError("every (source,bucket) group must have >=1 token")
+    tg64 = tok_grouped.astype(np.int64)
+    tok_count = (tok_offs[1:] - gstarts).astype(np.int64)
+    tok_sum = np.add.reduceat(tg64, gstarts)
+    tok_min = np.minimum.reduceat(tok_grouped, gstarts).astype(np.int32)
+    tok_max = np.maximum.reduceat(tok_grouped, gstarts).astype(np.int32)
 
+    empty32 = np.zeros(0, dtype=np.int32)
+    zoffs = np.zeros(G + 1, dtype=np.int64)
     cols = {
         "source": dictionary.take(pa.array(c_s[starts])),
         "bucket": pa.array(b_s[starts], pa.int64()),
@@ -141,10 +144,10 @@ def partial_rollup(batch: pa.Table, width: int, salt_mod: int = 0) -> pa.Table:
         "tok_sum": pa.array(tok_sum, pa.int64()),
         "tok_min": pa.array(tok_min, pa.int32()),
         "tok_max": pa.array(tok_max, pa.int32()),
-        "ntok_vals": _list_arr(ntok_offs, ntok_vals, pa.int32()),
-        "ntok_cnts": _list_arr(ntok_offs, ntok_cnts, pa.int64()),
-        "tok_vals": _list_arr(tok_offs, tok_vals, pa.int32()),
-        "tok_cnts": _list_arr(tok_offs, tok_cnts, pa.int64()),
+        "ntok_vals": _list_arr(ntok_offs, n_s.astype(np.int32), pa.int32()),
+        "ntok_cnts": _list_arr(zoffs, empty32, pa.int32()),
+        "tok_vals": _list_arr(tok_offs, tok_grouped.astype(np.int32, copy=False), pa.int32()),
+        "tok_cnts": _list_arr(zoffs, empty32, pa.int32()),
     }
     if salt_mod:
         # salt from the group's min seq: deterministic per content, varies
@@ -154,16 +157,7 @@ def partial_rollup(batch: pa.Table, width: int, salt_mod: int = 0) -> pa.Table:
     return pa.table(cols)
 
 
-def _list_arr(offsets: np.ndarray, values: np.ndarray, vtype) -> pa.ListArray:
-    return pa.ListArray.from_arrays(
-        pa.array(offsets.astype(np.int64), pa.int64()).cast(pa.int32())
-        if offsets[-1] < 2**31
-        else pa.array(offsets, pa.int64()),
-        pa.array(values, vtype),
-    )
-
-
-def _empty_partial(salt_mod: int) -> pa.Table:
+def _partial_schema(salt_mod: int) -> pa.Schema:
     fields = [
         ("source", pa.string()), ("bucket", pa.int64()), ("count", pa.int64()),
         ("sum", pa.int64()), ("min", pa.int32()), ("max", pa.int32()),
@@ -172,73 +166,205 @@ def _empty_partial(salt_mod: int) -> pa.Table:
     ] + PARTIAL_EXTRA_FIELDS
     if salt_mod:
         fields.append(("salt", pa.int64()))
-    return pa.Table.from_pylist([], schema=pa.schema(fields))
+    return pa.schema(fields)
 
 
-def merge_partials_group(tbl: pa.Table) -> pa.Table:
-    """Merge all partial rows of ONE (source, bucket[, salt]) group into one
-    partial row (hists retained -> reusable for salted level and cascade)."""
-    t = tbl.combine_chunks()
+def _empty_partial(salt_mod: int) -> pa.Table:
+    return pa.Table.from_pylist([], schema=_partial_schema(salt_mod))
+
+
+# ---------------------------------------------------------------------------
+# stage 2: hash-partitioned vectorized merge
+# ---------------------------------------------------------------------------
+
+def _key_hash(sources: pa.Array | pa.ChunkedArray, bucket: np.ndarray,
+              salt: np.ndarray | None, num_partitions: int) -> np.ndarray:
+    """Deterministic partition id per row from (source, bucket[, salt])."""
+    codes, dictionary = _dict_encode(sources)
+    dict_hash = np.array(
+        [zlib.crc32(s.encode()) for s in dictionary.to_pylist()], dtype=np.int64
+    )
+    h = dict_hash[codes] * np.int64(0x9E3779B1)
+    h ^= bucket * _SALT_MIX
+    if salt is not None:
+        h ^= (salt + np.int64(0x9E3779B9)) * np.int64(0x85EBCA6B)
+    return np.abs(h) % num_partitions
+
+
+def with_partition_col(batch: pa.Table, num_partitions: int, use_salt: bool) -> pa.Table:
+    t = batch.combine_chunks()
     if t.num_rows == 0:
+        return t.append_column("prt", pa.array([], pa.int64()))
+    bucket = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    salt = (
+        t["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if use_salt and "salt" in t.schema.names
+        else None
+    )
+    prt = _key_hash(t["source"], bucket, salt, num_partitions)
+    return t.append_column("prt", pa.array(prt, pa.int64()))
+
+
+def merge_partials_table(tbl: pa.Table, with_salt: bool = False) -> pa.Table:
+    """Vectorized merge of ALL groups present in ``tbl`` (requires that the
+    table holds every partial row of each contained key -- guaranteed by hash
+    partitioning).  One Python call per partition; inside, every reduction is
+    a NumPy segment op, so group count adds no interpreter overhead."""
+    t = tbl.combine_chunks()
+    if "prt" in t.schema.names:
+        t = t.drop_columns(["prt"])
+    n = t.num_rows
+    if n == 0:
         return _empty_partial(0)
-    nv, nc = _merge_hist_cols(t, "ntok_vals", "ntok_cnts")
-    tv, tc = _merge_hist_cols(t, "tok_vals", "tok_cnts")
+    codes, dictionary = _dict_encode(t["source"])
+    bucket = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = [bucket, codes]
+    if with_salt and "salt" in t.schema.names:
+        salt = t["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((salt, bucket, codes))
+        k_sorted = (codes[order], bucket[order], salt[order])
+    else:
+        order = np.lexsort((bucket, codes))
+        k_sorted = (codes[order], bucket[order])
+    starts = group_boundaries(*k_sorted)
+    G = len(starts)
+    gid_sorted = np.zeros(n, dtype=np.int64)
+    gid_sorted[starts] = 1
+    gid_sorted = np.cumsum(gid_sorted) - 1
+    row_gid = np.empty(n, dtype=np.int64)
+    row_gid[order] = gid_sorted
+
+    def seg(colname, op):
+        v = t[colname].to_numpy(zero_copy_only=False)[order]
+        return op.reduceat(v, starts)
+
     out = {
-        "source": t["source"][:1],
-        "bucket": t["bucket"][:1],
-        "count": pa.array([int(_np(t, "count").sum())], pa.int64()),
-        "sum": pa.array([int(_np(t, "sum").sum())], pa.int64()),
-        "min": pa.array([int(_np(t, "min").min())], pa.int32()),
-        "max": pa.array([int(_np(t, "max").max())], pa.int32()),
-        "tok_count": pa.array([int(_np(t, "tok_count").sum())], pa.int64()),
-        "tok_sum": pa.array([int(_np(t, "tok_sum").sum())], pa.int64()),
-        "tok_min": pa.array([int(_np(t, "tok_min").min())], pa.int32()),
-        "tok_max": pa.array([int(_np(t, "tok_max").max())], pa.int32()),
-        "ntok_vals": _list_arr(np.array([0, len(nv)]), nv, pa.int32()),
-        "ntok_cnts": _list_arr(np.array([0, len(nc)]), nc, pa.int64()),
-        "tok_vals": _list_arr(np.array([0, len(tv)]), tv, pa.int32()),
-        "tok_cnts": _list_arr(np.array([0, len(tc)]), tc, pa.int64()),
+        "source": dictionary.take(pa.array(k_sorted[0][starts])),
+        "bucket": pa.array(k_sorted[1][starts], pa.int64()),
+        "count": pa.array(seg("count", np.add).astype(np.int64), pa.int64()),
+        "sum": pa.array(seg("sum", np.add).astype(np.int64), pa.int64()),
+        "min": pa.array(seg("min", np.minimum).astype(np.int32), pa.int32()),
+        "max": pa.array(seg("max", np.maximum).astype(np.int32), pa.int32()),
+        "tok_count": pa.array(seg("tok_count", np.add).astype(np.int64), pa.int64()),
+        "tok_sum": pa.array(seg("tok_sum", np.add).astype(np.int64), pa.int64()),
+        "tok_min": pa.array(seg("tok_min", np.minimum).astype(np.int32), pa.int32()),
+        "tok_max": pa.array(seg("tok_max", np.maximum).astype(np.int32), pa.int32()),
     }
+    for vcol, ccol in (("ntok_vals", "ntok_cnts"), ("tok_vals", "tok_cnts")):
+        mv, mc, moffs = _merge_hists_vectorized(t, vcol, ccol, order, starts, G)
+        out[vcol] = _list_arr(moffs, mv, pa.int32())
+        out[ccol] = _list_arr(moffs, mc.astype(np.int32), pa.int32())
+    if with_salt and "salt" in t.schema.names:
+        # salt consumed by this merge level; keep one representative so the
+        # column survives schema-wise until dropped (not needed downstream)
+        pass
     return pa.table(out)
 
 
-def _np(t: pa.Table, col: str) -> np.ndarray:
-    return t[col].to_numpy(zero_copy_only=False)
+def _merge_hists_vectorized(t, vcol, ccol, row_order, row_starts, G):
+    """Merge per-group hists: gather value lists into group order, sort each
+    group SEGMENT in place (cache-friendly int32 quicksorts -- ~60x faster
+    than a global lexsort on this data), then run-length encode.
 
-
-def _merge_hist_cols(t: pa.Table, vcol: str, ccol: str):
+    ``row_order`` sorts partial rows by group key; ``row_starts`` marks group
+    boundaries in that sorted row space.  Empty counts list = all-ones
+    (partial rows, see partial_rollup); else counts align with values."""
     vflat, voffs = _list_col_to_numpy(t[vcol])
     cflat, _ = _list_col_to_numpy(t[ccol])
-    return merge_sparse_hists([vflat], [cflat.astype(np.int64)])
+    n_rows = len(voffs) - 1
+    lens = voffs[1:] - voffs[:-1]
+    lens_r = lens[row_order]
+    total = int(lens_r.sum())
+    all_ones = len(cflat) == 0
+    if np.array_equal(row_order, np.arange(n_rows)):
+        gv = vflat.copy()
+        gc = None if all_ones else cflat.astype(np.int64)
+    else:
+        out_excl = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(lens_r[:-1], out=out_excl[1:])
+        gather = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(out_excl, lens_r)
+            + np.repeat(voffs[:-1][row_order], lens_r)
+        )
+        gv = vflat[gather]
+        gc = None if all_ones else cflat[gather].astype(np.int64)
+    seg_offs = np.zeros(G + 1, dtype=np.int64)
+    np.cumsum(np.add.reduceat(lens_r, row_starts), out=seg_offs[1:])
+    if all_ones:
+        for i in range(G):
+            gv[seg_offs[i] : seg_offs[i + 1]].sort()
+    else:
+        for i in range(G):
+            sl = slice(seg_offs[i], seg_offs[i + 1])
+            o = np.argsort(gv[sl], kind="stable")
+            gv[sl] = gv[sl][o]
+            gc[sl] = gc[sl][o]
+    # RLE over (group, value) runs
+    seg_id = np.repeat(np.arange(G, dtype=np.int64), np.diff(seg_offs))
+    new = np.ones(total, dtype=bool)
+    new[1:] = (gv[1:] != gv[:-1]) | (seg_id[1:] != seg_id[:-1])
+    pstarts = np.flatnonzero(new)
+    mv = gv[pstarts].astype(np.int32)
+    if all_ones:
+        mc = np.diff(np.append(pstarts, total)).astype(np.int64)
+    else:
+        mc = np.add.reduceat(gc, pstarts) if total else np.zeros(0, np.int64)
+    moffs = np.zeros(G + 1, dtype=np.int64)
+    np.cumsum(np.bincount(seg_id[pstarts], minlength=G), out=moffs[1:])
+    return mv, mc, moffs
+
+
+def merge_partials_group(tbl: pa.Table) -> pa.Table:
+    """Per-group merge (compat shim over the vectorized partition merge)."""
+    return merge_partials_table(tbl)
+
+
+# ---------------------------------------------------------------------------
+# stage 3: vectorized finalize (mean + exact percentiles from hists)
+# ---------------------------------------------------------------------------
+
+def _percentiles_from_hists(vflat, cflat, offs, q):
+    """Vectorized exact linear-method percentile per ragged hist segment;
+    replicates np.percentile(method='linear') bitwise (branched lerp)."""
+    cum = np.cumsum(cflat)
+    base = np.where(offs[:-1] > 0, cum[np.maximum(offs[:-1] - 1, 0)], 0)
+    base[offs[:-1] == 0] = 0
+    totals = np.where(offs[1:] > 0, cum[np.maximum(offs[1:] - 1, 0)], 0) - base
+    h = (q / 100.0) * (totals - 1)
+    lo = np.floor(h).astype(np.int64)
+    hi = np.ceil(h).astype(np.int64)
+    jlo = np.searchsorted(cum, base + lo, side="right")
+    jhi = np.searchsorted(cum, base + hi, side="right")
+    a = vflat[jlo].astype(np.float64)
+    b = vflat[jhi].astype(np.float64)
+    tt = h - lo
+    diff = b - a
+    return np.where(tt >= 0.5, b - diff * (1 - tt), a + diff * tt)
 
 
 def finalize_batch(batch: pa.Table) -> pa.Table:
-    """Partial rows (already fully merged per key) -> ROLLUP_SCHEMA rows."""
+    """Merged partial rows -> ROLLUP_SCHEMA rows (fully vectorized)."""
     t = batch.combine_chunks()
     n = t.num_rows
     if n == 0:
         return pa.Table.from_pylist([], schema=ROLLUP_SCHEMA)
-    cnt = _np(t, "count").astype(np.int64)
-    s = _np(t, "sum").astype(np.int64)
-    tok_cnt = _np(t, "tok_count").astype(np.int64)
-    tok_sum = _np(t, "tok_sum").astype(np.int64)
+    cnt = t["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = t["sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_cnt = t["tok_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_sum = t["tok_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
     mean = s.astype(np.float64) / cnt.astype(np.float64)
     tok_mean = tok_sum.astype(np.float64) / tok_cnt.astype(np.float64)
     nv, nvo = _list_col_to_numpy(t["ntok_vals"])
     ncf, _ = _list_col_to_numpy(t["ntok_cnts"])
     tv, tvo = _list_col_to_numpy(t["tok_vals"])
     tcf, _ = _list_col_to_numpy(t["tok_cnts"])
-    p50 = np.empty(n)
-    p99 = np.empty(n)
-    tp50 = np.empty(n)
-    tp99 = np.empty(n)
-    for i in range(n):
-        a, b = nvo[i], nvo[i + 1]
-        p50[i] = percentile_from_hist(nv[a:b], ncf[a:b].astype(np.int64), Q_LOW)
-        p99[i] = percentile_from_hist(nv[a:b], ncf[a:b].astype(np.int64), Q_HIGH)
-        a, b = tvo[i], tvo[i + 1]
-        tp50[i] = percentile_from_hist(tv[a:b], tcf[a:b].astype(np.int64), Q_LOW)
-        tp99[i] = percentile_from_hist(tv[a:b], tcf[a:b].astype(np.int64), Q_HIGH)
+    ncf = ncf.astype(np.int64)
+    tcf = tcf.astype(np.int64)
+    p50 = _percentiles_from_hists(nv, ncf, nvo, Q_LOW)
+    p99 = _percentiles_from_hists(nv, ncf, nvo, Q_HIGH)
+    tp50 = _percentiles_from_hists(tv, tcf, tvo, Q_LOW)
+    tp99 = _percentiles_from_hists(tv, tcf, tvo, Q_HIGH)
     return pa.table(
         {
             "source": t["source"].cast(pa.string()),
@@ -261,15 +387,38 @@ def finalize_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# dataset-level composition
+# ---------------------------------------------------------------------------
+
 def rekey_batch(batch: pa.Table, factor: int) -> pa.Table:
     """Cascade re-key: coarser bucket = finer bucket // factor."""
+    if batch.num_rows == 0 or "bucket" not in batch.schema.names:
+        return batch
     b = batch["bucket"].to_numpy(zero_copy_only=False) // factor
     return batch.set_column(
         batch.schema.get_field_index("bucket"), "bucket", pa.array(b, pa.int64())
     )
 
 
-def merged_partials(ds, tier: Tier, salt_mod: int = 0, batch_size: int = 8192):
+def _partition_merge(parts, num_partitions: int, with_salt: bool):
+    parts = parts.map_batches(
+        lambda b: with_partition_col(b, num_partitions, with_salt),
+        batch_format="pyarrow",
+    )
+    return parts.groupby("prt").map_groups(
+        lambda t: merge_partials_table(t, with_salt=with_salt),
+        batch_format="pyarrow",
+    )
+
+
+def merged_partials(
+    ds,
+    tier: Tier,
+    salt_mod: int = 0,
+    batch_size: int = 8192,
+    merge_partitions: int = 32,
+):
     """token Dataset -> merged partial rows (hists retained) per (source,bucket)."""
     parts = ds.map_batches(
         lambda b: partial_rollup(b, tier.width, salt_mod),
@@ -278,41 +427,52 @@ def merged_partials(ds, tier: Tier, salt_mod: int = 0, batch_size: int = 8192):
         zero_copy_batch=True,
     )
     if salt_mod:
-        parts = parts.groupby(["source", "bucket", "salt"]).map_groups(
-            lambda t: merge_partials_group(t.drop_columns(["salt"])),
-            batch_format="pyarrow",
-        )
-    return parts.groupby(["source", "bucket"]).map_groups(
-        merge_partials_group, batch_format="pyarrow"
-    )
+        parts = _partition_merge(parts, merge_partitions, with_salt=True)
+    return _partition_merge(parts, merge_partitions, with_salt=False)
 
 
-def cascade_merged(merged, factor: int):
+def cascade_merged(merged, factor: int, merge_partitions: int = 32):
     """Merged partials at tier k -> merged partials at coarser tier k+1."""
-    return (
-        merged.map_batches(
-            lambda b: rekey_batch(b, factor), batch_format="pyarrow"
-        )
-        .groupby(["source", "bucket"])
-        .map_groups(merge_partials_group, batch_format="pyarrow")
+    rekeyed = merged.map_batches(
+        lambda b: rekey_batch(b, factor), batch_format="pyarrow"
     )
+    return _partition_merge(rekeyed, merge_partitions, with_salt=False)
 
 
 def finalize(merged):
     return merged.map_batches(finalize_batch, batch_format="pyarrow")
 
 
-def rollup_cascade(ds, tiers, salt_mod: int = 0, batch_size: int = 8192) -> dict:
-    """Full cascade: raw -> tiers[0] -> tiers[1] -> ... ; returns
+def rollup_cascade(
+    ds,
+    tiers,
+    salt_mod: int = 0,
+    batch_size: int = 8192,
+    merge_partitions: int = 32,
+    materialize_tiers: bool = False,
+) -> dict:
+    """Full cascade: raw -> tiers[0] -> tiers[1] -> ...; returns
     {tier_name: finalized Dataset}.  Only the finest tier touches raw rows;
     coarser tiers merge the finer tier's (small) partials -- the continuous
-    aggregate pattern from the north rule."""
+    aggregate pattern from the north rule.
+
+    ``materialize_tiers=True`` pins each tier's merged partials in the object
+    store so consuming every tier (e.g. writing all of them) does not
+    re-execute the shared prefix.  Merged partials are rollup-sized -- this is
+    the one place mid-pipeline materialization is correct."""
     out = {}
-    merged = merged_partials(ds, tiers[0], salt_mod=salt_mod, batch_size=batch_size)
+    merged = merged_partials(
+        ds, tiers[0], salt_mod=salt_mod, batch_size=batch_size,
+        merge_partitions=merge_partitions,
+    )
+    if materialize_tiers:
+        merged = merged.materialize()
     out[tiers[0].name] = finalize(merged)
     for prev, cur in zip(tiers, tiers[1:]):
         if cur.width % prev.width:
             raise ValueError(f"tier widths must nest: {prev} -> {cur}")
-        merged = cascade_merged(merged, cur.width // prev.width)
+        merged = cascade_merged(merged, cur.width // prev.width, merge_partitions)
+        if materialize_tiers:
+            merged = merged.materialize()
         out[cur.name] = finalize(merged)
     return out

@@ -45,13 +45,23 @@ class JobReport:
     rows_per_tier: dict[str, int]
 
 
-def plan_partitions(input_dir: str) -> list[tuple[str, str]]:
-    """[(partition_id, shard_dir)] -- one partition per input shard."""
+def plan_partitions(
+    input_dir: str, shards_per_commit: int = 1
+) -> list[tuple[str, list[str]]]:
+    """[(partition_id, [shard_dirs])] -- commit units of ``shards_per_commit``
+    input shards each.  A (source, bucket) group never spans shards (synth
+    shards by source hash), so any grouping of whole shards keeps per-commit
+    rollups final.  Coarser commits amortize per-pipeline fixed cost; finer
+    commits give finer resume granularity."""
     shards = sorted(glob.glob(os.path.join(input_dir, "shard=*")))
     if not shards:
-        # unsharded input: single partition
-        return [("00", input_dir)]
-    return [(os.path.basename(s).split("=")[1], s) for s in shards]
+        return [("00", [input_dir])]
+    out = []
+    for i in range(0, len(shards), shards_per_commit):
+        group = shards[i : i + shards_per_commit]
+        pid = "-".join(os.path.basename(s).split("=")[1] for s in group)
+        out.append((pid, group))
+    return out
 
 
 def lineage_path(out_dir: str, pid: str) -> str:
@@ -102,11 +112,17 @@ def run_rollup_job(
     input_dir: str,
     out_dir: str,
     tiers,
-    salt_mod: int = 8,
-    batch_size: int = 8192,
+    salt_mod: int = 0,
+    batch_size: int = 65536,
     fail_after: int | None = None,
+    shards_per_commit: int = 1,
 ) -> JobReport:
     """Run (or resume) the tier-cascade rollup over every input partition.
+
+    ``salt_mod=0`` by default: input clustered by (source, seq) yields at most
+    two partials per (source, bucket), so the salted pre-merge level would
+    double shuffle volume for nothing; enable it (e.g. 8) for unclustered /
+    late-data ingestion where hot groups fragment across many batches.
 
     ``fail_after=k`` aborts after k partitions commit (kill simulation for the
     resume test).  Ray must already be initialised by the caller.
@@ -118,16 +134,20 @@ def run_rollup_job(
     done = completed_partitions(out_dir)
     computed, skipped = [], []
     rows_per_tier: dict[str, int] = {t.name: 0 for t in tiers}
-    for pid, shard_dir in plan_partitions(input_dir):
+    for pid, shard_dirs in plan_partitions(input_dir, shards_per_commit):
         if pid in done:
             skipped.append(pid)
             continue
         t0 = time.perf_counter()
-        fragments = sorted(
-            os.path.basename(f) for f in glob.glob(os.path.join(shard_dir, "*.parquet"))
+        frag_paths = sorted(
+            f for sd in shard_dirs for f in glob.glob(os.path.join(sd, "*.parquet"))
         )
-        ds = read_token_table(shard_dir)
-        cascaded = rollup_cascade(ds, tiers, salt_mod=salt_mod, batch_size=batch_size)
+        fragments = [os.path.basename(f) for f in frag_paths]
+        ds = read_token_table(frag_paths)
+        cascaded = rollup_cascade(
+            ds, tiers, salt_mod=salt_mod, batch_size=batch_size,
+            materialize_tiers=True,
+        )
         part_rows = part_bytes = 0
         watermark = -1
         for tier in tiers:

@@ -119,7 +119,7 @@ def _gen_chunk(spec: SynthSpec, src_idx: int, seq_lo: int, seq_hi: int) -> pa.Ta
     )
 
 
-def generate(spec: SynthSpec, out_dir: str, row_group_size: int = 5_000) -> str:
+def generate(spec: SynthSpec, out_dir: str, row_group_size: int = 25_000) -> str:
     """Write the table under ``out_dir`` (idempotent via a marker file)."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
     if os.path.exists(marker):
