@@ -236,20 +236,95 @@ FROM f GROUP BY doc_id, win_id
 """
 
 
+def _rel(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import relational
+
+        return getattr(relational, fn_name)(sf_dir)
+
+    return run
+
+
+def _text(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import text_pipeline
+
+        return getattr(text_pipeline, fn_name)(sf_dir)
+
+    return run
+
+
+def _ann(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import ann_pipeline
+
+        return getattr(ann_pipeline, fn_name)(sf_dir)
+
+    return run
+
+
+_TEXT_STATS_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tok,
+       length(text)::BIGINT AS n_chars,
+       round(
+         (SELECT sum(length(w)) FROM unnest(string_split(text, ' ')) AS t(w))::DOUBLE
+         / len(string_split(text, ' ')), 6) AS mean_word_len,
+       md5(text) AS fingerprint
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
+        # rollup family (tier cascade over the documents-derived token table)
         "rollup_w4": _rollup_query("w4"),
         "rollup_w8_cascade": _rollup_query("w8"),
         "rollup_w16_cascade": _rollup_query("w16"),
+        # events family (wall-clock buckets, gap-fill, sliding windows)
         "events_hourly": _events_hourly,
         "events_gapfill_locf": _events_gapfill("locf"),
         "events_gapfill_linear": _events_gapfill("linear"),
         "events_sliding_3h": _events_sliding,
+        # windowing family (reference sliding_window semantics)
         "window_counts_w16_o8": _window_counts_q,
         "window_agg_tumbling_w16": _window_agg_q(16, 0),
         "window_agg_sliding_w20_o10": _window_agg_q(20, 10),
+        # relational family (groupby agg, broadcast joins, top-k, distinct)
+        "q1_pricing_summary": _rel("q1_pricing_summary"),
+        "top_customers": _rel("top_customers"),
+        "revenue_by_nation": _rel("revenue_by_nation"),
+        "brand_type_distinct": _rel("brand_type_distinct"),
+        # text family (stats, lang, exact dedup; minhash/simhash rows-only)
+        "text_stats": _text("text_stats"),
+        "lang_distribution": _text("lang_distribution"),
+        "dedup_exact": _text("dedup_exact"),
+        "dedup_minhash_pairs": _text("dedup_minhash_pairs"),
+        "simhash_fingerprints": _text("simhash_fingerprints"),
+        # similarity search family
+        "ann_cosine_topk": _ann("cosine_topk"),
+        "ann_lsh_topk": _ann("lsh_topk"),
+        "embedding_near_pairs": _ann("embedding_near_pairs"),
     }
     return q
+
+
+def relational_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import relational
+
+    return getattr(relational, name)
+
+
+def text_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import text_pipeline
+
+    return getattr(text_pipeline, name)
+
+
+def ann_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import ann_pipeline
+
+    return getattr(ann_pipeline, name)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -264,4 +339,16 @@ def oracle_sql() -> dict[str, str]:
         "window_counts_w16_o8": _WINDOW_COUNTS_SQL,
         "window_agg_tumbling_w16": _window_agg_sql(16, 0),
         "window_agg_sliding_w20_o10": _window_agg_sql(20, 10),
+        "q1_pricing_summary": relational_sql("Q1_SQL"),
+        "top_customers": relational_sql("TOP_CUSTOMERS_SQL"),
+        "revenue_by_nation": relational_sql("REVENUE_BY_NATION_SQL"),
+        "brand_type_distinct": relational_sql("BRAND_TYPE_SQL"),
+        "text_stats": _TEXT_STATS_SQL,
+        "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
+        "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
+        "ann_cosine_topk": ann_sql("COSINE_TOPK_SQL"),
+        # dedup_minhash_pairs / simhash_fingerprints / ann_lsh_topk /
+        # embedding_near_pairs: not SQL-expressible (hash-family algorithms)
+        # -> rows-only driver check; verified against exact baselines in
+        # tests/test_dedup.py and tests/test_ann.py
     }

@@ -1,0 +1,112 @@
+"""Text-analysis kernels for large-scale training-data pipelines: tokenize,
+language-ID heuristic, quality scoring, fingerprints, shingles.
+
+Engine-new capability (no reference equivalent -- crossai-ts is signal-only);
+designed as vectorized per-batch kernels for ``map_batches``.  Stateful pieces
+(compiled regexes, stopword tables) live in actor classes
+(pipelines/text_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for"},
+    "es": {"el", "la", "de", "y", "que", "en", "un", "una", "por", "con"},
+    "fr": {"le", "la", "de", "et", "que", "en", "un", "une", "pour", "dans"},
+    "de": {"der", "die", "das", "und", "zu", "in", "ein", "eine", "mit", "von"},
+    "zh": set(),  # detected via CJK codepoint ratio instead
+}
+
+_MOD64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_B = np.uint64(1000003)  # polynomial rolling-hash base
+
+
+def whitespace_tokens(text: str) -> list[str]:
+    """The engine's pinned tokenization: ``str.split(' ')`` (keeps empties,
+    matching DuckDB ``string_split(text, ' ')``)."""
+    return text.split(" ")
+
+
+def token_lengths(text: str) -> np.ndarray:
+    return np.array([len(w) for w in whitespace_tokens(text)], dtype=np.int32)
+
+
+def detect_language(text: str) -> str:
+    """Heuristic language ID: CJK codepoint ratio, then stopword hit counts."""
+    if not text:
+        return "und"
+    cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+    if cjk / max(1, min(len(text), 400)) > 0.05:
+        return "zh"
+    words = set(text.lower().split(" ")[:200])
+    best, best_hits = "und", 0
+    for lang, sw in STOPWORDS.items():
+        hits = len(words & sw)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+def quality_score(text: str) -> float:
+    """Simple quality heuristic in [0,1]: length band, mean word length band,
+    alpha ratio.  Deterministic, documented components."""
+    if not text:
+        return 0.0
+    n = len(text)
+    words = text.split(" ")
+    mean_wl = sum(len(w) for w in words) / max(1, len(words))
+    alpha = sum(ch.isalpha() or ch == " " for ch in text[:1000]) / min(n, 1000)
+    len_ok = 1.0 if 50 <= n <= 100_000 else 0.5 if n >= 20 else 0.0
+    wl_ok = 1.0 if 2.0 <= mean_wl <= 12.0 else 0.3
+    return round((len_ok + wl_ok + alpha) / 3.0, 6)
+
+
+def md5_fingerprint(text: str) -> str:
+    """Content fingerprint (DuckDB-checkable: ``md5(text)``)."""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def rolling_hash_fingerprint(tokens: np.ndarray) -> np.uint64:
+    """Order-sensitive polynomial rolling hash of a token sequence
+    (vectorized Horner via power table); the document-fingerprint primitive."""
+    v = np.asarray(tokens, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return np.uint64(0)
+    with np.errstate(over="ignore"):
+        # powers B^(n-1-i); Horner without a Python loop: log-doubling table
+        exps = np.arange(n - 1, -1, -1, dtype=np.uint64)
+        result = np.uint64(0)
+        powers = np.ones(n, dtype=np.uint64)
+        base_pow = _B
+        e = exps.copy()
+        while e.any():
+            odd = (e & np.uint64(1)).astype(bool)
+            powers[odd] *= base_pow
+            e >>= np.uint64(1)
+            base_pow *= base_pow
+        result = np.uint64((v * powers).sum())
+    return result
+
+
+def char_ngrams(text: str, n: int = 5) -> set[int]:
+    """Hashed character shingles (n-gram set) for Jaccard similarity.
+    Uses crc32 (stable across processes -- never Python ``hash()``, which is
+    PYTHONHASHSEED-randomized and would break distributed determinism)."""
+    import zlib
+
+    if len(text) < n:
+        return {zlib.crc32(text.encode("utf-8"))}
+    enc = text.encode("utf-8")  # byte n-grams; fine for similarity purposes
+    return {zlib.crc32(enc[i : i + n]) for i in range(len(enc) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)

@@ -1,0 +1,267 @@
+"""Document-corpus pipelines: per-doc text stats, language/quality scoring,
+exact + near deduplication (MinHash-LSH, SimHash, n-gram Jaccard).
+
+All heavy stages are actor pools (compiled state built once per actor) over
+Arrow batches; shuffles are explicit groupbys on hash keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..functions.dedup import MinHasher, hamming64, simhash64
+from ..functions.text import (
+    char_ngrams,
+    detect_language,
+    jaccard,
+    md5_fingerprint,
+    quality_score,
+)
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+class TextStats:
+    """Actor: per-doc token counts, char counts, mean word length, md5."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.combine_chunks()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, pattern=" ")
+        n_tok = pc.list_value_length(split).cast(pa.int64())
+        wl = pc.utf8_length(split.values).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        offs = split.offsets.to_numpy(zero_copy_only=False)
+        offs = (offs - offs[0]).astype(np.int64)
+        sums = np.add.reduceat(wl, offs[:-1]) if len(wl) else np.zeros(0, np.int64)
+        counts = np.maximum(offs[1:] - offs[:-1], 1)
+        mean_wl = np.round(sums / counts, 6)
+        fps = [md5_fingerprint(s) for s in text.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.string()),
+                "n_tok": n_tok,
+                "n_chars": pc.utf8_length(text).cast(pa.int64()),
+                "mean_word_len": pa.array(mean_wl, pa.float64()),
+                "fingerprint": pa.array(fps, pa.string()),
+            }
+        )
+
+
+def text_stats(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(
+        TextStats, batch_format="pyarrow", concurrency=2
+    )
+
+
+class LangQuality:
+    """Actor: heuristic language ID + quality score (stopword tables loaded
+    once per actor)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch.combine_chunks()
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.string()),
+                "lang_pred": pa.array([detect_language(s) for s in texts]),
+                "quality": pa.array([quality_score(s) for s in texts], pa.float64()),
+            }
+        )
+
+
+def lang_quality(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(
+        LangQuality, batch_format="pyarrow", concurrency=2
+    )
+
+
+def lang_distribution(sf_dir: str):
+    """Distribution of the table's own lang labels (groupby count)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"lang": t["lang"].to_pylist()})
+        df["docs"] = 1
+        df["chars"] = t["n_chars"].to_numpy(zero_copy_only=False)
+        return df.groupby("lang", as_index=False).sum()
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "lang": [g["lang"].iloc[0]],
+                    "docs": [np.int64(g["docs"].sum())],
+                    "chars": [np.int64(g["chars"].sum())],
+                }
+            ),
+            batch_format="pandas",
+        )
+    )
+
+
+LANG_DISTRIBUTION_SQL = """
+SELECT lang, count(*)::BIGINT AS docs, sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY lang
+"""
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content hash -> hash group -> representative (min doc_id)
+    + duplicate count.  The hash-partition + per-group-first pattern."""
+    ds = _read_docs(sf_dir)
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text_hash": pa.array(
+                    [md5_fingerprint(s) for s in t["text"].to_pylist()]
+                ),
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    return hashed.groupby("text_hash").map_groups(
+        lambda g: pa.table(
+            {
+                "text_hash": g["text_hash"][:1],
+                "rep_doc_id": pa.array(
+                    [min(g["doc_id"].to_pylist())], pa.int64()
+                ),
+                "copies": pa.array([g.num_rows], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id)::BIGINT AS rep_doc_id,
+       count(*)::BIGINT AS copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+class MinHashSig:
+    """Actor: MinHash signatures + LSH band keys per doc (hash matrices
+    built once per actor in __init__)."""
+
+    def __init__(self, num_hashes: int = 64, bands: int = 16, ngram: int = 5):
+        self.mh = MinHasher(num_hashes=num_hashes, ngram=ngram)
+        self.bands = bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch.combine_chunks()
+        rows = []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sig = self.mh.signature(text)
+            for band_id, key in enumerate(
+                self.mh.band_keys(sig, self.bands).view(np.int64)
+            ):
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "band_id": band_id,
+                        "band_key": int(key),
+                        "sig": sig.view(np.int64).tolist(),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=_SIG_SCHEMA)
+
+
+_SIG_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("band_id", pa.int64()),
+        ("band_key", pa.int64()),
+        ("sig", pa.list_(pa.int64())),
+    ]
+)
+
+
+def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
+    """MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard:
+    shingle -> minhash -> band -> bucket groupby -> pairwise within bucket.
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est >= threshold."""
+    sigs = _read_docs(sf_dir).map_batches(
+        MinHashSig, batch_format="pyarrow", concurrency=2
+    )
+
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        dids = g["doc_id"].to_pylist()
+        sigl = g["sig"].to_pylist()
+        out = []
+        for i in range(len(dids)):
+            for j in range(i + 1, len(dids)):
+                a, b = dids[i], dids[j]
+                if a == b:
+                    continue
+                sa = np.array(sigl[i], dtype=np.int64)
+                sb = np.array(sigl[j], dtype=np.int64)
+                est = float((sa == sb).mean())
+                if est >= threshold:
+                    out.append(
+                        {
+                            "doc_a": min(a, b),
+                            "doc_b": max(a, b),
+                            "est_jaccard": round(est, 6),
+                        }
+                    )
+        return pa.Table.from_pylist(out, schema=_PAIR_SCHEMA)
+
+    pairs = sigs.groupby(["band_id", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # dedup pairs found in multiple bands: group by (a, b), keep first
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+_PAIR_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("est_jaccard", pa.float64())]
+)
+
+
+class SimHash:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = batch.combine_chunks()
+        fps = [int(simhash64(s)) for s in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "simhash": pa.array(np.array(fps, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+
+def simhash_fingerprints(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(SimHash, batch_format="pyarrow", concurrency=2)
+
+
+def ngram_jaccard_verify(sf_dir: str, pairs: list[tuple[int, int]]) -> list[dict]:
+    """Driver-side exact n-gram Jaccard for a (small) candidate pair list --
+    the verification step after LSH blocking."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    out = []
+    for a, b in pairs:
+        ja = jaccard(char_ngrams(texts[a]), char_ngrams(texts[b]))
+        out.append({"doc_a": a, "doc_b": b, "jaccard": round(ja, 6)})
+    return out

@@ -116,6 +116,7 @@ def run_rollup_job(
     batch_size: int = 65536,
     fail_after: int | None = None,
     shards_per_commit: int = 1,
+    max_concurrent: int = 2,
 ) -> JobReport:
     """Run (or resume) the tier-cascade rollup over every input partition.
 
@@ -134,10 +135,8 @@ def run_rollup_job(
     done = completed_partitions(out_dir)
     computed, skipped = [], []
     rows_per_tier: dict[str, int] = {t.name: 0 for t in tiers}
-    for pid, shard_dirs in plan_partitions(input_dir, shards_per_commit):
-        if pid in done:
-            skipped.append(pid)
-            continue
+
+    def run_partition(pid: str, shard_dirs: list[str]) -> dict[str, int]:
         t0 = time.perf_counter()
         frag_paths = sorted(
             f for sd in shard_dirs for f in glob.glob(os.path.join(sd, "*.parquet"))
@@ -150,6 +149,7 @@ def run_rollup_job(
         )
         part_rows = part_bytes = 0
         watermark = -1
+        tier_rows: dict[str, int] = {}
         for tier in tiers:
             final_dir = os.path.join(out_dir, f"tier={tier.name}", f"part={pid}")
             tmp_dir = os.path.join(out_dir, f".tmp-{tier.name}-{pid}")
@@ -163,7 +163,7 @@ def run_rollup_job(
             r, b, mb = _dir_stats(final_dir)
             part_rows += r
             part_bytes += b
-            rows_per_tier[tier.name] += r
+            tier_rows[tier.name] = r
             if tier is tiers[0]:
                 watermark = mb
         _commit_lineage(
@@ -177,9 +177,36 @@ def run_rollup_job(
                 "watermark": watermark,
             },
         )
-        computed.append(pid)
-        if fail_after is not None and len(computed) >= fail_after:
-            raise RuntimeError(f"simulated kill after {fail_after} partition(s)")
+        return tier_rows
+
+    todo = []
+    for pid, shard_dirs in plan_partitions(input_dir, shards_per_commit):
+        if pid in done:
+            skipped.append(pid)
+        else:
+            todo.append((pid, shard_dirs))
+
+    if fail_after is not None or max_concurrent <= 1:
+        # sequential path (deterministic commit order for the kill test)
+        for pid, shard_dirs in todo:
+            tier_rows = run_partition(pid, shard_dirs)
+            for k, v in tier_rows.items():
+                rows_per_tier[k] += v
+            computed.append(pid)
+            if fail_after is not None and len(computed) >= fail_after:
+                raise RuntimeError(f"simulated kill after {fail_after} partition(s)")
+    elif todo:
+        # overlapping partition pipelines: hides per-pipeline latency; each
+        # commit is still independently atomic
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+            futs = {ex.submit(run_partition, pid, sd): pid for pid, sd in todo}
+            for fut, pid in futs.items():
+                tier_rows = fut.result()
+                for k, v in tier_rows.items():
+                    rows_per_tier[k] += v
+                computed.append(pid)
     # account skipped partitions' rows for the report
     for pid in skipped:
         for tier in tiers:

@@ -1,0 +1,134 @@
+"""Text / dedup / ANN: hash-family algorithms verified against exact
+baselines (MinHash vs true Jaccard, LSH top-k recall vs brute force,
+SimHash near-dup property)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_estimates_jaccard():
+    from crossai_ts_ray.functions.dedup import MinHasher, _shingle_hashes
+    from crossai_ts_ray.functions.text import char_ngrams, jaccard
+
+    mh = MinHasher(num_hashes=128)
+    a = "the quick brown fox jumps over the lazy dog and runs away fast"
+    variants = [
+        a,
+        a.replace("quick", "quack"),
+        a[: len(a) // 2],
+        "completely different content about database engines and shuffles",
+    ]
+    for b in variants:
+        sa, sb = mh.signature(a), mh.signature(b)
+        est = float((sa == sb).mean())
+        ha, hb = set(_shingle_hashes(a).tolist()), set(_shingle_hashes(b).tolist())
+        true = len(ha & hb) / len(ha | hb)
+        assert abs(est - true) < 0.15, (b[:30], est, true)
+
+
+def test_minhash_deterministic_across_instances():
+    from crossai_ts_ray.functions.dedup import MinHasher
+
+    s1 = MinHasher().signature("some document text here")
+    s2 = MinHasher().signature("some document text here")
+    assert (s1 == s2).all()
+
+
+def test_simhash_near_duplicates_close():
+    from crossai_ts_ray.functions.dedup import hamming64, simhash64
+
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "sleepy")
+    c = "entirely unrelated text about ray data pipelines and arrow " * 5
+    fa, fb, fc = simhash64(a), simhash64(b), simhash64(c)
+    d_ab = int(hamming64(np.array([fa], dtype=np.uint64), fb)[0])
+    d_ac = int(hamming64(np.array([fa], dtype=np.uint64), fc)[0])
+    assert d_ab < d_ac
+    assert d_ab <= 12
+
+
+def test_minhash_pipeline_finds_known_dups(ray_session):
+    """Near-identical docs injected into a corpus must come out as a
+    candidate pair with high estimated Jaccard."""
+    import pyarrow as pa
+
+    from crossai_ts_ray.pipelines.text_pipeline import MinHashSig, _PAIR_SCHEMA
+
+    base = "spark window batch merge value column agg join small line " * 8
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(
+                [
+                    base,
+                    base + " tail",
+                    "other unrelated document with distinct words entirely",
+                    "yet another different doc about time series rollups",
+                    base.replace("spark", "flink"),
+                    "short",
+                ]
+            ),
+        }
+    )
+    sig = MinHashSig()
+    rows = sig(docs)
+    # bucket by (band_id, band_key) manually, emit pairs
+    import collections
+
+    buckets = collections.defaultdict(list)
+    for r in rows.to_pylist():
+        buckets[(r["band_id"], r["band_key"])].append((r["doc_id"], r["sig"]))
+    found = set()
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if a[0] != b[0]:
+                    est = float(
+                        (np.array(a[1]) == np.array(b[1])).mean()
+                    )
+                    if est >= 0.5:
+                        found.add((min(a[0], b[0]), max(a[0], b[0])))
+    assert (0, 1) in found
+    assert (0, 4) in found
+    assert not any(2 in p or 3 in p for p in found)
+
+
+def test_lsh_topk_recall(ray_session):
+    from crossai_ts_ray.pipelines.ann_pipeline import cosine_topk, lsh_topk
+    from crossai_ts_ray.util import dataset_to_table
+
+    exact = dataset_to_table(cosine_topk(SF, k=10))
+    approx = dataset_to_table(lsh_topk(SF, k=10, radius=6))
+    e = set(exact["vec_id"].to_pylist())
+    a = set(approx["vec_id"].to_pylist())
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # every approx hit's sim matches the exact score for that id
+    exact_sims = dict(zip(exact["vec_id"].to_pylist(), exact["sim"].to_pylist()))
+    for vid, sim in zip(approx["vec_id"].to_pylist(), approx["sim"].to_pylist()):
+        if vid in exact_sims:
+            assert sim == exact_sims[vid]
+
+
+def test_language_detection():
+    from crossai_ts_ray.functions.text import detect_language
+
+    assert detect_language("the cat sat on the mat and it is a fine day") == "en"
+    assert detect_language("el perro y la casa en un lugar de la mancha") == "es"
+    assert detect_language("der hund und die katze mit ein buch von goethe") == "de"
+    assert detect_language("这是一个中文句子 关于时间序列的处理") == "zh"
+
+
+def test_rolling_hash_fingerprint_order_sensitive():
+    from crossai_ts_ray.functions.text import rolling_hash_fingerprint
+
+    a = rolling_hash_fingerprint(np.array([1, 2, 3, 4], dtype=np.int64))
+    b = rolling_hash_fingerprint(np.array([4, 3, 2, 1], dtype=np.int64))
+    c = rolling_hash_fingerprint(np.array([1, 2, 3, 4], dtype=np.int64))
+    assert a == c
+    assert a != b
