@@ -1,0 +1,84 @@
+"""Preprocessing kernels: the ``caits/preprocessing.py`` + ``_core_fix``
+surface as pure NumPy batch functions."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def normalize_signal(x: np.ndarray) -> np.ndarray:
+    """Scale to [-1, 1]: int dtypes by their type max, floats by max |x|
+    (caits/preprocessing.py:4)."""
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.integer):
+        return x.astype(np.float64) / np.iinfo(x.dtype).max
+    peak = np.max(np.abs(x))
+    return x.astype(np.float64) / peak if peak > 0 else x.astype(np.float64)
+
+
+def resample_signal(x: np.ndarray, orig_fs: float, target_fs: float) -> np.ndarray:
+    """Linear-interpolation resampling via ``np.interp``
+    (caits/preprocessing.py:24-61) -- THE reference semantic the engine's
+    linear gap-fill is pinned to."""
+    x = np.asarray(x, dtype=np.float64)
+    n_out = int(round(len(x) * target_fs / orig_fs))
+    t_in = np.arange(len(x)) / orig_fs
+    t_out = np.arange(n_out) / target_fs
+    return np.interp(t_out, t_in, x)
+
+
+def resample_2d(x: np.ndarray, orig_fs: float, target_fs: float) -> np.ndarray:
+    """Per-channel resampling (caits/preprocessing.py:63; columns=channels)."""
+    x = np.asarray(x, dtype=np.float64)
+    cols = [resample_signal(x[:, c], orig_fs, target_fs) for c in range(x.shape[1])]
+    return np.stack(cols, axis=1)
+
+
+def trim_signal(x: np.ndarray, epsilon: float = 0.01) -> np.ndarray:
+    """Trim leading/trailing samples below ``epsilon * max|x|``
+    (caits/preprocessing.py:103)."""
+    x = np.asarray(x)
+    thr = epsilon * np.max(np.abs(x))
+    keep = np.flatnonzero(np.abs(x) >= thr)
+    if len(keep) == 0:
+        return x[:0]
+    return x[keep[0] : keep[-1] + 1]
+
+
+def fix_length(x: np.ndarray, size: int, axis: int = -1, pad_value=0) -> np.ndarray:
+    """Pad (constant) or trim to exactly ``size`` along ``axis``
+    (caits/core/_core_fix.py:9)."""
+    x = np.asarray(x)
+    n = x.shape[axis]
+    if n > size:
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(0, size)
+        return x[tuple(sl)]
+    if n < size:
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, size - n)
+        return np.pad(x, widths, constant_values=pad_value)
+    return x
+
+
+def create_chunks(x: np.ndarray, chunk_len: int) -> list[np.ndarray]:
+    """Fixed-length chunks INCLUDING the ragged tail
+    (caits/windowing.py:188 -- ceil count)."""
+    n = len(x)
+    return [x[i : i + chunk_len] for i in range(0, n, chunk_len)]
+
+
+def samples_to_time(samples, fs: float):
+    """caits/convert.py:81"""
+    return np.asarray(samples, dtype=np.float64) / fs
+
+
+def frames_to_samples(frames, hop_length: int = 512, n_fft: int | None = None):
+    """caits/convert.py:100 (librosa convention: optional center offset)."""
+    offset = n_fft // 2 if n_fft else 0
+    return np.asarray(frames) * hop_length + offset
+
+
+def times_like(x, fs: float = 1.0, axis=0):
+    """caits/convert.py:8 -- time coordinate per sample."""
+    return np.arange(np.asarray(x).shape[axis]) / fs

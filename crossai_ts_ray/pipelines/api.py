@@ -1,0 +1,192 @@
+"""User-extension surface: composable pipeline of engine stages -- the
+Ray-Data-native equivalent of the reference's sklearn ``Pipeline`` of
+``BaseEstimator+TransformerMixin`` steps over ``CoreDataset``
+(SURVEY.md §2.10; /root/reference/caits/transformers/*).
+
+A pipeline is an ordered list of named stages compiled onto a
+``ray.data.Dataset``: each stage is a batch transform, a keyed shuffle, or an
+actor-pool map.  UDF hook = any ``pa.Table -> pa.Table`` callable (stateless)
+or callable class (actor pool), mirroring ``FunctionTransformer``
+(/root/reference/caits/transformers/_function_transformers/_func_transformer.py:7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import numpy as np
+import pyarrow as pa
+
+
+class Stage:
+    """Base stage: implements ``apply(ds) -> ds``."""
+
+    def apply(self, ds):  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+@dataclass
+class BatchStage(Stage):
+    """Wrap any pa.Table -> pa.Table function (stateless tasks) or callable
+    class (actor pool when ``concurrency`` is set)."""
+
+    fn: Any
+    batch_size: int | None = None
+    concurrency: int | None = None
+    fn_kwargs: dict = field(default_factory=dict)
+
+    def apply(self, ds):
+        kw: dict[str, Any] = {"batch_format": "pyarrow"}
+        if self.batch_size:
+            kw["batch_size"] = self.batch_size
+        if self.concurrency:
+            kw["concurrency"] = self.concurrency
+        if self.fn_kwargs:
+            kw["fn_kwargs"] = self.fn_kwargs
+        return ds.map_batches(self.fn, **kw)
+
+
+@dataclass
+class TokenSignalStage(Stage):
+    """Apply a 1-D NumPy signal function to every row's token array --
+    the ``FunctionTransformer`` / ``DatasetList.apply`` equivalent
+    (/root/reference/caits/dataset/_dataset/_list.py:339-367).
+
+    ``elementwise=True`` marks functions where f(concat(xs)) == concat(f(xs))
+    (gain, polarity, quantize, ...): those run ONCE on the flattened values
+    buffer -- fully vectorized, no per-row Python.  Order-dependent functions
+    (filters, resample) run per row within the batch.
+    """
+
+    fn: Callable[[np.ndarray], np.ndarray]
+    elementwise: bool = False
+    out_col: str = "tokens"
+    fn_kwargs: dict = field(default_factory=dict)
+
+    def apply(self, ds):
+        fn, kwargs, elementwise, out_col = (
+            self.fn, self.fn_kwargs, self.elementwise, self.out_col,
+        )
+
+        def run(batch: pa.Table) -> pa.Table:
+            t = batch.combine_chunks()
+            col = t["tokens"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            offs = (offs - offs[0]).astype(np.int64)
+            if elementwise:
+                new_flat = np.asarray(fn(flat, **kwargs))
+                new_offs = offs
+            else:
+                pieces = [
+                    np.asarray(fn(flat[offs[i] : offs[i + 1]], **kwargs))
+                    for i in range(t.num_rows)
+                ]
+                new_offs = np.zeros(t.num_rows + 1, dtype=np.int64)
+                np.cumsum([len(p) for p in pieces], out=new_offs[1:])
+                new_flat = (
+                    np.concatenate(pieces) if pieces else np.zeros(0, np.float64)
+                )
+            vtype = pa.from_numpy_dtype(new_flat.dtype)
+            arr = pa.ListArray.from_arrays(
+                pa.array(new_offs, pa.int64()).cast(pa.int32())
+                if new_offs[-1] < 2**31
+                else pa.array(new_offs, pa.int64()),
+                pa.array(new_flat, vtype),
+            )
+            if out_col in t.schema.names:
+                return t.set_column(t.schema.get_field_index(out_col), out_col, arr)
+            return t.append_column(out_col, arr)
+
+        return ds.map_batches(run, batch_format="pyarrow")
+
+
+@dataclass
+class WindowStage(Stage):
+    """Sliding-window segmentation (the ``SlidingWindow`` transformer,
+    /root/reference/caits/transformers/_sliding_window.py:6)."""
+
+    window: int
+    overlap: int = 0
+
+    def apply(self, ds):
+        from ..stages.windows import expand_windows
+
+        w, o = self.window, self.overlap
+        return ds.map_batches(
+            lambda b: expand_windows(b, w, o), batch_format="pyarrow"
+        )
+
+
+@dataclass
+class RollupStage(Stage):
+    """Tier rollup (groupby-aggregate shuffle) producing the stats bundle."""
+
+    width: int
+    salt_mod: int = 0
+
+    def apply(self, ds):
+        from ..schema import Tier
+        from ..stages.rollup import finalize, merged_partials
+
+        return finalize(
+            merged_partials(ds, Tier(f"w{self.width}", self.width), self.salt_mod)
+        )
+
+
+@dataclass
+class GapfillStage(Stage):
+    value_cols: list
+    mode: str = "locf"
+    grid_mode: str = "zero"
+
+    def apply(self, ds):
+        from ..stages.gapfill import gapfill
+
+        return gapfill(ds, self.value_cols, self.mode, self.grid_mode)
+
+
+@dataclass
+class LabelEncodeStage(Stage):
+    """Label encoding: distinct-agg on the driver, dict broadcast into the
+    map (the ``LE`` transformer, /root/reference/caits/transformers/_encoder.py:5-24)."""
+
+    col: str = "source"
+    out_col: str = "label"
+
+    def apply(self, ds):
+        import ray
+
+        classes = sorted(ds.unique(self.col))
+        mapping_ref = ray.put({c: i for i, c in enumerate(classes)})
+        col, out_col = self.col, self.out_col
+
+        def encode(t: pa.Table) -> pa.Table:
+            mapping = ray.get(mapping_ref)
+            vals = [mapping[v] for v in t[col].to_pylist()]
+            return t.append_column(out_col, pa.array(vals, pa.int32()))
+
+        return ds.map_batches(encode, batch_format="pyarrow")
+
+
+class EnginePipeline:
+    """Ordered named stages compiled onto a Dataset -- the sklearn-Pipeline
+    shape (list of (name, stage)) without fit state; fitted stages are
+    aggregate-pass + broadcast by construction."""
+
+    def __init__(self, steps: list[tuple[str, Stage]]):
+        names = [n for n, _ in steps]
+        if len(set(names)) != len(names):
+            raise ValueError("duplicate stage names")
+        self.steps = steps
+
+    def transform(self, ds):
+        for _, stage in self.steps:
+            ds = stage.apply(ds)
+        return ds
+
+    def __repr__(self):
+        return "EnginePipeline(" + " -> ".join(n for n, _ in self.steps) + ")"

@@ -1,0 +1,87 @@
+"""Corpus loaders: format dispatch + label-from-subdirectory convention.
+
+Reference analogues re-expressed as distributed reads:
+* ``csv_loader`` recursive glob with label = parent dir name
+  (/root/reference/caits/loading/_csv_read.py:11,44) -> ``read_csv`` over the
+  file list with a per-file ``source`` column derived from the path.
+* ``load_dir`` / ``DataLoader.load_from`` format sniffing
+  (/root/reference/caits/loading/_dataset_loader.py:53,
+  /root/reference/caits/dataset/_loader.py:28) -> extension dispatch.
+* ``audio_loader`` byte corpora (/root/reference/caits/loading/_audio.py:75)
+  -> ``read_binary_files(include_paths=True)`` + actor-pool decode
+  (pipelines/multimodal.py).
+* S3 variants (/root/reference/caits/loading/_s3_csv_read.py:8): Ray's
+  ``read_*`` accept ``s3://`` URIs directly -- same code path, no boto
+  pagination logic needed.
+
+Per-file errors: Ray retries tasks (lineage re-execution); the reference's
+print-and-skip (/root/reference/caits/loading/_csv_read.py:57-58) becomes an
+explicit ``on_error`` policy where supported.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _source_from_path(path: str) -> str:
+    """Label = parent directory name (the reference's class-subdir rule)."""
+    return os.path.basename(os.path.dirname(path))
+
+
+def load_csv_corpus(root: str, **read_kwargs) -> rd.Dataset:
+    """Recursive CSV corpus: one `source` label per parent dir."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(root, "**", "*.csv"), recursive=True))
+    ds = rd.read_csv(files, include_paths=True, **read_kwargs)
+
+    def add_source(t: pa.Table) -> pa.Table:
+        paths = t["path"].to_pylist()
+        src = pa.array([_source_from_path(p) for p in paths], pa.string())
+        return t.append_column("source", src).drop_columns(["path"])
+
+    return ds.map_batches(add_source, batch_format="pyarrow")
+
+
+def load_binary_corpus(root: str, suffix: str = "") -> rd.Dataset:
+    """Binary (audio/image) corpus with path + source columns."""
+    ds = rd.read_binary_files(root, include_paths=True)
+
+    def shape(t: pa.Table) -> pa.Table:
+        paths = t["path"].to_pylist()
+        keep = [i for i, p in enumerate(paths) if p.endswith(suffix)]
+        t = t.take(keep)
+        paths = [paths[i] for i in keep]
+        return pa.table(
+            {
+                "media_id": pa.array([os.path.basename(p) for p in paths]),
+                "source": pa.array([_source_from_path(p) for p in paths]),
+                "payload": t["bytes"],
+            }
+        )
+
+    return ds.map_batches(shape, batch_format="pyarrow")
+
+
+def load_dir(root: str, fmt: str | None = None) -> rd.Dataset:
+    """Format dispatch by extension sniffing (``load_dir`` equivalent)."""
+    import glob
+
+    if fmt is None:
+        for ext, f in (("parquet", "parquet"), ("csv", "csv"), ("wav", "binary")):
+            if glob.glob(os.path.join(root, "**", f"*.{ext}"), recursive=True):
+                fmt = f
+                break
+        else:
+            raise ValueError(f"no recognized files under {root}")
+    if fmt == "parquet":
+        return rd.read_parquet(root)
+    if fmt == "csv":
+        return load_csv_corpus(root)
+    if fmt == "binary":
+        return load_binary_corpus(root)
+    raise ValueError(fmt)

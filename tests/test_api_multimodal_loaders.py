@@ -1,0 +1,125 @@
+"""Pipeline API, multimodal plumbing, and corpus loaders."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crossai_ts_ray.util import dataset_to_table
+
+
+def test_engine_pipeline_compose(ray_session):
+    import ray.data as rd
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.pipelines.api import (
+        EnginePipeline,
+        LabelEncodeStage,
+        RollupStage,
+        TokenSignalStage,
+    )
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    ds = rd.read_parquet(d)
+    pipe = EnginePipeline(
+        [
+            ("gain", TokenSignalStage(lambda v: v * 2, elementwise=True)),
+            ("label", LabelEncodeStage("source")),
+        ]
+    )
+    out = dataset_to_table(pipe.transform(ds))
+    assert "label" in out.schema.names
+    orig = dataset_to_table(ds.limit(5)).to_pylist()
+    got = {r["doc_id"]: r for r in out.to_pylist()}
+    for r in orig:
+        assert got[r["doc_id"]]["tokens"] == [v * 2 for v in r["tokens"]]
+    # label encoding is the sorted-distinct mapping
+    srcs = sorted({r["source"] for r in out.to_pylist()})
+    for r in out.to_pylist()[:50]:
+        assert r["label"] == srcs.index(r["source"])
+
+
+def test_pipeline_rollup_stage_matches_direct(ray_session):
+    import ray.data as rd
+
+    from crossai_ts_ray import oracle, synth
+    from crossai_ts_ray.pipelines.api import EnginePipeline, RollupStage
+    from crossai_ts_ray.schema import Tier
+
+    from .conftest import assert_tables_bitwise_equal
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    pipe = EnginePipeline([("rollup", RollupStage(width=60))])
+    got = dataset_to_table(pipe.transform(rd.read_parquet(d)))
+    gold = oracle.rollup(synth.read_all(d), Tier("w60", 60))
+    assert_tables_bitwise_equal(gold, got, "pipeline-rollup")
+
+
+def test_per_row_token_function_stage(ray_session):
+    import ray.data as rd
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.functions.preprocess import fix_length
+    from crossai_ts_ray.pipelines.api import EnginePipeline, TokenSignalStage
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    pipe = EnginePipeline(
+        [("fix", TokenSignalStage(lambda v: fix_length(v, 32), elementwise=False))]
+    )
+    out = dataset_to_table(pipe.transform(rd.read_parquet(d).limit(64)))
+    toks = out["tokens"].combine_chunks()
+    lens = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+    assert (lens == 32).all()
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    from crossai_ts_ray.pipelines.multimodal import (
+        ImageDecodeResize,
+        media_pipeline,
+        synth_media_table,
+    )
+
+    t = synth_media_table(60)
+    ds = rd.from_arrow(t)
+    img, aud, vid = media_pipeline(ds, out_size=8)
+    it = dataset_to_table(img)
+    at = dataset_to_table(aud)
+    vt = dataset_to_table(vid)
+    assert it.num_rows == 20 and at.num_rows == 20 and vt.num_rows == 20
+    px = it["pixels"].combine_chunks()
+    assert (np.diff(px.offsets.to_numpy(zero_copy_only=False)) == 64).all()
+    # deterministic fake decode: same input -> same features
+    it2 = dataset_to_table(media_pipeline(ds, out_size=8)[0])
+    a = it.sort_by("media_id")
+    b = it2.sort_by("media_id")
+    assert a.equals(b)
+    # the real-decode seam is explicit
+    stage = ImageDecodeResize(decode="real")
+    with pytest.raises(NotImplementedError, match="image decode"):
+        stage(t.slice(0, 3))
+
+
+def test_csv_corpus_loader(ray_session, tmp_path):
+    import pandas as pd
+
+    from crossai_ts_ray.sources.loaders import load_csv_corpus, load_dir
+
+    for label in ("walk", "run"):
+        os.makedirs(tmp_path / label, exist_ok=True)
+        for i in range(2):
+            pd.DataFrame({"ch_1": np.arange(5) + i, "ch_2": np.arange(5) * 2}).to_csv(
+                tmp_path / label / f"rec{i}.csv", index=False
+            )
+    ds = load_csv_corpus(str(tmp_path))
+    t = dataset_to_table(ds)
+    assert t.num_rows == 20
+    assert set(t["source"].to_pylist()) == {"walk", "run"}
+    assert {"ch_1", "ch_2", "source"} <= set(t.schema.names)
+    # dispatch picks csv
+    t2 = dataset_to_table(load_dir(str(tmp_path)))
+    assert t2.num_rows == 20
