@@ -122,11 +122,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
             float(stats["raw_bytes"].sum()) / max(1.0, float(stats["enc_bytes"].sum())), 2
         )
 
-    # --- query families over $GRAFT_SF_DIR ---
+    # --- query families over $GRAFT_SF_DIR (skipped in rollup-only mode) ---
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
 
-    qs = E.queries()
+    qs = {} if os.environ.get("GRAFT_BENCH_ONLY") == "rollup" else E.queries()
     for name in sorted(qs):
         t0 = time.perf_counter()
         res = qs[name](sf_dir)
@@ -155,7 +155,8 @@ def run_scaling(sf_dir: str) -> dict:
     stand-in for N vs 4N nodes)."""
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_BENCH_ONLY="rollup")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -165,21 +166,21 @@ def run_scaling(sf_dir: str) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
+    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    lo, hi = one(n_lo), one(n_hi)
     # scaling on the headline distributed job, not driver-side bookkeeping
     t_lo = lo["queries"]["rollup_job"]
     t_hi = hi["queries"]["rollup_job"]
-    eff = (t_lo / t_hi) / (32 / 8)
+    eff = (t_lo / t_hi) / (n_hi / n_lo)
     return {
-        "metric": "scaling efficiency 8->32 cpus (rollup_job)",
+        "metric": f"scaling efficiency {n_lo}->{n_hi} cpus (rollup_job)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "points_per_sec_8": lo["extra"]["points_per_sec"],
-        "points_per_sec_32": hi["extra"]["points_per_sec"],
-        "total_sec_8": lo["value"],
-        "total_sec_32": hi["value"],
+        f"sec_{n_lo}": t_lo,
+        f"sec_{n_hi}": t_hi,
+        f"points_per_sec_{n_lo}": lo["extra"]["points_per_sec"],
+        f"points_per_sec_{n_hi}": hi["extra"]["points_per_sec"],
     }
 
 
