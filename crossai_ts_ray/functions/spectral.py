@@ -220,6 +220,41 @@ def phase_vocoder(S: np.ndarray, rate: float, hop_length: int | None = None) -> 
     return out
 
 
+def mel_to_stft(M: np.ndarray, sr: float = 22050, n_fft: int = 2048, power: float = 2.0):
+    """Approximate STFT magnitude from a mel spectrogram via non-negative
+    least squares on the filterbank (caits/fe/inverse.py:16; nnls approximated
+    by projected gradient -- SciPy-free)."""
+    mel_basis = mel_filter(sr, n_fft, n_mels=M.shape[0])
+    # projected-gradient NNLS: minimize ||mel_basis @ X - M||^2, X >= 0
+    X = np.maximum(0.0, np.linalg.pinv(mel_basis) @ M)
+    step = 1.0 / (np.linalg.norm(mel_basis, 2) ** 2 + 1e-12)
+    for _ in range(30):
+        grad = mel_basis.T @ (mel_basis @ X - M)
+        X = np.maximum(0.0, X - step * grad)
+    return X ** (1.0 / power)
+
+
+def griffinlim(
+    S_mag: np.ndarray, n_iter: int = 32, hop_length: int | None = None,
+    length: int | None = None, seed: int = 0,
+) -> np.ndarray:
+    """Iterative phase reconstruction from an STFT magnitude
+    (caits/fe/inverse.py:71): alternate istft/stft keeping the target
+    magnitude; deterministic seeded init."""
+    n_fft = 2 * (S_mag.shape[0] - 1)
+    hop_length = hop_length or n_fft // 4
+    rng = np.random.default_rng(seed)
+    angles = np.exp(2j * np.pi * rng.random(S_mag.shape))
+    for _ in range(n_iter):
+        y = istft(S_mag * angles, hop_length=hop_length, length=length)
+        rebuilt = stft(y, n_fft=n_fft, hop_length=hop_length)
+        rebuilt = rebuilt[:, : S_mag.shape[1]]
+        if rebuilt.shape[1] < S_mag.shape[1]:
+            rebuilt = np.pad(rebuilt, [(0, 0), (0, S_mag.shape[1] - rebuilt.shape[1])])
+        angles = np.exp(1j * np.angle(rebuilt))
+    return istft(S_mag * angles, hop_length=hop_length, length=length)
+
+
 def magphase(S):
     """caits/hpss.py:191"""
     mag = np.abs(S)

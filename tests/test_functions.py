@@ -226,3 +226,21 @@ def test_hpss_masks_sum_to_identity():
     S = spectral.stft(x, n_fft=256, hop_length=64)
     H, P = spectral.hpss(S, kernel_size=11)
     assert np.allclose(np.abs(H + P), np.abs(S), atol=1e-6)
+
+
+def test_mel_to_stft_reconstruction():
+    x = np.sin(2 * np.pi * 0.05 * np.arange(4096))
+    S = spectral.spectrogram(x, n_fft=512, hop_length=128)
+    M = spectral.mel_filter(16000, 512, 64) @ S
+    S_rec = spectral.mel_to_stft(M, sr=16000, n_fft=512) ** 2
+    # energy concentrated at the same bin
+    assert abs(int(np.argmax(S_rec.mean(1))) - int(np.argmax(S.mean(1)))) <= 2
+
+
+def test_griffinlim_reconstructs_tone():
+    x = np.sin(2 * np.pi * 0.07 * np.arange(4096))
+    S = np.abs(spectral.stft(x, n_fft=512, hop_length=128))
+    y = spectral.griffinlim(S, n_iter=16, hop_length=128, length=len(x))
+    fy = np.abs(np.fft.rfft(y))
+    fx = np.abs(np.fft.rfft(x))
+    assert abs(int(np.argmax(fy)) - int(np.argmax(fx))) <= 2
