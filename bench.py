@@ -53,6 +53,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    if os.environ.get("GRAFT_HASH_SHUFFLE", "0") == "1":
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
     from crossai_ts_ray import synth
     from crossai_ts_ray.schema import DEFAULT_TIERS, Tier
@@ -77,7 +81,9 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     out_dir = f"/tmp/bench_rollup_out_{os.getpid()}"
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.perf_counter()
-    rep = run_rollup_job(token_dir, out_dir, tiers, salt_mod=0, batch_size=65536, shards_per_commit=4)
+    rep = run_rollup_job(token_dir, out_dir, tiers, salt_mod=0, batch_size=65536,
+                     shards_per_commit=int(os.environ.get('GRAFT_SHARDS_PER_COMMIT', '4')),
+                     max_concurrent=max(1, ncpu // 8))
     timings["rollup_job"] = time.perf_counter() - t0
     total_points = sum(rep.rows_per_tier.values())
     # input token volume from parquet footers (cheap, excluded cost is tiny)
@@ -112,7 +118,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
 
     roll2 = rd.read_parquet(os.path.join(out_dir, "tier=1m"))
     t0 = time.perf_counter()
-    segs = compress_rollup(roll2, concurrency=max(2, ncpu // 4), batch_size=16384)
+    segs = compress_rollup(roll2, concurrency=max(1, min(ncpu - 1, ncpu // 4)), batch_size=16384)
     stats = segs.map_batches(
         lambda b: b.select(["raw_bytes", "enc_bytes"]), batch_format="pyarrow"
     ).to_pandas()
@@ -154,17 +160,26 @@ def run_scaling(sf_dir: str) -> dict:
     """Same job at two parallelism levels in fresh processes (the sandbox
     stand-in for N vs 4N nodes)."""
 
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-                   GRAFT_BENCH_ONLY="rollup")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+                   GRAFT_BENCH_ONLY="rollup",
+                   GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALE_ROWS", "2400000"),
+                   GRAFT_SHARDS_PER_COMMIT=os.environ.get("GRAFT_SHARDS_PER_COMMIT", "16"))
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["queries"]["rollup_job"] < best["queries"]["rollup_job"]:
+                best = r  # min over repeats: robust to co-tenant noise
+        return best
 
     n_lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     n_hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))

@@ -17,10 +17,19 @@ import ray.data as rd
 TOKEN_COLUMNS = ["doc_id", "tokens", "n_tok", "source", "seq"]
 
 
-def read_token_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_token_table(
+    path: str | list[str],
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+) -> rd.Dataset:
     """Read the token-sequence table; prune to the columns the pipeline needs
-    (a rollup that only needs (n_tok, source, seq) must not ship token lists)."""
-    return rd.read_parquet(path, columns=columns or TOKEN_COLUMNS)
+    (a rollup that only needs (n_tok, source, seq) must not ship token lists).
+    ``override_num_blocks`` caps read tasks -- many tiny read tasks are
+    scheduling-bound on small clusters."""
+    kw = {}
+    if override_num_blocks:
+        kw["override_num_blocks"] = override_num_blocks
+    return rd.read_parquet(path, columns=columns or TOKEN_COLUMNS, **kw)
 
 
 def _tokenize_batch(batch: pa.Table) -> pa.Table:

@@ -117,6 +117,7 @@ def run_rollup_job(
     fail_after: int | None = None,
     shards_per_commit: int = 1,
     max_concurrent: int = 2,
+    aligned: bool = True,
 ) -> JobReport:
     """Run (or resume) the tier-cascade rollup over every input partition.
 
@@ -142,15 +143,32 @@ def run_rollup_job(
             f for sd in shard_dirs for f in glob.glob(os.path.join(sd, "*.parquet"))
         )
         fragments = [os.path.basename(f) for f in frag_paths]
-        ds = read_token_table(frag_paths)
-        cascaded = rollup_cascade(
-            ds, tiers, salt_mod=salt_mod, batch_size=batch_size,
-            materialize_tiers=True,
-        )
+        if aligned:
+            # no-raw-shuffle fast path: input files are seq-aligned per
+            # source (stages/aligned.py states the contract)
+            from ..stages.aligned import aligned_rollup_cascade
+            from ..synth import CHUNK_ROWS
+
+            cascaded = aligned_rollup_cascade(
+                shard_dirs, tiers, chunk_rows=CHUNK_ROWS
+            )
+        else:
+            import ray as _ray_r
+
+            blocks = min(
+                len(frag_paths) * 4,
+                max(8, int(_ray_r.cluster_resources().get("CPU", 4)) * 3),
+            )
+            ds = read_token_table(frag_paths, override_num_blocks=blocks)
+            cascaded = rollup_cascade(
+                ds, tiers, salt_mod=salt_mod, batch_size=batch_size,
+                materialize_tiers=True,
+            )
         part_rows = part_bytes = 0
         watermark = -1
         tier_rows: dict[str, int] = {}
-        for tier in tiers:
+
+        def write_tier(tier):
             final_dir = os.path.join(out_dir, f"tier={tier.name}", f"part={pid}")
             tmp_dir = os.path.join(out_dir, f".tmp-{tier.name}-{pid}")
             if os.path.exists(tmp_dir):
@@ -160,7 +178,22 @@ def run_rollup_job(
             cascaded[tier.name].write_parquet(tmp_dir)
             os.makedirs(os.path.dirname(final_dir), exist_ok=True)
             os.rename(tmp_dir, final_dir)
-            r, b, mb = _dir_stats(final_dir)
+            return tier.name, _dir_stats(final_dir)
+
+        # tier writes are independent given the materialized partials --
+        # overlap them so per-pipeline latency isn't paid 3x serially
+        # (only when there are CPUs to overlap on)
+        import ray as _ray
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
+        n_cpus = int(_ray.cluster_resources().get("CPU", 4))
+        writers = len(tiers) if n_cpus >= 8 else 1
+        with _TPE(max_workers=writers) as tex:
+            results = dict(
+                (name, st) for name, st in tex.map(write_tier, tiers)
+            )
+        for tier in tiers:
+            r, b, mb = results[tier.name]
             part_rows += r
             part_bytes += b
             tier_rows[tier.name] = r
