@@ -45,6 +45,12 @@ class SynthSpec:
     # with seq // gap_width in [lo, hi) are dropped.
     gaps: tuple = ()
     gap_width: int = 60
+    # stride_layout=True writes each source's rows STRIPED across its files
+    # (chunk c holds seq c, c+K, c+2K, ...): an unclustered ingest where every
+    # (source, bucket) fragments across all files -- the skew/salting perf
+    # fixture (the aligned fast path does not apply; generic shuffle path
+    # with salted keys is the target)
+    stride_layout: bool = False
 
     def rows_per_source(self) -> np.ndarray:
         w = 1.0 / np.arange(1, self.num_sources + 1) ** self.zipf_s
@@ -59,7 +65,7 @@ class SynthSpec:
                 self.total_rows, self.num_sources, self.seed, self.zipf_s,
                 self.mean_n_tok, self.sigma_n_tok, self.num_shards,
                 list(map(list, ((g[0], list(map(list, g[1]))) for g in self.gaps))),
-                self.gap_width,
+                self.gap_width, self.stride_layout,
             ]
         )
         return hashlib.sha1(blob.encode()).hexdigest()[:12]
@@ -69,17 +75,25 @@ def source_name(i: int) -> str:
     return f"src{i:03d}"
 
 
-def _gen_chunk(spec: SynthSpec, src_idx: int, seq_lo: int, seq_hi: int) -> pa.Table:
+def _gen_chunk(
+    spec: SynthSpec, src_idx: int, seq_lo: int, seq_hi: int,
+    seq_override: np.ndarray | None = None, chunk_idx: int | None = None,
+) -> pa.Table:
     """Rows [seq_lo, seq_hi) of one source; content depends only on the key."""
-    chunk_idx = seq_lo // CHUNK_ROWS
+    if chunk_idx is None:
+        chunk_idx = seq_lo // CHUNK_ROWS
     key = np.array(
         [np.uint64(spec.seed) ^ np.uint64(0xC0FFEE) << np.uint64(32),
          np.uint64(src_idx) << np.uint64(32) | np.uint64(chunk_idx)],
         dtype=np.uint64,
     )
     rng = np.random.Generator(np.random.Philox(key=key))
-    n = seq_hi - seq_lo
-    seq = np.arange(seq_lo, seq_hi, dtype=np.int64)
+    if seq_override is not None:
+        seq = seq_override.astype(np.int64)
+        n = len(seq)
+    else:
+        n = seq_hi - seq_lo
+        seq = np.arange(seq_lo, seq_hi, dtype=np.int64)
     n_tok = np.clip(
         rng.lognormal(np.log(spec.mean_n_tok), spec.sigma_n_tok, n), 1, MAX_N_TOK
     ).astype(np.int32)
@@ -133,11 +147,18 @@ def generate(spec: SynthSpec, out_dir: str, row_group_size: int = 25_000) -> str
         shard_dir = os.path.join(out_dir, f"shard={shard:02d}")
         os.makedirs(shard_dir, exist_ok=True)
         n_rows = int(counts[src_idx])
-        for lo in range(0, n_rows, CHUNK_ROWS):
+        n_chunks = -(-n_rows // CHUNK_ROWS)
+        for c, lo in enumerate(range(0, n_rows, CHUNK_ROWS)):
             hi = min(lo + CHUNK_ROWS, n_rows)
-            t = _gen_chunk(spec, src_idx, lo, hi)
+            if spec.stride_layout:
+                t = _gen_chunk(
+                    spec, src_idx, lo, hi,
+                    seq_override=np.arange(c, n_rows, n_chunks), chunk_idx=c,
+                )
+            else:
+                t = _gen_chunk(spec, src_idx, lo, hi)
             path = os.path.join(
-                shard_dir, f"part-{source_name(src_idx)}-{lo // CHUNK_ROWS:05d}.parquet"
+                shard_dir, f"part-{source_name(src_idx)}-{c:05d}.parquet"
             )
             pq.write_table(t, path, row_group_size=row_group_size)
     with open(marker, "w") as f:
