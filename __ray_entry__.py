@@ -263,6 +263,57 @@ def _ann(fn_name: str) -> Callable[[str], Any]:
     return run
 
 
+def _outlier_filter_q(sf_dir: str):
+    """Grouped z-score outlier filter (the reference's filter_outliers,
+    caits/eda/outliers_removal.py:58): per-lang filter of documents by
+    n_chars.  Integer output columns -> exact comparison."""
+    import ray.data as rd
+
+    from crossai_ts_ray.functions.eda import filter_outliers_grouped
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    out = filter_outliers_grouped(ds, "lang", "n_chars", "zscore", threshold=2.0)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars"]), batch_format="pyarrow"
+    )
+
+
+_OUTLIER_SQL = """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         avg(n_chars) OVER (PARTITION BY lang) AS m,
+         stddev_pop(n_chars) OVER (PARTITION BY lang) AS sd
+  FROM documents
+) WHERE sd = 0 OR abs((n_chars - m) / sd) <= 2.0
+"""
+
+
+def _synth_job_q(sf_dir: str):
+    """The full checkpointed rollup job (aligned cascade, atomic writes,
+    lineage) on the deterministic TINY synthetic table; returns the finest
+    tier.  Not SQL-expressible (input not a registered view): rows-only
+    driver check; bitwise-vs-oracle is covered by tests/test_rollup.py and
+    tests/test_resume.py."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.schema import Tier
+    from crossai_ts_ray.state.checkpoint import read_job_output, run_rollup_job
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out_dir = tempfile.mkdtemp(prefix="rollup_job_q_")
+    try:
+        run_rollup_job(d, out_dir, (Tier("t60", 60), Tier("t240", 240)))
+        return read_job_output(out_dir, "t60")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 _TEXT_STATS_SQL = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        len(string_split(text, ' '))::BIGINT AS n_tok,
@@ -305,6 +356,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _ann("cosine_topk"),
         "ann_lsh_topk": _ann("lsh_topk"),
         "embedding_near_pairs": _ann("embedding_near_pairs"),
+        # grouped outlier filter + the full checkpointed job
+        "outlier_filter_zscore": _outlier_filter_q,
+        "synth_rollup_job": _synth_job_q,
     }
     return q
 
@@ -347,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
         "ann_cosine_topk": ann_sql("COSINE_TOPK_SQL"),
+        "outlier_filter_zscore": _OUTLIER_SQL,
         # dedup_minhash_pairs / simhash_fingerprints / ann_lsh_topk /
         # embedding_near_pairs: not SQL-expressible (hash-family algorithms)
         # -> rows-only driver check; verified against exact baselines in
