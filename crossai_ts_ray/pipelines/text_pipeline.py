@@ -253,6 +253,91 @@ def simhash_fingerprints(sf_dir: str):
     return _read_docs(sf_dir).map_batches(SimHash, batch_format="pyarrow", concurrency=2)
 
 
+def dedup_clusters(pairs_ds, max_rounds: int = 10):
+    """Near-dup pair list -> connected components by iterative min-label
+    propagation: each round, every doc adopts the smallest label among its
+    neighbors + itself (two keyed groupbys per round over edge-sized data);
+    converges in O(diameter) rounds.  Scale path for when the candidate set
+    is too large for driver-side union-find.
+
+    Returns a Dataset of (doc_id, cluster) with cluster = min doc_id of the
+    component."""
+    import ray.data as rd
+
+    def edges_to_labels(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(edges_to_labels, batch_format="pyarrow").materialize()
+    labels = edges.groupby("doc_id").map_groups(
+        lambda g: pa.table(
+            {
+                "doc_id": g["doc_id"][:1],
+                "cluster": pa.array(
+                    [min(int(g["doc_id"][0].as_py()), min(g["nbr"].to_pylist()))],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # join labels onto edges (broadcast: label table is edge-bounded and
+        # shrinks to component count; for huge graphs use a keyed join)
+        import ray
+
+        lab = {
+            r["doc_id"]: r["cluster"] for r in labels.take_all()
+        }
+        lab_ref = ray.put(lab)
+
+        def propagate(t: pa.Table) -> pa.Table:
+            m = ray.get(lab_ref)
+            d = t["doc_id"].to_pylist()
+            n = t["nbr"].to_pylist()
+            return pa.table(
+                {
+                    "doc_id": pa.array(d, pa.int64()),
+                    "cand": pa.array([m.get(x, x) for x in n], pa.int64()),
+                }
+            )
+
+        cand = edges.map_batches(propagate, batch_format="pyarrow")
+        new_labels = cand.groupby("doc_id").map_groups(
+            lambda g: pa.table(
+                {
+                    "doc_id": g["doc_id"][:1],
+                    "cluster": pa.array(
+                        [
+                            min(
+                                min(g["cand"].to_pylist()),
+                                lab_of := ray.get(lab_ref).get(
+                                    int(g["doc_id"][0].as_py()),
+                                    int(g["doc_id"][0].as_py()),
+                                ),
+                            )
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        old = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
+        new = {r["doc_id"]: r["cluster"] for r in new_labels.take_all()}
+        labels = new_labels
+        if old == new:
+            break
+    return labels
+
+
 def ngram_jaccard_verify(sf_dir: str, pairs: list[tuple[int, int]]) -> list[dict]:
     """Driver-side exact n-gram Jaccard for a (small) candidate pair list --
     the verification step after LSH blocking."""

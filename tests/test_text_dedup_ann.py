@@ -132,3 +132,21 @@ def test_rolling_hash_fingerprint_order_sensitive():
     c = rolling_hash_fingerprint(np.array([1, 2, 3, 4], dtype=np.int64))
     assert a == c
     assert a != b
+
+
+def test_dedup_clusters_connected_components(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crossai_ts_ray.pipelines.text_pipeline import dedup_clusters
+
+    # components: {1,2,3,9}, {5,6}, singleton edges imply membership
+    pairs = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 3, 5], pa.int64()),
+            "doc_b": pa.array([2, 3, 9, 6], pa.int64()),
+        }
+    )
+    labels = dedup_clusters(rd.from_arrow(pairs))
+    got = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
