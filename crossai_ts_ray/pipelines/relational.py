@@ -116,11 +116,10 @@ def top_customers(sf_dir: str, k: int = 10):
         return df.groupby("c_custkey", as_index=False).sum()
 
     parts = orders.map_batches(partial, batch_format="pyarrow")
-    per_cust = parts.groupby("c_custkey").map_groups(
-        lambda g: pd.DataFrame(
-            {"c_custkey": [g["c_custkey"].iloc[0]], "rev_u": [g["rev_u"].sum()]}
-        ),
-        batch_format="pandas",
+    from ray.data.aggregate import Sum
+
+    per_cust = parts.groupby("c_custkey").aggregate(
+        Sum("rev_u", alias_name="rev_u")
     )
     topk = per_cust.sort(["rev_u", "c_custkey"], descending=[True, False]).limit(k)
 

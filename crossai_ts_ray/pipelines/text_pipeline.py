@@ -199,36 +199,90 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
         MinHashSig, batch_format="pyarrow", concurrency=2
     )
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        if g.num_rows < 2:
+    def bucket_pairs_partition(t: pa.Table) -> pa.Table:
+        """Vectorized over a whole hash partition of (band_id, band_key)
+        buckets: sort by bucket, enumerate pairs within each bucket run (runs
+        are tiny -- LSH buckets), compare signatures as a matrix."""
+        t = t.combine_chunks()
+        if t.num_rows < 2:
             return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
-        dids = g["doc_id"].to_pylist()
-        sigl = g["sig"].to_pylist()
-        out = []
-        for i in range(len(dids)):
-            for j in range(i + 1, len(dids)):
-                a, b = dids[i], dids[j]
-                if a == b:
-                    continue
-                sa = np.array(sigl[i], dtype=np.int64)
-                sb = np.array(sigl[j], dtype=np.int64)
-                est = float((sa == sb).mean())
-                if est >= threshold:
-                    out.append(
-                        {
-                            "doc_a": min(a, b),
-                            "doc_b": max(a, b),
-                            "est_jaccard": round(est, 6),
-                        }
-                    )
-        return pa.Table.from_pylist(out, schema=_PAIR_SCHEMA)
+        band = t["band_id"].to_numpy(zero_copy_only=False)
+        key = t["band_key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, band))
+        b_s, k_s = band[order], key[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])))
+        )
+        ends = np.append(starts[1:], len(order))
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)[order]
+        sig_flat, sig_offs = (
+            t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False),
+            None,
+        )
+        k_sig = len(sig_flat) // t.num_rows
+        sigs_m = sig_flat.reshape(t.num_rows, k_sig)[order]
+        ia, ib = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, 1)
+            ia.append(s + i)
+            ib.append(s + j)
+        if not ia:
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        ia = np.concatenate(ia)
+        ib = np.concatenate(ib)
+        est = (sigs_m[ia] == sigs_m[ib]).mean(axis=1)
+        da, db = dids[ia], dids[ib]
+        keep = (est >= threshold) & (da != db)
+        lo = np.minimum(da[keep], db[keep])
+        hi = np.maximum(da[keep], db[keep])
+        return pa.table(
+            {
+                "doc_a": pa.array(lo, pa.int64()),
+                "doc_b": pa.array(hi, pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+            }
+        )
 
-    pairs = sigs.groupby(["band_id", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    def add_prt(t: pa.Table, P: int = 16) -> pa.Table:
+        t = t.combine_chunks()
+        b = t["band_id"].to_numpy(zero_copy_only=False)
+        k = t["band_key"].to_numpy(zero_copy_only=False)
+        prt = np.abs(b * np.int64(0x9E3779B1) ^ k) % P
+        return t.append_column("prt", pa.array(prt, pa.int64()))
+
+    keyed = sigs.map_batches(add_prt, batch_format="pyarrow")
+    pairs = keyed.groupby("prt").map_groups(
+        lambda g: bucket_pairs_partition(g.drop_columns(["prt"])),
+        batch_format="pyarrow",
     )
-    # dedup pairs found in multiple bands: group by (a, b), keep first
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+
+    def dedup_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        first = np.concatenate(
+            ([True], (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1]))
+        )
+        return t.take(pa.array(order[first]))
+
+    def add_pair_prt(t: pa.Table, P: int = 16) -> pa.Table:
+        t = t.combine_chunks()
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        prt = np.abs(a * np.int64(0x9E3779B1) ^ b) % P
+        return t.append_column("prt", pa.array(prt, pa.int64()))
+
+    # dedup pairs found by multiple bands: one keyed pass, vectorized
+    return pairs.map_batches(add_pair_prt, batch_format="pyarrow").groupby(
+        "prt"
+    ).map_groups(
+        lambda g: dedup_partition(g.drop_columns(["prt"])), batch_format="pyarrow"
     )
 
 
