@@ -116,10 +116,21 @@ def top_customers(sf_dir: str, k: int = 10):
         return df.groupby("c_custkey", as_index=False).sum()
 
     parts = orders.map_batches(partial, batch_format="pyarrow")
-    from ray.data.aggregate import Sum
 
-    per_cust = parts.groupby("c_custkey").aggregate(
-        Sum("rev_u", alias_name="rev_u")
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_custkey", as_index=False)["rev_u"].sum()
+
+    keyed = parts.map_batches(
+        lambda t: t.append_column(
+            "prt",
+            __import__("pyarrow").array(
+                (t["c_custkey"].to_numpy(zero_copy_only=False) % 8).astype("int64")
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    per_cust = keyed.groupby("prt").map_groups(
+        lambda df: merge_partition(df.drop(columns=["prt"])), batch_format="pandas"
     )
     topk = per_cust.sort(["rev_u", "c_custkey"], descending=[True, False]).limit(k)
 

@@ -196,7 +196,7 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
     shingle -> minhash -> band -> bucket groupby -> pairwise within bucket.
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est >= threshold."""
     sigs = _read_docs(sf_dir).map_batches(
-        MinHashSig, batch_format="pyarrow", concurrency=2
+        MinHashSig, batch_format="pyarrow", concurrency=4, batch_size=512
     )
 
     def bucket_pairs_partition(t: pa.Table) -> pa.Table:
