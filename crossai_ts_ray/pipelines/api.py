@@ -172,6 +172,57 @@ class LabelEncodeStage(Stage):
         return ds.map_batches(encode, batch_format="pyarrow")
 
 
+class SpectralFeatureStage(Stage):
+    """Actor-pool spectral feature extraction with the mel filterbank / DCT
+    basis computed ONCE per actor (the reference recomputes them per call --
+    /root/reference/caits/fe/core_spectrum/_utils.py:160; SURVEY.md §2.5
+    flags them as per-worker cacheable state)."""
+
+    def __init__(self, sr: float = 16000, n_fft: int = 512, hop: int = 128,
+                 n_mels: int = 40, n_mfcc: int = 13, concurrency: int = 2):
+        self.kw = dict(sr=sr, n_fft=n_fft, hop=hop, n_mels=n_mels, n_mfcc=n_mfcc)
+        self.concurrency = concurrency
+
+    def apply(self, ds):
+        kw = self.kw
+
+        class MfccActor:
+            def __init__(self):
+                from ..functions.spectral import _dct_ii_ortho, mel_filter
+
+                self.mel = mel_filter(kw["sr"], kw["n_fft"], kw["n_mels"])
+                self.dct = _dct_ii_ortho(kw["n_mfcc"], kw["n_mels"])
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                from ..functions.spectral import power_to_db, spectrogram
+
+                t = batch.combine_chunks()
+                col = t["tokens"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+                offs = col.offsets.to_numpy(zero_copy_only=False)
+                offs = (offs - offs[0]).astype(np.int64)
+                rows = []
+                for i in range(t.num_rows):
+                    x = flat[offs[i] : offs[i + 1]]
+                    if len(x) < kw["n_fft"]:
+                        x = np.pad(x, (0, kw["n_fft"] - len(x)))
+                    S = spectrogram(x, n_fft=kw["n_fft"], hop_length=kw["hop"])
+                    C = self.dct @ power_to_db(self.mel @ S)
+                    rows.append(C.mean(axis=1))
+                m = np.stack(rows) if rows else np.zeros((0, kw["n_mfcc"]))
+                out = {"doc_id": t["doc_id"]}
+                for j in range(kw["n_mfcc"]):
+                    out[f"mfcc_{j}"] = pa.array(m[:, j], pa.float64())
+                return pa.table(out)
+
+        return ds.map_batches(
+            MfccActor, batch_format="pyarrow", batch_size=256,
+            concurrency=self.concurrency,
+        )
+
+
 class EnginePipeline:
     """Ordered named stages compiled onto a Dataset -- the sklearn-Pipeline
     shape (list of (name, stage)) without fit state; fitted stages are

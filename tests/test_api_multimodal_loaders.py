@@ -123,3 +123,47 @@ def test_csv_corpus_loader(ray_session, tmp_path):
     # dispatch picks csv
     t2 = dataset_to_table(load_dir(str(tmp_path)))
     assert t2.num_rows == 20
+
+
+def test_window_and_gapfill_stages(ray_session):
+    import ray.data as rd
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.pipelines.api import (
+        EnginePipeline,
+        GapfillStage,
+        RollupStage,
+        WindowStage,
+    )
+
+    d = synth.generate(
+        synth.TINY_GAPPED, synth.default_cache_dir(synth.TINY_GAPPED)
+    )
+    # windows
+    w = EnginePipeline([("win", WindowStage(window=16, overlap=8))])
+    wt = dataset_to_table(w.transform(rd.read_parquet(d).limit(50)))
+    assert {"doc_id", "win_id", "wtokens"} <= set(wt.schema.names)
+    # rollup -> gapfill chain
+    p = EnginePipeline(
+        [
+            ("rollup", RollupStage(width=60)),
+            ("fill", GapfillStage(["mean", "p50"], mode="locf")),
+        ]
+    )
+    out = dataset_to_table(p.transform(rd.read_parquet(d)))
+    assert out["filled"].to_numpy(zero_copy_only=False).any()
+
+
+def test_spectral_feature_stage(ray_session):
+    import ray.data as rd
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.pipelines.api import EnginePipeline, SpectralFeatureStage
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    pipe = EnginePipeline([("mfcc", SpectralFeatureStage(n_mfcc=5))])
+    out = dataset_to_table(pipe.transform(rd.read_parquet(d).limit(32)))
+    assert out.num_rows == 32
+    assert {"mfcc_0", "mfcc_4"} <= set(out.schema.names)
+    vals = out["mfcc_0"].to_numpy(zero_copy_only=False)
+    assert np.isfinite(vals).all()
