@@ -326,6 +326,43 @@ FROM documents
 """
 
 
+def _sessions_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.events_pipeline import user_sessions
+
+    return user_sessions(sf_dir, gap_s=1800)
+
+
+_SESSIONS_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (
+  SELECT user_id,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > 1800 * 1000000
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+)
+SELECT user_id::BIGINT AS user_id, sum(new_s)::BIGINT AS sessions
+FROM m GROUP BY user_id
+"""
+
+
+def _asof_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.events_pipeline import asof_last_event_value
+
+    return asof_last_event_value(sf_dir)
+
+
+_ASOF_SQL = """
+SELECT o.o_orderkey,
+       round(
+         (SELECT e.value FROM events e
+          WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+          ORDER BY e.ts DESC LIMIT 1), 6) AS last_event_value
+FROM orders o
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         # rollup family (tier cascade over the documents-derived token table)
@@ -337,6 +374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_locf": _events_gapfill("locf"),
         "events_gapfill_linear": _events_gapfill("linear"),
         "events_sliding_3h": _events_sliding,
+        "events_user_sessions": _sessions_q,
+        "asof_last_event_value": _asof_q,
         # windowing family (reference sliding_window semantics)
         "window_counts_w16_o8": _window_counts_q,
         "window_agg_tumbling_w16": _window_agg_q(16, 0),
@@ -390,6 +429,8 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill_locf": _EVENTS_LOCF_SQL,
         "events_gapfill_linear": _EVENTS_LINEAR_SQL,
         "events_sliding_3h": _EVENTS_SLIDING_SQL,
+        "events_user_sessions": _SESSIONS_SQL,
+        "asof_last_event_value": _ASOF_SQL,
         "window_counts_w16_o8": _WINDOW_COUNTS_SQL,
         "window_agg_tumbling_w16": _window_agg_sql(16, 0),
         "window_agg_sliding_w20_o10": _window_agg_sql(20, 10),

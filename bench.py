@@ -165,7 +165,7 @@ def run_scaling(sf_dir: str) -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_BENCH_ONLY="rollup",
-                   GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALE_ROWS", "2400000"),
+                   GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALE_ROWS", "4800000"),
                    GRAFT_SHARDS_PER_COMMIT=os.environ.get("GRAFT_SHARDS_PER_COMMIT", "16"))
         best = None
         for _ in range(repeats):

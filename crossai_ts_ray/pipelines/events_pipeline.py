@@ -142,6 +142,81 @@ def sliding_hourly(sf_dir: str, window_buckets: int = 3) -> rd.Dataset:
     return dense.groupby("source").map_groups(roll, batch_format="pyarrow")
 
 
+def user_sessions(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
+    """Session windows per user: a new session starts after a silence gap
+    > ``gap_s`` -- the classic order-sensitive per-key scan (Ray Data has no
+    event-time windows; SURVEY.md §2.9 maps them to sorted per-key groups)."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def sessions(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist(
+                [], schema=pa.schema([("user_id", pa.int64()), ("sessions", pa.int64())])
+            )
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = np.sort(ts)
+        gaps = np.diff(ts) > gap_s * 1_000_000
+        return pa.table(
+            {
+                "user_id": t["user_id"][:1].cast(pa.int64()),
+                "sessions": pa.array([int(gaps.sum()) + 1], pa.int64()),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+def asof_last_event_value(sf_dir: str) -> rd.Dataset:
+    """As-of join: for each order, the value of the customer's latest event
+    at or before the order date.  Small side (events) is sorted per key and
+    broadcast once; the probe is a vectorized searchsorted per batch --
+    the broadcast as-of join (SURVEY.md §2.6; large-large sides would bucket
+    by key hash and pd.merge_asof per bucket)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    uid = ev["user_id"].to_numpy(zero_copy_only=False)
+    ts = ev["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    val = ev["value"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts, uid))
+    lookup = {}
+    u_s, t_s, v_s = uid[order], ts[order], val[order]
+    starts = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
+    ends = np.append(starts[1:], len(u_s))
+    for s, e in zip(starts, ends):
+        lookup[int(u_s[s])] = (t_s[s:e], v_s[s:e])
+    ref = ray.put(lookup)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        t = t.combine_chunks()
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out = np.full(len(ok), np.nan)
+        for i in range(len(ok)):
+            hit = m.get(int(ck[i]))
+            if hit is None:
+                continue
+            j = np.searchsorted(hit[0], od[i], side="right") - 1
+            if j >= 0:
+                out[i] = hit[1][j]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok, pa.int64()),
+                "last_event_value": pa.array(np.round(out, 6), pa.float64()),
+            }
+        )
+
+    return orders.map_batches(probe, batch_format="pyarrow")
+
+
 _SLIDE_SCHEMA = pa.schema(
     [
         ("source", pa.string()),
