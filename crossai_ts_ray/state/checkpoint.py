@@ -116,8 +116,9 @@ def run_rollup_job(
     batch_size: int = 65536,
     fail_after: int | None = None,
     shards_per_commit: int = 1,
-    max_concurrent: int = 2,
+    max_concurrent: int | None = None,
     aligned: bool = True,
+    compress_finest: bool = False,
 ) -> JobReport:
     """Run (or resume) the tier-cascade rollup over every input partition.
 
@@ -132,6 +133,12 @@ def run_rollup_job(
     from ..sources.readers import read_token_table
     from ..stages.rollup import rollup_cascade
 
+    if max_concurrent is None:
+        # two concurrent partition pipelines starve each other below ~16
+        # CPUs (each streaming execution needs read+map+write slots)
+        import ray as _ray_mc
+
+        max_concurrent = 2 if int(_ray_mc.cluster_resources().get("CPU", 4)) >= 16 else 1
     os.makedirs(out_dir, exist_ok=True)
     done = completed_partitions(out_dir)
     computed, skipped = [], []
@@ -199,6 +206,25 @@ def run_rollup_job(
             tier_rows[tier.name] = r
             if tier is tiers[0]:
                 watermark = mb
+        if compress_finest:
+            # Gorilla/DoD-compressed segment copy of the finest tier (the
+            # retention-store representation), committed under the same
+            # partition before its lineage row
+            import ray.data as _rd
+
+            from ..stages.codec import compress_rollup
+
+            fine = tiers[0].name
+            src_dir = os.path.join(out_dir, f"tier={fine}", f"part={pid}")
+            seg_tmp = os.path.join(out_dir, f".tmp-seg-{fine}-{pid}")
+            seg_dir = os.path.join(out_dir, f"tier={fine}.gorilla", f"part={pid}")
+            if os.path.exists(seg_tmp):
+                shutil.rmtree(seg_tmp)
+            if os.path.exists(seg_dir):
+                shutil.rmtree(seg_dir)
+            compress_rollup(_rd.read_parquet(src_dir), concurrency=2).write_parquet(seg_tmp)
+            os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
+            os.rename(seg_tmp, seg_dir)
         _commit_lineage(
             out_dir,
             {

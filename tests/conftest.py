@@ -11,6 +11,17 @@ import pytest
 warnings.filterwarnings("ignore")
 
 
+@pytest.fixture(autouse=True)
+def _collect_dangling_executors():
+    """Partially-consumed Dataset executions (limit(), early exits) keep
+    their streaming executor + resource reservations alive until GC'd; on a
+    small test cluster a leaked reservation deadlocks the next execution."""
+    yield
+    import gc
+
+    gc.collect()
+
+
 @pytest.fixture(scope="session")
 def ray_session():
     import ray

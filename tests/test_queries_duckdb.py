@@ -1,0 +1,49 @@
+"""Self-contained driver-gate sample inside pytest: a representative query
+from each family run through Ray AND its oracle SQL through DuckDB at
+sf0.001, compared exactly (the full 26-query gate is
+tools/verify_correctness.py; the external driver runs the same comparison at
+sf0.01)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+SAMPLE = [
+    "rollup_w4",             # tier rollup bundle over the derived token table
+    "events_gapfill_locf",   # wall-clock buckets + LOCF gap-fill
+    "events_user_sessions",  # order-sensitive per-key scan
+    "asof_last_event_value", # broadcast as-of join
+    "window_agg_tumbling_w16",  # fused window segmentation + aggregation
+    "q1_pricing_summary",    # decimal-exact grouped aggregate
+    "dedup_exact",           # hash-partition dedup
+    "ann_cosine_topk",       # brute-force cosine top-k
+]
+
+
+@pytest.fixture(scope="module")
+def duck(ray_session):
+    import duckdb
+
+    from tools.verify_correctness import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle_sql(ray_session, duck, name):
+    import __ray_entry__ as E
+    from tools.verify_correctness import compare, to_pandas
+
+    ray_df = to_pandas(E.queries()[name](SF))
+    sql_df = duck.execute(E.oracle_sql()[name]).df()
+    problems = [p for p in compare(name, ray_df, sql_df) if "warning" not in p]
+    assert not problems, problems

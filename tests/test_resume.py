@@ -74,3 +74,34 @@ def test_rerun_is_noop(ray_session, tmp_path):
     rep = run_rollup_job(d, out, TIERS, salt_mod=0, batch_size=256)
     assert rep.computed == []
     assert len(rep.skipped) == 2  # TINY has 2 shards
+
+
+def test_compressed_finest_tier(ray_session, tmp_path):
+    """compress_finest writes a Gorilla/DoD segment copy that decodes back to
+    the plain tier output."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.stages.codec import decode_segment_column
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out = str(tmp_path / "ckpt")
+    run_rollup_job(d, out, TIERS, compress_finest=True)
+    seg_files = glob.glob(os.path.join(out, "tier=t60.gorilla", "part=*", "*.parquet"))
+    assert seg_files
+    plain = read_job_output(out, "t60").sort_by(
+        [("source", "ascending"), ("bucket", "ascending")]
+    )
+    segs = pq.read_table(seg_files[0])
+    for r in segs.to_pylist():
+        src_rows = [
+            i for i, s in enumerate(plain["source"].to_pylist())
+            if s == r["source"]
+            and r["bucket_lo"] <= plain["bucket"][i].as_py() <= r["bucket_hi"]
+        ]
+        sub = plain.take(src_rows)
+        got = decode_segment_column(r, "mean", True)
+        want = sub["mean"].to_numpy(zero_copy_only=False)
+        assert (got.view(np.uint64) == want.view(np.uint64)).all()
