@@ -172,6 +172,76 @@ class LabelEncodeStage(Stage):
         return ds.map_batches(encode, batch_format="pyarrow")
 
 
+@dataclass
+class FeatureExtractStage(Stage):
+    """Scalar feature extraction: a list of ``(name, fn, params)`` applied to
+    every row's token array, one output column per feature -- the
+    ``FeatureExtractorScalar`` contract
+    (/root/reference/caits/transformers/_feature_extractors/_scalar.py:8),
+    where the reference loops funcs x instances in Python; here the instance
+    loop is per-batch and each fn is a NumPy kernel."""
+
+    features: list  # [(out_col, fn, kwargs)]
+    keep_cols: tuple = ("doc_id", "source")
+
+    def apply(self, ds):
+        feats, keep = self.features, self.keep_cols
+
+        def run(batch: pa.Table) -> pa.Table:
+            t = batch.combine_chunks()
+            col = t["tokens"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            offs = (offs - offs[0]).astype(np.int64)
+            out = {c: t[c] for c in keep if c in t.schema.names}
+            for name, fn, kw in feats:
+                vals = np.array(
+                    [
+                        fn(flat[offs[i] : offs[i + 1]], **kw)
+                        for i in range(t.num_rows)
+                    ],
+                    dtype=np.float64,
+                )
+                out[name] = pa.array(vals, pa.float64())
+            return pa.table(out)
+
+        return ds.map_batches(run, batch_format="pyarrow")
+
+
+@dataclass
+class ColumnRouteStage(Stage):
+    """Route a subset of columns through a transform and replace them (or
+    append renamed outputs) -- the ``ColumnTransformer`` / ``replace``
+    contract (/root/reference/caits/transformers/_column_transformer.py:8-83,
+    /root/reference/caits/dataset/_dataset/_array.py:164-189).  Row order is
+    preserved within the batch, so this is a pure per-batch projection (no
+    shuffle)."""
+
+    columns: list
+    fn: Callable[[np.ndarray], np.ndarray]  # applied per column (vectorized)
+    rename: dict | None = None  # in_col -> out_col; None = replace in place
+
+    def apply(self, ds):
+        cols, fn, rename = self.columns, self.fn, self.rename
+
+        def run(batch: pa.Table) -> pa.Table:
+            t = batch.combine_chunks()
+            for c in cols:
+                v = t[c].to_numpy(zero_copy_only=False)
+                new = np.asarray(fn(v))
+                out_name = (rename or {}).get(c, c)
+                arr = pa.array(new)
+                if out_name in t.schema.names:
+                    t = t.set_column(t.schema.get_field_index(out_name), out_name, arr)
+                else:
+                    t = t.append_column(out_name, arr)
+            return t
+
+        return ds.map_batches(run, batch_format="pyarrow")
+
+
 class SpectralFeatureStage(Stage):
     """Actor-pool spectral feature extraction with the mel filterbank / DCT
     basis computed ONCE per actor (the reference recomputes them per call --

@@ -167,3 +167,59 @@ def test_spectral_feature_stage(ray_session):
     assert {"mfcc_0", "mfcc_4"} <= set(out.schema.names)
     vals = out["mfcc_0"].to_numpy(zero_copy_only=False)
     assert np.isfinite(vals).all()
+
+
+def test_feature_extract_stage(ray_session):
+    import ray.data as rd
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.functions import stats
+    from crossai_ts_ray.pipelines.api import EnginePipeline, FeatureExtractStage
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    pipe = EnginePipeline(
+        [
+            (
+                "features",
+                FeatureExtractStage(
+                    [
+                        ("rms", stats.rms_value, {}),
+                        ("zcr", stats.zcr_value, {}),
+                        ("energy", stats.energy, {}),
+                    ]
+                ),
+            )
+        ]
+    )
+    out = dataset_to_table(pipe.transform(rd.read_parquet(d).limit(40)))
+    assert {"doc_id", "source", "rms", "zcr", "energy"} <= set(out.schema.names)
+    # cross-check one row against the kernel directly
+    row = dataset_to_table(rd.read_parquet(d).limit(1)).to_pylist()[0]
+    got = {r["doc_id"]: r for r in out.to_pylist()}[row["doc_id"]]
+    x = np.array(row["tokens"], dtype=np.float64)
+    from crossai_ts_ray.functions.stats import rms_value
+
+    assert got["rms"] == float(rms_value(x))
+
+
+def test_column_route_stage(ray_session):
+    import ray.data as rd
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.pipelines.api import ColumnRouteStage, EnginePipeline
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    pipe = EnginePipeline(
+        [
+            ("scale", ColumnRouteStage(["n_tok"], lambda v: v * 10, rename={"n_tok": "n_tok_x10"})),
+            ("replace", ColumnRouteStage(["seq"], lambda v: v + 1)),
+        ]
+    )
+    out = dataset_to_table(pipe.transform(rd.read_parquet(d).limit(20)))
+    rows = out.to_pylist()
+    for r in rows:
+        assert r["n_tok_x10"] == r["n_tok"] * 10
+    orig = {x["doc_id"]: x for x in dataset_to_table(rd.read_parquet(d).limit(20)).to_pylist()}
+    for r in rows:
+        if r["doc_id"] in orig:
+            assert r["seq"] == orig[r["doc_id"]]["seq"] + 1
