@@ -69,12 +69,24 @@ def _assign_seq(group: pa.Table) -> pa.Table:
     return group.append_column("seq", pa.array(seq, pa.int64())).drop_columns(["_did"])
 
 
+_DERIVED_CACHE: dict[str, rd.Dataset] = {}
+
+
 def tokens_from_documents(sf_dir: str) -> rd.Dataset:
     """Derive the token-sequence table from ``documents.parquet`` so driver
     correctness queries have a DuckDB-expressible oracle.  The per-source seq
-    assignment is a keyed shuffle (small: one group per source)."""
+    assignment is a keyed shuffle (small: one group per source).  The derived
+    table is memoized per process as a MaterializedDataset -- many queries
+    start from it, and it is rollup-small."""
+    hit = _DERIVED_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     tok = docs.map_batches(_tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
-    return tok.groupby("source").map_groups(_assign_seq, batch_format="pyarrow")
+    out = tok.groupby("source").map_groups(
+        _assign_seq, batch_format="pyarrow"
+    ).materialize()
+    _DERIVED_CACHE[sf_dir] = out
+    return out
