@@ -97,7 +97,7 @@ def plan_aligned_groups(shard_dirs: list[str], chunk_rows: int, width: int):
 
 
 def process_aligned_group(
-    files: list[str], fine: Tier, coarse: Tier
+    files: list[str], fine: Tier, coarse: Tier, chunk_rows: int | None = None
 ) -> pa.Table:
     """One map task: read a bucket-aligned file group of ONE source, emit
     union rows -- kind=0: finalized fine-tier rollups; kind=1: coarse-tier
@@ -112,7 +112,22 @@ def process_aligned_group(
     flat64 = flat.astype(np.int64)
 
     # rows are seq-sorted within a source's files by construction
-    assert (np.diff(seq) > 0).all(), "aligned path requires seq-sorted input"
+    if not (np.diff(seq) > 0).all():
+        raise ValueError("aligned path requires seq-sorted input")
+    if chunk_rows is not None:
+        # alignment contract: every file's seq values live in its own
+        # chunk-sized seq range (a merely seq-SORTED but striped layout would
+        # pass the sort check yet split buckets across groups -> silent
+        # wrong results without this guard)
+        import re
+
+        c0 = int(re.match(r"part-.+-(\d+)\.parquet", os.path.basename(files[0])).group(1))
+        lo, hi = c0 * chunk_rows, (c0 + len(files)) * chunk_rows
+        if not (seq[0] >= lo and seq[-1] < hi):
+            raise ValueError(
+                f"unaligned input: seq range [{seq[0]}, {seq[-1]}] outside "
+                f"file-group range [{lo}, {hi}) -- use the generic shuffle path"
+            )
 
     out_tables = []
     for kind, tier in ((0, fine), (1, coarse)):
@@ -315,7 +330,7 @@ def aligned_rollup_cascade(
 
     def run_group(batch: pa.Table) -> pa.Table:
         tables = [
-            process_aligned_group(list(files), fine, coarse)
+            process_aligned_group(list(files), fine, coarse, chunk_rows=chunk_rows)
             for files in batch["files"].to_pylist()
         ]
         return pa.concat_tables(tables)

@@ -74,3 +74,16 @@ def test_plan_groups_alignment():
     for g in groups:
         srcs = {re.match(r"part-(.+)-\d+\.parquet", os.path.basename(f)).group(1) for f in g}
         assert len(srcs) == 1
+
+
+def test_aligned_rejects_striped_layout(ray_session):
+    """A striped (unclustered) layout is seq-sorted per file but buckets span
+    file groups -- the aligned path must REFUSE it, not silently mis-rollup."""
+    spec = synth.SynthSpec(
+        total_rows=80_000, num_sources=2, num_shards=2, stride_layout=True
+    )
+    d = synth.generate(spec, synth.default_cache_dir(spec))
+    shard_dirs = sorted(glob.glob(os.path.join(d, "shard=*")))
+    out = aligned_rollup_cascade(shard_dirs, TIERS, chunk_rows=synth.CHUNK_ROWS)
+    with pytest.raises(Exception, match="unaligned input|seq-sorted"):
+        dataset_to_table(out[TIERS[0].name])
