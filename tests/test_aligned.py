@@ -84,6 +84,6 @@ def test_aligned_rejects_striped_layout(ray_session):
     )
     d = synth.generate(spec, synth.default_cache_dir(spec))
     shard_dirs = sorted(glob.glob(os.path.join(d, "shard=*")))
-    out = aligned_rollup_cascade(shard_dirs, TIERS, chunk_rows=synth.CHUNK_ROWS)
     with pytest.raises(Exception, match="unaligned input|seq-sorted"):
+        out = aligned_rollup_cascade(shard_dirs, TIERS, chunk_rows=synth.CHUNK_ROWS)
         dataset_to_table(out[TIERS[0].name])
