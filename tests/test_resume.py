@@ -105,3 +105,26 @@ def test_compressed_finest_tier(ray_session, tmp_path):
         got = decode_segment_column(r, "mean", True)
         want = sub["mean"].to_numpy(zero_copy_only=False)
         assert (got.view(np.uint64) == want.view(np.uint64)).all()
+
+
+def test_job_submit_entrypoint(tmp_path):
+    """python -m crossai_ts_ray.job (the `ray job submit` driver script):
+    run, then resume -- in fresh processes, like a real resubmission."""
+    import json
+    import subprocess
+    import sys
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out = str(tmp_path / "job_out")
+    cmd = [
+        sys.executable, "-m", "crossai_ts_ray.job",
+        "--input", d, "--out", out, "--tiers", "60,240",
+    ]
+    r1 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-500:]
+    rep1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert len(rep1["computed"]) == 2 and rep1["skipped"] == []
+    r2 = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-500:]
+    rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert rep2["computed"] == [] and len(rep2["skipped"]) == 2
