@@ -85,24 +85,25 @@ def _pack(vals: np.ndarray, widths: np.ndarray) -> bytes:
 
 
 class _BitReader:
-    __slots__ = ("bits", "pos")
+    """Sequential bit reader over one big Python int (arbitrary-width field
+    reads are one shift+mask instead of a per-bit Python loop)."""
+
+    __slots__ = ("val", "nbits", "pos")
 
     def __init__(self, buf: bytes):
-        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+        self.val = int.from_bytes(buf, "big")
+        self.nbits = len(buf) * 8
         self.pos = 0
 
     def read(self, n: int) -> int:
         p = self.pos
-        out = 0
-        for b in self.bits[p : p + n]:
-            out = (out << 1) | int(b)
         self.pos = p + n
-        return out
+        return (self.val >> (self.nbits - p - n)) & ((1 << n) - 1)
 
     def read1(self) -> int:
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
+        p = self.pos
+        self.pos = p + 1
+        return (self.val >> (self.nbits - p - 1)) & 1
 
 
 def dod_encode(values: np.ndarray) -> bytes:

@@ -122,3 +122,24 @@ def test_token_array_equality_through_shuffle(ray_session):
     got = {r["doc_id"]: r["tokens"] for r in rebuilt.to_pylist()}
     assert set(want) == set(got)
     assert all(want[k] == got[k] for k in want), "token-array equality violated"
+
+
+def test_window_counts_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n=st.integers(0, 5000),
+        window=st.integers(1, 600),
+        overlap_frac=st.floats(0.0, 0.99),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(n, window, overlap_frac):
+        overlap = int(window * overlap_frac)
+        from crossai_ts_ray.stages.windows import window_counts
+
+        got = int(window_counts(np.array([n]), window, overlap)[0])
+        want = len(oracle.sliding_window_starts(n, window, overlap))
+        assert got == want
+
+    check()
