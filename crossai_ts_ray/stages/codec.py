@@ -85,25 +85,26 @@ def _pack(vals: np.ndarray, widths: np.ndarray) -> bytes:
 
 
 class _BitReader:
-    """Sequential bit reader over one big Python int (arbitrary-width field
-    reads are one shift+mask instead of a per-bit Python loop)."""
+    """Sequential bit reader: unpacked bit array + per-field packbits
+    (each read costs O(field width), independent of total stream size)."""
 
-    __slots__ = ("val", "nbits", "pos")
+    __slots__ = ("bits", "pos")
+
+    _POW = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)).astype(np.uint64)
 
     def __init__(self, buf: bytes):
-        self.val = int.from_bytes(buf, "big")
-        self.nbits = len(buf) * 8
+        self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8)).astype(np.uint64)
         self.pos = 0
 
     def read(self, n: int) -> int:
         p = self.pos
         self.pos = p + n
-        return (self.val >> (self.nbits - p - n)) & ((1 << n) - 1)
+        return int(self.bits[p : p + n] @ self._POW[64 - n :])
 
     def read1(self) -> int:
-        p = self.pos
-        self.pos = p + 1
-        return (self.val >> (self.nbits - p - 1)) & 1
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
 
 
 def dod_encode(values: np.ndarray) -> bytes:
