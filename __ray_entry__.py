@@ -391,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _text("dedup_exact"),
         "dedup_minhash_pairs": _text("dedup_minhash_pairs"),
         "simhash_fingerprints": _text("simhash_fingerprints"),
+        "lang_quality": _text("lang_quality"),  # heuristic lang-ID + quality
+        # score (rows-only: stopword-table heuristics aren't SQL)
         # similarity search family
         "ann_cosine_topk": _ann("cosine_topk"),
         "ann_lsh_topk": _ann("lsh_topk"),

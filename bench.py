@@ -59,7 +59,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
 
     from crossai_ts_ray import synth
-    from crossai_ts_ray.schema import DEFAULT_TIERS, Tier
+    from crossai_ts_ray.schema import Tier
     from crossai_ts_ray.state.checkpoint import run_rollup_job
 
     bench_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "600000"))

@@ -12,7 +12,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from ..functions.dedup import MinHasher, hamming64, simhash64
+from ..functions.dedup import MinHasher, simhash64
 from ..functions.text import (
     char_ngrams,
     detect_language,

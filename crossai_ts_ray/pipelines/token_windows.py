@@ -4,10 +4,9 @@ driver-checkable versions of the reference's windowing operators."""
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..sources.readers import tokens_from_documents
-from ..stages.windows import chunk_expand, expand_windows, window_aggregates, window_counts
+from ..stages.windows import window_aggregates, window_counts
 
 
 def doc_window_counts(sf_dir: str, window: int = 16, overlap: int = 8):
