@@ -181,8 +181,11 @@ def run_scaling(sf_dir: str) -> dict:
                 best = r  # min over repeats: robust to co-tenant noise
         return best
 
-    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
-    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    # Default pair 2 vs 8: this host sustains only ~10-13 effective cores, so
+    # 8->32 measures oversubscription, not scaling (both pairs documented in
+    # BASELINE.md; override with GRAFT_SCALE_LO/HI).
+    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     lo, hi = one(n_lo), one(n_hi)
     # scaling on the headline distributed job, not driver-side bookkeeping
     t_lo = lo["queries"]["rollup_job"]
