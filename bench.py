@@ -97,6 +97,16 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     extra["rolled_points"] = total_points
     extra["points_per_sec"] = round(total_points / timings["rollup_job"], 1)
     extra["rows_per_sec"] = round(tok_total / timings["rollup_job"], 1)
+    try:
+        import duckdb
+
+        n_tokens = duckdb.sql(
+            f"SELECT sum(n_tok) FROM read_parquet('{token_dir}/shard=*/*.parquet')"
+        ).fetchone()[0]
+        extra["input_tokens"] = int(n_tokens)
+        extra["tokens_per_sec"] = round(n_tokens / timings["rollup_job"], 1)
+    except Exception:
+        pass
 
     # --- gap-fill + codec over the finest tier output ---
     import ray.data as rd
