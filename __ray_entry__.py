@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg_sliding_w20_o10": _window_agg_q(20, 10),
         # relational family (groupby agg, broadcast joins, top-k, distinct)
         "q1_pricing_summary": _rel("q1_pricing_summary"),
+        "order_lineitem_join": _rel("order_lineitem_join"),
         "top_customers": _rel("top_customers"),
         "revenue_by_nation": _rel("revenue_by_nation"),
         "brand_type_distinct": _rel("brand_type_distinct"),
@@ -437,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "window_agg_tumbling_w16": _window_agg_sql(16, 0),
         "window_agg_sliding_w20_o10": _window_agg_sql(20, 10),
         "q1_pricing_summary": relational_sql("Q1_SQL"),
+        "order_lineitem_join": relational_sql("ORDER_LINEITEM_JOIN_SQL"),
         "top_customers": relational_sql("TOP_CUSTOMERS_SQL"),
         "revenue_by_nation": relational_sql("REVENUE_BY_NATION_SQL"),
         "brand_type_distinct": relational_sql("BRAND_TYPE_SQL"),

@@ -209,6 +209,95 @@ GROUP BY n.n_name
 """
 
 
+def order_lineitem_join(sf_dir: str, buckets: int = 16):
+    """Large-large partitioned hash join: orders |X| lineitem on orderkey.
+
+    Neither side is broadcast: both are bucketed by ``hash(key) % B`` (a
+    plain column + one keyed shuffle each, unioned), then joined pairwise
+    inside each bucket with pandas -- the explicit partitioned hash join
+    for when no side fits in memory (SURVEY.md §2.6 / ray guide pattern;
+    skew handling = salt hot keys into sub-buckets, not needed for
+    orderkeys which are unique on the build side)."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                "total_u": pa.array(
+                    _micros(t["o_totalprice"].to_numpy(zero_copy_only=False)), pa.int64()
+                ),
+                "rev_u": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "n": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+                "prt": pa.array((k % buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        """Pre-aggregate the probe side per key per batch (combiner)."""
+        t = t.combine_chunks()
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"key": k, "rev_u": _micros(ep * (1.0 - disc)), "n": 1})
+        agg = df.groupby("key", as_index=False).sum()
+        m = len(agg)
+        return pa.table(
+            {
+                "key": pa.array(agg["key"].to_numpy(), pa.int64()),
+                "side": pa.array(np.ones(m, np.int8), pa.int8()),
+                "total_u": pa.array(np.zeros(m, np.int64), pa.int64()),
+                "rev_u": pa.array(agg["rev_u"].to_numpy(), pa.int64()),
+                "n": pa.array(agg["n"].to_numpy().astype(np.int64), pa.int64()),
+                "prt": pa.array((agg["key"].to_numpy() % buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        items.map_batches(tag_items, batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["side"] == 0][["key", "total_u"]]
+        right = (
+            df[df["side"] == 1]
+            .groupby("key", as_index=False)[["rev_u", "n"]]
+            .sum()
+        )
+        j = left.merge(right, on="key", how="inner")
+        return pd.DataFrame(
+            {
+                "o_orderkey": j["key"].astype(np.int64),
+                "o_totalprice": j["total_u"] / MICRO,
+                "revenue": j["rev_u"] / MICRO,
+                "items": j["n"].astype(np.int64),
+            }
+        )
+
+    return both.groupby("prt").map_groups(
+        lambda df: join_bucket(df.drop(columns=["prt"])), batch_format="pandas"
+    )
+
+
+ORDER_LINEITEM_JOIN_SQL = """
+SELECT o.o_orderkey,
+       CAST(round(any_value(o.o_totalprice) * 1000000, 0) AS BIGINT) / 1000000.0 AS o_totalprice,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0 AS revenue,
+       count(*)::BIGINT AS items
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+"""
+
+
 def brand_type_distinct(sf_dir: str):
     """Distinct counting: per p_type, count of distinct brands + parts."""
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_brand"])
