@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_fingerprints": _text("simhash_fingerprints"),
         "lang_quality": _text("lang_quality"),  # heuristic lang-ID + quality
         # score (rows-only: stopword-table heuristics aren't SQL)
+        "dedup_jaccard_verified": _text("dedup_jaccard_verified"),
+        "dedup_simhash_pairs": _text("dedup_simhash_pairs"),
         # similarity search family
         "ann_cosine_topk": _ann("cosine_topk"),
         "ann_lsh_topk": _ann("lsh_topk"),

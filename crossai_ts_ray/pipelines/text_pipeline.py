@@ -307,6 +307,90 @@ def simhash_fingerprints(sf_dir: str):
     return _read_docs(sf_dir).map_batches(SimHash, batch_format="pyarrow", concurrency=2)
 
 
+def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
+                           verify_threshold: float = 0.5):
+    """The full near-dup pipeline: MinHash-LSH candidates -> EXACT n-gram
+    Jaccard verification.  Candidate texts are broadcast (the candidate set
+    is LSH-blocked and small); verification is per-batch over pairs."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    pairs = dedup_minhash_pairs(sf_dir, threshold=candidate_threshold)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts_ref = ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+
+    def verify(b: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        if b.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_VPAIR_SCHEMA)
+        rows = []
+        for r in b.to_pylist():
+            ja = jaccard(
+                char_ngrams(texts[r["doc_a"]]), char_ngrams(texts[r["doc_b"]])
+            )
+            if ja >= verify_threshold:
+                rows.append(
+                    {
+                        "doc_a": r["doc_a"],
+                        "doc_b": r["doc_b"],
+                        "est_jaccard": r["est_jaccard"],
+                        "jaccard": round(ja, 6),
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=_VPAIR_SCHEMA)
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+_VPAIR_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("est_jaccard", pa.float64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
+def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 10):
+    """SimHash near-dup pairs: fingerprints broadcast once, each batch
+    compares its fingerprints against the full table (vectorized XOR +
+    popcount); pairs within ``max_hamming`` bits."""
+    import ray
+
+    from ..functions.dedup import hamming64
+
+    fps_table = simhash_fingerprints(sf_dir).materialize()
+    rows = fps_table.take_all()
+    all_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+    all_fps = np.array([r["simhash"] for r in rows], dtype=np.int64).view(np.uint64)
+    ref = ray.put((all_ids, all_fps))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids_all, fps_all = ray.get(ref)
+        b = b.combine_chunks()
+        out_a, out_b, out_d = [], [], []
+        bids = b["doc_id"].to_numpy(zero_copy_only=False)
+        bfps = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        for i in range(len(bids)):
+            d = hamming64(fps_all, bfps[i])
+            hit = (d <= max_hamming) & (ids_all > bids[i])
+            for j in np.flatnonzero(hit):
+                out_a.append(int(bids[i]))
+                out_b.append(int(ids_all[j]))
+                out_d.append(int(d[j]))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    return fps_table.map_batches(pairs, batch_format="pyarrow")
+
+
 def dedup_clusters(pairs_ds, max_rounds: int = 10):
     """Near-dup pair list -> connected components by iterative min-label
     propagation: each round, every doc adopts the smallest label among its
