@@ -28,14 +28,15 @@ def filter_median_simple(x: np.ndarray, kernel_size: int = 3) -> np.ndarray:
 
 
 def filter_gaussian(x: np.ndarray, sigma: float = 1.0, truncate: float = 4.0) -> np.ndarray:
-    """Gaussian smoothing, reflect padding (scipy.ndimage.gaussian_filter1d
-    convention; caits/filtering.py:166)."""
+    """Gaussian smoothing, 'reflect' boundary in the scipy.ndimage sense
+    ((d c b a | a b c d), i.e. np.pad mode='symmetric');
+    caits/filtering.py:166 calls scipy.ndimage.gaussian_filter1d."""
     x = np.asarray(x, dtype=np.float64)
     r = int(truncate * sigma + 0.5)
     t = np.arange(-r, r + 1, dtype=np.float64)
     k = np.exp(-0.5 * (t / sigma) ** 2)
     k /= k.sum()
-    xp = np.pad(x, r, mode="reflect")
+    xp = np.pad(x, r, mode="symmetric")
     return np.convolve(xp, k, mode="valid")
 
 

@@ -100,12 +100,14 @@ def crest_factor(x, axis=0):
 
 
 def zcr_value(x, axis=0):
-    """Zero-crossing rate: sign changes / (n - 1)
-    (caits/fe/_statistical.py:324; order-dependent within the window)."""
+    """Zero-crossing rate: count of adjacent products < 0, over (n - 1)
+    (caits/fe/_statistical.py:324 uses x[:-1]*x[1:] < 0, so a transition
+    through an exact-zero sample does NOT count as a crossing)."""
     x = np.asarray(x, dtype=np.float64)
-    s = np.sign(x)
-    changes = np.abs(np.diff(s, axis=axis)) > 0
-    return changes.sum(axis=axis) / (x.shape[axis] - 1)
+    n = x.shape[axis]
+    lo = np.take(x, np.arange(n - 1), axis=axis)
+    hi = np.take(x, np.arange(1, n), axis=axis)
+    return np.sum(lo * hi < 0, axis=axis) / (n - 1)
 
 
 def signal_length(x, fs: float = 1.0, axis=0):
@@ -125,20 +127,29 @@ def _frame_series(x: np.ndarray, frame: int, hop: int) -> np.ndarray:
     )
 
 
-def rolling_rms(x, frame: int = 256, hop: int = 128) -> np.ndarray:
+def rolling_rms(x, frame: int = 256, hop: int = 128,
+                padding_mode: str = "constant") -> np.ndarray:
     """Per-frame RMS series (caits/properties.py:111) -- the fine-grained
-    rollup whose min/mean/max feed the tier cascade."""
-    f = _frame_series(np.asarray(x, dtype=np.float64), frame, hop)
+    rollup whose min/mean/max feed the tier cascade. Matches the reference:
+    the signal is center-padded by frame//2 on both sides (constant zeros by
+    default) before framing."""
+    x = np.pad(np.asarray(x, dtype=np.float64), frame // 2, mode=padding_mode)
+    f = _frame_series(x, frame, hop)
     return np.sqrt((f**2).mean(axis=1))
 
 
-def rolling_zcr(x, frame: int = 256, hop: int = 128) -> np.ndarray:
-    """Per-frame ZCR series (caits/properties.py:175)."""
-    f = _frame_series(np.asarray(x, dtype=np.float64), frame, hop)
+def rolling_zcr(x, frame: int = 256, hop: int = 128, center: bool = True,
+                padding_mode: str = "edge") -> np.ndarray:
+    """Per-frame ZCR series (caits/properties.py:175). Matches the reference:
+    edge-pad by frame//2 when center, count signbit changes within each
+    frame, divide by frame_length (not frame-1)."""
+    x = np.asarray(x, dtype=np.float64)
+    if center:
+        x = np.pad(x, frame // 2, mode=padding_mode)
+    f = _frame_series(x, frame, hop)
     if not len(f):
         return np.zeros(0)
-    s = np.sign(f)
-    return (np.abs(np.diff(s, axis=1)) > 0).sum(axis=1) / (frame - 1)
+    return np.abs(np.diff(np.signbit(f), axis=1)).sum(axis=1) / float(frame)
 
 
 def rms_max(x, frame=256, hop=128):

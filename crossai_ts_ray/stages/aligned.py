@@ -121,7 +121,22 @@ def process_aligned_group(
         # wrong results without this guard)
         import re
 
-        c0 = int(re.match(r"part-.+-(\d+)\.parquet", os.path.basename(files[0])).group(1))
+        cidx = [
+            int(re.match(r"part-.+-(\d+)\.parquet", os.path.basename(f)).group(1))
+            for f in files
+        ]
+        c0 = cidx[0]
+        k = fine.width // math.gcd(fine.width, chunk_rows)
+        # a missing leading chunk file shifts every group start: each group
+        # still covers a contiguous seq range (passing the range check below)
+        # yet finest-tier buckets span two groups -> duplicate finalized
+        # (source, bucket) rows. Refuse unless groups start on a k boundary
+        # and chunk indices are consecutive.
+        if c0 % k != 0 or cidx != list(range(c0, c0 + len(files))):
+            raise ValueError(
+                f"unaligned file group (chunk indices {cidx}, group stride {k}): "
+                "missing or out-of-order chunk files -- use the generic shuffle path"
+            )
         lo, hi = c0 * chunk_rows, (c0 + len(files)) * chunk_rows
         if not (seq[0] >= lo and seq[-1] < hi):
             raise ValueError(
@@ -324,7 +339,17 @@ def aligned_rollup_cascade(
 
     from .rollup import with_partition_col
 
-    fine, coarse = tiers[0], tiers[1]
+    # tiers must nest exactly (like rollup_cascade): rekey_dense re-buckets
+    # with integer division, so a non-multiple width would silently emit a
+    # tier labeled w_k that is actually bucketed at the previous width.
+    for prev, cur_t in zip(tiers, tiers[1:]):
+        if cur_t.width % prev.width != 0 or cur_t.width <= prev.width:
+            raise ValueError(
+                f"aligned cascade requires strictly-nesting tier widths; "
+                f"{cur_t.width} is not a proper multiple of {prev.width}"
+            )
+    fine = tiers[0]
+    coarse = tiers[1] if len(tiers) > 1 else tiers[0]
     groups = plan_aligned_groups(shard_dirs, chunk_rows, fine.width)
     gds = rd.from_items([{"files": g} for g in groups])
 

@@ -76,6 +76,85 @@ def test_plan_groups_alignment():
         assert len(srcs) == 1
 
 
+def test_aligned_rejects_non_nesting_tiers(ray_session):
+    """Widths that don't nest (3600 -> 5400) would be silently mis-bucketed
+    by the integer-division rekey -- must raise up front."""
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    shard_dirs = sorted(glob.glob(os.path.join(d, "shard=*")))
+    bad = (Tier("t60", 60), Tier("t3600", 3600), Tier("t5400", 5400))
+    with pytest.raises(ValueError, match="nest"):
+        aligned_rollup_cascade(shard_dirs, bad, chunk_rows=synth.CHUNK_ROWS)
+
+
+def test_aligned_single_tier(ray_session):
+    """A single-tier list must work (finest tier only), not crash."""
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    tbl = synth.read_all(d)
+    shard_dirs = sorted(glob.glob(os.path.join(d, "shard=*")))
+    out = aligned_rollup_cascade(shard_dirs, (TIERS[0],), chunk_rows=synth.CHUNK_ROWS)
+    gold = oracle.rollup(tbl, TIERS[0])
+    got = dataset_to_table(out[TIERS[0].name], ROLLUP_SCHEMA)
+    assert_tables_bitwise_equal(gold, got, "single-tier t60")
+
+
+def test_aligned_rejects_missing_leading_chunk(ray_session, tmp_path):
+    """Dropping a source's leading chunk file shifts every group start; each
+    group still covers a contiguous seq range, so only the c0 % k check can
+    catch the misalignment."""
+    import shutil
+
+    spec = synth.SynthSpec(total_rows=120_000, num_sources=2, num_shards=1)
+    d = synth.generate(spec, synth.default_cache_dir(spec))
+    dst = tmp_path / "data"
+    shutil.copytree(d, dst)
+    shard_dirs = sorted(glob.glob(os.path.join(dst, "shard=*")))
+    # delete the first chunk file of a source that has MULTIPLE chunk files
+    # (deleting a single-chunk source would just drop the source cleanly)
+    victim = None
+    for f0 in sorted(glob.glob(os.path.join(shard_dirs[0], "part-*-00000.parquet"))):
+        if os.path.exists(f0.replace("-00000.parquet", "-00001.parquet")):
+            victim = f0
+            break
+    assert victim, "fixture layout changed: no multi-chunk source"
+    os.remove(victim)
+    with pytest.raises(Exception, match="unaligned"):
+        out = aligned_rollup_cascade(shard_dirs, TIERS, chunk_rows=synth.CHUNK_ROWS)
+        for t in TIERS:
+            dataset_to_table(out[t.name])
+
+
+def test_zcr_reference_rule():
+    """zcr counts product<0: a transition through exact zero is NOT a
+    crossing (caits/fe/_statistical.py:338)."""
+    from crossai_ts_ray.functions import stats
+
+    assert stats.zcr_value(np.array([1.0, 0.0, -1.0, 1.0])) == pytest.approx(1 / 3)
+    assert stats.zcr_value(np.array([1.0, -1.0, 1.0, -1.0])) == pytest.approx(1.0)
+    # rolling_zcr: edge-padded, signbit diff, / frame_length
+    x = np.array([1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0])
+    frame, hop = 4, 2
+    pad = np.pad(x, frame // 2, mode="edge")
+    want = []
+    for i in range(1 + (len(pad) - frame) // hop):
+        fr = pad[i * hop : i * hop + frame]
+        want.append(np.abs(np.diff(np.signbit(fr))).sum() / frame)
+    got = stats.rolling_zcr(x, frame, hop)
+    np.testing.assert_allclose(got, want)
+
+
+def test_rolling_rms_center_padded():
+    from crossai_ts_ray.functions import stats
+
+    x = np.arange(10, dtype=np.float64)
+    frame, hop = 4, 2
+    pad = np.pad(x, frame // 2, mode="constant")
+    want = [
+        np.sqrt(np.mean(pad[i * hop : i * hop + frame] ** 2))
+        for i in range(1 + (len(pad) - frame) // hop)
+    ]
+    np.testing.assert_allclose(stats.rolling_rms(x, frame, hop), want)
+
+
 def test_aligned_rejects_striped_layout(ray_session):
     """A striped (unclustered) layout is seq-sorted per file but buckets span
     file groups -- the aligned path must REFUSE it, not silently mis-rollup."""
