@@ -167,54 +167,121 @@ def user_sessions(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
     return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
-def asof_last_event_value(sf_dir: str) -> rd.Dataset:
+def asof_last_event_value(sf_dir: str, buckets: int = 32) -> rd.Dataset:
     """As-of join: for each order, the value of the customer's latest event
-    at or before the order date.  Small side (events) is sorted per key and
-    broadcast once; the probe is a vectorized searchsorted per batch --
-    the broadcast as-of join (SURVEY.md §2.6; large-large sides would bucket
-    by key hash and pd.merge_asof per bucket)."""
-    import pyarrow.parquet as pq
-    import ray
+    at or before the order date.
 
-    ev = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-    uid = ev["user_id"].to_numpy(zero_copy_only=False)
-    ts = ev["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-    val = ev["value"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((ts, uid))
-    lookup = {}
-    u_s, t_s, v_s = uid[order], ts[order], val[order]
-    starts = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
-    ends = np.append(starts[1:], len(u_s))
-    for s, e in zip(starts, ends):
-        lookup[int(u_s[s])] = (t_s[s:e], v_s[s:e])
-    ref = ray.put(lookup)
+    Large-large shape (SURVEY.md section 2.6): BOTH sides are bucketed by
+    ``hash(user key) % buckets`` (plain column + one keyed shuffle of the
+    union), and each bucket runs one vectorized ``pd.merge_asof`` (sorted
+    backward search, by=key).  No side is broadcast or read on the driver;
+    at stream scale neither events nor orders fits anywhere whole.  Skewed
+    users can be salted by raising ``buckets``; within a bucket the cost is
+    sort + one linear merge."""
+    import pandas as pd
 
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
-    def probe(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("t", pa.int64()),
+            ("val", pa.float64()),
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("prt", pa.int64()),
+        ]
+    )
+    GOLD = np.int64(0x9E3779B1)
+
+    def tag_events(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
-        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-        od = t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        out = np.full(len(ok), np.nan)
-        for i in range(len(ok)):
-            hit = m.get(int(ck[i]))
-            if hit is None:
-                continue
-            j = np.searchsorted(hit[0], od[i], side="right") - 1
-            if j >= 0:
-                out[i] = hit[1][j]
+        k = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            prt = np.abs(k * GOLD) % buckets
+        n = len(k)
         return pa.table(
             {
-                "o_orderkey": pa.array(ok, pa.int64()),
-                "last_event_value": pa.array(np.round(out, 6), pa.float64()),
-            }
+                "key": pa.array(k, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "val": t["value"].cast(pa.float64()),
+                "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "prt": pa.array(prt, pa.int64()),
+            },
+            schema=union_schema,
         )
 
-    return orders.map_batches(probe, batch_format="pyarrow")
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = (
+            t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        with np.errstate(over="ignore"):
+            prt = np.abs(k * GOLD) % buckets
+        n = len(k)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "t": pa.array(od, pa.int64()),
+                "val": pa.array(np.zeros(n, np.float64), pa.float64()),
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "prt": pa.array(prt, pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [("o_orderkey", pa.int64()), ("last_event_value", pa.float64())]
+    )
+
+    def merge_asof_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        probe = t.filter(pa.array(side == 1))
+        if probe.num_rows == 0:
+            return pa.table(
+                {"o_orderkey": pa.nulls(0, pa.int64()),
+                 "last_event_value": pa.nulls(0, pa.float64())},
+                schema=out_schema,
+            )
+        build = t.filter(pa.array(side == 0))
+        left = pd.DataFrame(
+            {
+                "key": probe["key"].to_numpy(zero_copy_only=False),
+                "t": probe["t"].to_numpy(zero_copy_only=False),
+                "okey": probe["okey"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values("t", kind="stable")
+        right = pd.DataFrame(
+            {
+                "key": build["key"].to_numpy(zero_copy_only=False),
+                "t": build["t"].to_numpy(zero_copy_only=False),
+                "val": build["val"].to_numpy(zero_copy_only=False),
+            }
+        ).sort_values("t", kind="stable")
+        m = pd.merge_asof(left, right, on="t", by="key", direction="backward")
+        return pa.table(
+            {
+                "o_orderkey": pa.array(m["okey"].to_numpy(np.int64), pa.int64()),
+                "last_event_value": pa.array(
+                    np.round(m["val"].to_numpy(np.float64), 6), pa.float64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return both.groupby("prt").map_groups(merge_asof_bucket, batch_format="pyarrow")
 
 
 _SLIDE_SCHEMA = pa.schema(

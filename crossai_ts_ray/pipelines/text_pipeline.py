@@ -154,73 +154,126 @@ FROM documents GROUP BY md5(text)
 """
 
 
-class MinHashSig:
-    """Actor: MinHash signatures + LSH band keys per doc (hash matrices
-    built once per actor in __init__)."""
+_MINHASHERS: dict = {}
 
-    def __init__(self, num_hashes: int = 64, bands: int = 16, ngram: int = 5):
-        self.mh = MinHasher(num_hashes=num_hashes, ngram=ngram)
-        self.bands = bands
+
+def _minhasher(num_hashes: int = 64, ngram: int = 5) -> MinHasher:
+    """Per-worker-process MinHasher cache: the (a, b) hash matrices are
+    deterministic (fixed seed), built once per process, shared by every task
+    that lands there.  A plain task-pool map scales elastically -- no actor
+    reservation that could starve sibling stages of a multi-join DAG."""
+    key = (num_hashes, ngram)
+    if key not in _MINHASHERS:
+        _MINHASHERS[key] = MinHasher(num_hashes=num_hashes, ngram=ngram)
+    return _MINHASHERS[key]
+
+
+class MinHashSignatures:
+    """One row per doc, (doc_id, sig) with sig = k minhashes.
+
+    Per-batch work is one signature per doc (ragged shingle sets force the
+    per-doc kernel call) and a single vectorized ListArray assembly -- no
+    per-row dict building, and the signature ships ONCE per doc, never
+    duplicated into band rows."""
+
+    def __init__(self, num_hashes: int = 64, ngram: int = 5):
+        self.num_hashes = num_hashes
+        self.ngram = ngram
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        mh = _minhasher(self.num_hashes, self.ngram)
         t = batch.combine_chunks()
-        rows = []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = self.mh.signature(text)
-            for band_id, key in enumerate(
-                self.mh.band_keys(sig, self.bands).view(np.int64)
-            ):
-                rows.append(
-                    {
-                        "doc_id": int(did),
-                        "band_id": band_id,
-                        "band_key": int(key),
-                        "sig": sig.view(np.int64).tolist(),
-                    }
-                )
-        return pa.Table.from_pylist(rows, schema=_SIG_SCHEMA)
+        texts = t["text"].to_pylist()
+        n, k = len(texts), mh.k
+        sig_m = np.empty((n, k), dtype=np.uint64)
+        for i, s in enumerate(texts):
+            sig_m[i] = mh.signature(s)
+        offs = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
+        sigs = pa.ListArray.from_arrays(offs, pa.array(sig_m.reshape(-1).view(np.int64), pa.int64()))
+        return pa.table(
+            {"doc_id": t["doc_id"].cast(pa.int64()), "sig": sigs},
+            schema=_SIG_SCHEMA,
+        )
 
 
-_SIG_SCHEMA = pa.schema(
-    [
-        ("doc_id", pa.int64()),
-        ("band_id", pa.int64()),
-        ("band_key", pa.int64()),
-        ("sig", pa.list_(pa.int64())),
-    ]
-)
+_SIG_SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.list_(pa.int64()))])
 
 
-def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
-    """MinHash-LSH near-dup candidate pairs with signature-estimated Jaccard:
-    shingle -> minhash -> band -> bucket groupby -> pairwise within bucket.
-    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est >= threshold."""
-    sigs = _read_docs(sf_dir).map_batches(
-        MinHashSig, batch_format="pyarrow", concurrency=4, batch_size=512
+def minhash_signatures(sf_dir: str, num_hashes: int = 64):
+    # task pool (not actor pool): stateless fn + per-process hasher cache
+    return _read_docs(sf_dir).map_batches(
+        MinHashSignatures(num_hashes=num_hashes),
+        batch_format="pyarrow",
+        batch_size=512,
     )
 
-    def bucket_pairs_partition(t: pa.Table) -> pa.Table:
-        """Vectorized over a whole hash partition of (band_id, band_key)
-        buckets: sort by bucket, enumerate pairs within each bucket run (runs
-        are tiny -- LSH buckets), compare signatures as a matrix."""
+
+def _sig_matrix(t: pa.Table, col: str = "sig") -> np.ndarray:
+    """(n, k) uint64 matrix from a list<int64> signature column, zero-copy
+    from the flattened values buffer."""
+    arr = t[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    k = len(flat) // t.num_rows if t.num_rows else 0
+    return flat.reshape(t.num_rows, k).view(np.uint64)
+
+
+def band_table(t: pa.Table, bands: int = 16) -> pa.Table:
+    """(doc_id, band_id, band_key) rows from a signatures batch -- np.repeat
+    assembly, FNV band keys vectorized over all docs at once.  Identical keys
+    to MinHasher.band_keys, computed (docs x bands) at a time."""
+    t = t.combine_chunks()
+    n = t.num_rows
+    sig_m = _sig_matrix(t)
+    k = sig_m.shape[1]
+    r = k // bands
+    view = sig_m[:, : bands * r].reshape(n, bands, r)
+    keys = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            keys ^= view[:, :, j]
+            keys *= np.uint64(0x100000001B3)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64), n), pa.int64()),
+            "band_key": pa.array(keys.reshape(-1).view(np.int64), pa.int64()),
+        }
+    )
+
+
+def _bucket_candidate_pairs(keyed_ds, key_cols: list[str], P: int = 32):
+    """Candidate pairs from an LSH-style (doc_id, *key_cols) table: hash-
+    partition on the key tuple, sort each partition, enumerate pairs within
+    each key run (runs are LSH buckets -- small by construction; a hot bucket
+    means a hot shingle pattern and can be salted by the caller), dedup pair
+    rows within the partition.  Output: (doc_a, doc_b) with doc_a < doc_b."""
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        h = np.zeros(t.num_rows, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                h = h * np.int64(0x9E3779B1) ^ t[c].to_numpy(zero_copy_only=False)
+        return t.append_column("prt", pa.array(np.abs(h) % P, pa.int64()))
+
+    def pairs_partition(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         if t.num_rows < 2:
-            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
-        band = t["band_id"].to_numpy(zero_copy_only=False)
-        key = t["band_key"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, band))
-        b_s, k_s = band[order], key[order]
-        starts = np.flatnonzero(
-            np.concatenate(([True], (b_s[1:] != b_s[:-1]) | (k_s[1:] != k_s[:-1])))
-        )
+            return pa.table(
+                {"doc_a": pa.nulls(0, pa.int64()), "doc_b": pa.nulls(0, pa.int64())}
+            )
+        keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        order = np.lexsort(keys[::-1])
+        sorted_keys = [a[order] for a in keys]
+        diff = np.zeros(len(order) - 1, dtype=bool)
+        for a in sorted_keys:
+            diff |= a[1:] != a[:-1]
+        starts = np.flatnonzero(np.concatenate(([True], diff)))
         ends = np.append(starts[1:], len(order))
         dids = t["doc_id"].to_numpy(zero_copy_only=False)[order]
-        sig_flat, sig_offs = (
-            t["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False),
-            None,
-        )
-        k_sig = len(sig_flat) // t.num_rows
-        sigs_m = sig_flat.reshape(t.num_rows, k_sig)[order]
         ia, ib = [], []
         for s, e in zip(starts, ends):
             m = e - s
@@ -230,60 +283,80 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
             ia.append(s + i)
             ib.append(s + j)
         if not ia:
-            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
-        ia = np.concatenate(ia)
-        ib = np.concatenate(ib)
-        est = (sigs_m[ia] == sigs_m[ib]).mean(axis=1)
+            return pa.table(
+                {"doc_a": pa.nulls(0, pa.int64()), "doc_b": pa.nulls(0, pa.int64())}
+            )
+        ia, ib = np.concatenate(ia), np.concatenate(ib)
         da, db = dids[ia], dids[ib]
-        keep = (est >= threshold) & (da != db)
+        keep = da != db
         lo = np.minimum(da[keep], db[keep])
         hi = np.maximum(da[keep], db[keep])
+        # partition-local dedup (docs colliding in several buckets of this
+        # partition emit the pair once, before the global dedup pass)
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
         return pa.table(
-            {
-                "doc_a": pa.array(lo, pa.int64()),
-                "doc_b": pa.array(hi, pa.int64()),
-                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
-            }
+            {"doc_a": pa.array(u[:, 0], pa.int64()), "doc_b": pa.array(u[:, 1], pa.int64())}
         )
 
-    def add_prt(t: pa.Table, P: int = 16) -> pa.Table:
-        t = t.combine_chunks()
-        b = t["band_id"].to_numpy(zero_copy_only=False)
-        k = t["band_key"].to_numpy(zero_copy_only=False)
-        prt = np.abs(b * np.int64(0x9E3779B1) ^ k) % P
-        return t.append_column("prt", pa.array(prt, pa.int64()))
+    from ..stages.joins import dedup_rows
 
-    keyed = sigs.map_batches(add_prt, batch_format="pyarrow")
-    pairs = keyed.groupby("prt").map_groups(
-        lambda g: bucket_pairs_partition(g.drop_columns(["prt"])),
-        batch_format="pyarrow",
+    cand = (
+        keyed_ds.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: pairs_partition(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
     )
+    return dedup_rows(cand, ["doc_a", "doc_b"])
 
-    def dedup_partition(t: pa.Table) -> pa.Table:
+
+def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
+    """MinHash-LSH near-dup pairs with signature-estimated Jaccard.
+
+    Scale shape: signatures ship once per doc; band rows carry only
+    (doc_id, band_id, band_key); candidate (doc_a, doc_b) pairs from a
+    bucket groupby; signatures are joined back onto the surviving pairs with
+    two partitioned hash joins (stages/joins.py -- no broadcast, no driver
+    materialization); est Jaccard is one vectorized matrix compare.
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est >= threshold."""
+    from ..stages.joins import keyed_equijoin
+
+    # Materialize the signature table once: it has THREE consumers (band
+    # derivation + both sides of the pair join) and is derived metadata --
+    # 64 x 8 B per doc, ~2 orders smaller than the text it summarizes (the
+    # persisted-index pattern; at production scale write it to Parquet).
+    sigs = minhash_signatures(sf_dir).materialize()
+    bands = sigs.map_batches(band_table, batch_format="pyarrow")
+    cand = _bucket_candidate_pairs(bands, ["band_id", "band_key"])
+    cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    j = keyed_equijoin(
+        cand, sigs, on=("doc_a", "doc_id"), schemas=(cand_schema, _SIG_SCHEMA)
+    )  # + sig
+    j1_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sig", pa.list_(pa.int64()))]
+    )
+    j = keyed_equijoin(
+        j, sigs, on=("doc_b", "doc_id"), suffix="_b", schemas=(j1_schema, _SIG_SCHEMA)
+    )  # + sig_b
+
+    def estimate(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        first = np.concatenate(
-            ([True], (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1]))
+        sa = _sig_matrix(t, "sig")
+        sb = _sig_matrix(t, "sig_b")
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
+                "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
+            },
+            schema=_PAIR_SCHEMA,
         )
-        return t.take(pa.array(order[first]))
 
-    def add_pair_prt(t: pa.Table, P: int = 16) -> pa.Table:
-        t = t.combine_chunks()
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        prt = np.abs(a * np.int64(0x9E3779B1) ^ b) % P
-        return t.append_column("prt", pa.array(prt, pa.int64()))
-
-    # dedup pairs found by multiple bands: one keyed pass, vectorized
-    return pairs.map_batches(add_pair_prt, batch_format="pyarrow").groupby(
-        "prt"
-    ).map_groups(
-        lambda g: dedup_partition(g.drop_columns(["prt"])), batch_format="pyarrow"
-    )
+    return j.map_batches(estimate, batch_format="pyarrow")
 
 
 _PAIR_SCHEMA = pa.schema(
@@ -310,37 +383,48 @@ def simhash_fingerprints(sf_dir: str):
 def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
                            verify_threshold: float = 0.5):
     """The full near-dup pipeline: MinHash-LSH candidates -> EXACT n-gram
-    Jaccard verification.  Candidate texts are broadcast (the candidate set
-    is LSH-blocked and small); verification is per-batch over pairs."""
-    import ray
+    Jaccard verification.
 
-    import pyarrow.parquet as pq
+    Scale shape: candidate pair texts arrive via TWO partitioned hash joins
+    of the pair list against the documents table (stages/joins.py) -- the
+    corpus text moves through one keyed shuffle per side, is never read on
+    the driver, and is never ray.put as a dict.  Verification is per-batch
+    over the joined pairs (shingle-set ops per pair; pair-bounded work)."""
+    from ..stages.joins import keyed_equijoin
 
     pairs = dedup_minhash_pairs(sf_dir, threshold=candidate_threshold)
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts_ref = ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
+    docs = _read_docs(sf_dir)
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    j = keyed_equijoin(
+        pairs, docs, on=("doc_a", "doc_id"), schemas=(_PAIR_SCHEMA, docs_schema)
+    )  # + text
+    j1_schema = pa.schema(list(_PAIR_SCHEMA) + [pa.field("text", pa.string())])
+    j = keyed_equijoin(
+        j, docs, on=("doc_b", "doc_id"), suffix="_b", schemas=(j1_schema, docs_schema)
+    )  # + text_b
 
     def verify(b: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
+        b = b.combine_chunks()
         if b.num_rows == 0:
             return pa.Table.from_pylist([], schema=_VPAIR_SCHEMA)
-        rows = []
-        for r in b.to_pylist():
-            ja = jaccard(
-                char_ngrams(texts[r["doc_a"]]), char_ngrams(texts[r["doc_b"]])
-            )
-            if ja >= verify_threshold:
-                rows.append(
-                    {
-                        "doc_a": r["doc_a"],
-                        "doc_b": r["doc_b"],
-                        "est_jaccard": r["est_jaccard"],
-                        "jaccard": round(ja, 6),
-                    }
-                )
-        return pa.Table.from_pylist(rows, schema=_VPAIR_SCHEMA)
+        ja = np.array(
+            [
+                jaccard(char_ngrams(ta), char_ngrams(tb))
+                for ta, tb in zip(b["text"].to_pylist(), b["text_b"].to_pylist())
+            ]
+        )
+        keep = pa.array(ja >= verify_threshold)
+        return pa.table(
+            {
+                "doc_a": b["doc_a"].filter(keep),
+                "doc_b": b["doc_b"].filter(keep),
+                "est_jaccard": b["est_jaccard"].filter(keep),
+                "jaccard": pa.array(np.round(ja[ja >= verify_threshold], 6), pa.float64()),
+            },
+            schema=_VPAIR_SCHEMA,
+        )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 _VPAIR_SCHEMA = pa.schema(
@@ -353,56 +437,162 @@ _VPAIR_SCHEMA = pa.schema(
 )
 
 
-def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 10):
-    """SimHash near-dup pairs: fingerprints broadcast once, each batch
-    compares its fingerprints against the full table (vectorized XOR +
-    popcount); pairs within ``max_hamming`` bits."""
-    import ray
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
 
-    from ..functions.dedup import hamming64
 
-    fps_table = simhash_fingerprints(sf_dir).materialize()
-    rows = fps_table.take_all()
-    all_ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
-    all_fps = np.array([r["simhash"] for r in rows], dtype=np.int64).view(np.uint64)
-    ref = ray.put((all_ids, all_fps))
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a contiguous uint64 array (byte LUT)."""
+    return _POP8[np.ascontiguousarray(x).view(np.uint8)].reshape(len(x), 8).sum(axis=1)
 
-    def pairs(b: pa.Table) -> pa.Table:
-        ids_all, fps_all = ray.get(ref)
-        b = b.combine_chunks()
-        out_a, out_b, out_d = [], [], []
-        bids = b["doc_id"].to_numpy(zero_copy_only=False)
-        bfps = b["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
-        for i in range(len(bids)):
-            d = hamming64(fps_all, bfps[i])
-            hit = (d <= max_hamming) & (ids_all > bids[i])
-            for j in np.flatnonzero(hit):
-                out_a.append(int(bids[i]))
-                out_b.append(int(ids_all[j]))
-                out_d.append(int(d[j]))
+
+def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 10, P: int = 32):
+    """SimHash near-dup pairs via banded multi-probe blocking -- COMPLETE
+    (finds exactly the pairs brute force finds) with no driver-side
+    materialization and no O(N^2) scan.
+
+    The 64-bit fingerprint splits into 4 bands of 16 bits.  Two fingerprints
+    within ``max_hamming`` <= 11 bits differ by <= floor(11/4) = 2 bits in at
+    least one band (pigeonhole), and two 16-bit values within 2 bits share a
+    radius-1 Hamming-ball probe key; so each doc emits its 4 true band keys
+    plus the 16 single-bit flips of each (4 x 17 = 68 tiny rows/doc), pairs
+    are enumerated inside a ``groupby(probe key)`` per partition, verified
+    with full-width XOR+popcount, and deduped with one keyed pass.
+    Communication is O(N x 68 x 24B) + pair-bounded -- never O(N^2)."""
+    if max_hamming > 11:
+        raise ValueError(
+            "banded blocking with 4x16-bit bands + radius-1 probes is only "
+            "complete for max_hamming <= 11; raise the probe radius for more"
+        )
+
+    fps = simhash_fingerprints(sf_dir)
+    flips = np.concatenate(([0], np.left_shift(1, np.arange(16)))).astype(np.uint64)
+
+    def probe_rows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        fp = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        nprobe = len(flips)
+        out_id = np.repeat(ids, 4 * nprobe)
+        out_fp = np.repeat(fp.view(np.int64), 4 * nprobe)
+        keys = np.empty((n, 4, nprobe), dtype=np.int64)
+        for b in range(4):
+            bv = (fp >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            # pack band id into the key so bands never collide
+            keys[:, b, :] = ((bv[:, None] ^ flips[None, :]) | np.uint64(b << 16)).astype(
+                np.int64
+            )
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_d, pa.int64()),
+                "doc_id": pa.array(out_id, pa.int64()),
+                "pkey": pa.array(keys.reshape(-1), pa.int64()),
+                "fp": pa.array(out_fp, pa.int64()),
             }
         )
 
-    return fps_table.map_batches(pairs, batch_format="pyarrow")
+    probed = fps.map_batches(probe_rows, batch_format="pyarrow")
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t["pkey"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            prt = np.abs(k * np.int64(0x9E3779B1)) % P
+        return t.append_column("prt", pa.array(prt, pa.int64()))
+
+    def pairs_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table(
+            {
+                "doc_a": pa.nulls(0, pa.int64()),
+                "doc_b": pa.nulls(0, pa.int64()),
+                "hamming": pa.nulls(0, pa.int64()),
+            }
+        )
+        if t.num_rows < 2:
+            return empty
+        key = t["pkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        k_s = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
+        ends = np.append(starts[1:], len(order))
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)[order]
+        fps_s = t["fp"].to_numpy(zero_copy_only=False)[order].view(np.uint64)
+        ia, ib = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            i, j = np.triu_indices(m, 1)
+            ia.append(s + i)
+            ib.append(s + j)
+        if not ia:
+            return empty
+        ia, ib = np.concatenate(ia), np.concatenate(ib)
+        da, db = dids[ia], dids[ib]
+        d = _popcount64(fps_s[ia] ^ fps_s[ib])
+        keep = (d <= max_hamming) & (da != db)
+        lo = np.minimum(da[keep], db[keep])
+        hi = np.maximum(da[keep], db[keep])
+        # partition-local dedup (identical docs share all 17 probes of a band)
+        stacked = np.stack([lo, hi, d[keep]], axis=1)
+        u = np.unique(stacked, axis=0)
+        return pa.table(
+            {
+                "doc_a": pa.array(u[:, 0], pa.int64()),
+                "doc_b": pa.array(u[:, 1], pa.int64()),
+                "hamming": pa.array(u[:, 2], pa.int64()),
+            }
+        )
+
+    from ..stages.joins import dedup_rows
+
+    cand = (
+        probed.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: pairs_partition(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )
+    return dedup_rows(cand, ["doc_a", "doc_b"])
 
 
-def dedup_clusters(pairs_ds, max_rounds: int = 10):
+def _min_label_partition(t: pa.Table) -> pa.Table:
+    """(doc_id, cluster) -> per-doc min cluster, vectorized over a whole
+    hash partition (lexsort + minimum.reduceat; no per-group Python call)."""
+    t = t.combine_chunks()
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.nulls(0, pa.int64()), "cluster": pa.nulls(0, pa.int64())}
+        )
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    c = t["cluster"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d, kind="stable")
+    ds_, cs_ = d[order], c[order]
+    starts = np.flatnonzero(np.concatenate(([True], ds_[1:] != ds_[:-1])))
+    return pa.table(
+        {
+            "doc_id": pa.array(ds_[starts], pa.int64()),
+            "cluster": pa.array(np.minimum.reduceat(cs_, starts), pa.int64()),
+        }
+    )
+
+
+def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
     """Near-dup pair list -> connected components by iterative min-label
-    propagation: each round, every doc adopts the smallest label among its
-    neighbors + itself (two keyed groupbys per round over edge-sized data);
-    converges in O(diameter) rounds.  Scale path for when the candidate set
-    is too large for driver-side union-find.
+    propagation, entirely as keyed joins/groupbys over edge-sized data:
+    each round joins the label table onto the edge list (partitioned hash
+    join, stages/joins.py), takes the per-doc min of {own label, neighbor
+    labels} with a vectorized segment-min, and checks convergence with a
+    single scalar aggregate (labels only ever decrease, so sum(cluster)
+    is a monotone potential -- unchanged sum <=> converged).  The driver
+    sees one int per round; labels/edges are never take_all'd or ray.put.
+    Converges in O(longest path to the component min) rounds.
 
     Returns a Dataset of (doc_id, cluster) with cluster = min doc_id of the
     component."""
-    import ray.data as rd
+    from ..stages.joins import keyed_equijoin
 
-    def edges_to_labels(t: pa.Table) -> pa.Table:
+    def edges_sym(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False)
         b = t["doc_b"].to_numpy(zero_copy_only=False)
         return pa.table(
@@ -412,67 +602,59 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10):
             }
         )
 
-    edges = pairs_ds.map_batches(edges_to_labels, batch_format="pyarrow").materialize()
-    labels = edges.groupby("doc_id").map_groups(
-        lambda g: pa.table(
+    edges = pairs_ds.map_batches(edges_sym, batch_format="pyarrow").materialize()
+
+    def _partition_min(ds):
+        def add_prt(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                prt = np.abs(d * np.int64(0x9E3779B1)) % buckets
+            return t.append_column("prt", pa.array(prt, pa.int64()))
+
+        return (
+            ds.map_batches(add_prt, batch_format="pyarrow")
+            .groupby("prt")
+            .map_groups(
+                lambda g: _min_label_partition(g.drop_columns(["prt"])),
+                batch_format="pyarrow",
+            )
+        )
+
+    # initial labels: min(doc, min neighbor) -- union of (doc, nbr) and
+    # (doc, doc) rows, then one partitioned segment-min
+    def as_label_rows(col: str):
+        return lambda t: pa.table(
             {
-                "doc_id": g["doc_id"][:1],
-                "cluster": pa.array(
-                    [min(int(g["doc_id"][0].as_py()), min(g["nbr"].to_pylist()))],
-                    pa.int64(),
-                ),
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "cluster": t[col].cast(pa.int64()),
             }
-        ),
-        batch_format="pyarrow",
+        )
+
+    labels = _partition_min(
+        edges.map_batches(as_label_rows("nbr"), batch_format="pyarrow").union(
+            edges.map_batches(as_label_rows("doc_id"), batch_format="pyarrow")
+        )
     ).materialize()
+    prev_sum = labels.sum("cluster")
 
     for _ in range(max_rounds):
-        # join labels onto edges (broadcast: label table is edge-bounded and
-        # shrinks to component count; for huge graphs use a keyed join)
-        import ray
-
-        lab = {
-            r["doc_id"]: r["cluster"] for r in labels.take_all()
-        }
-        lab_ref = ray.put(lab)
-
-        def propagate(t: pa.Table) -> pa.Table:
-            m = ray.get(lab_ref)
-            d = t["doc_id"].to_pylist()
-            n = t["nbr"].to_pylist()
-            return pa.table(
+        # neighbor labels via one partitioned hash join on nbr
+        nbr_lab = keyed_equijoin(edges, labels, on=("nbr", "doc_id"), buckets=buckets)
+        cand = nbr_lab.map_batches(
+            lambda t: pa.table(
                 {
-                    "doc_id": pa.array(d, pa.int64()),
-                    "cand": pa.array([m.get(x, x) for x in n], pa.int64()),
-                }
-            )
-
-        cand = edges.map_batches(propagate, batch_format="pyarrow")
-        new_labels = cand.groupby("doc_id").map_groups(
-            lambda g: pa.table(
-                {
-                    "doc_id": g["doc_id"][:1],
-                    "cluster": pa.array(
-                        [
-                            min(
-                                min(g["cand"].to_pylist()),
-                                lab_of := ray.get(lab_ref).get(
-                                    int(g["doc_id"][0].as_py()),
-                                    int(g["doc_id"][0].as_py()),
-                                ),
-                            )
-                        ],
-                        pa.int64(),
-                    ),
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "cluster": t["cluster"].cast(pa.int64()),
                 }
             ),
             batch_format="pyarrow",
-        ).materialize()
-        old = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
-        new = {r["doc_id"]: r["cluster"] for r in new_labels.take_all()}
-        labels = new_labels
-        if old == new:
+        )
+        labels = _partition_min(cand.union(labels)).materialize()
+        new_sum = labels.sum("cluster")
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -1,0 +1,174 @@
+"""Partitioned hash equi-join on int64 keys for Ray Datasets.
+
+The keyed-join building block for pipelines that must combine two
+datasets without broadcasting either side or materializing anything on the
+driver (the scale path the near-dup verify / cluster-propagation / ANN
+stages ride on).  Shape (SURVEY.md section 2.6, same as the
+order_lineitem_join pattern in pipelines/relational.py but generic):
+
+* both sides get ``prt = hash(key) % buckets`` (a plain column),
+* are unioned under one widened schema (absent columns null-filled --
+  all-null Arrow arrays are bitmap-only, so the union costs no payload),
+* one keyed shuffle (``groupby("prt")``), and
+* a per-bucket merge: key->index with pandas, payload taken zero-copy
+  from the Arrow tables.
+
+Communication is one all-to-all of (left + right) bytes -- no driver
+round-trip, no ``ray.put`` of a dataset-sized object.  Skewed keys can be
+salted by the caller (raise ``buckets`` or pre-split hot keys); buckets
+should be sized ~= cluster cores.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_GOLD = np.int64(0x9E3779B1)
+
+
+def _prt_of(keys: np.ndarray, buckets: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return np.abs(keys.astype(np.int64) * _GOLD) % buckets
+
+
+def _ray_schema_to_arrow(ds) -> pa.Schema:
+    s = ds.schema()
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def keyed_equijoin(
+    left,
+    right,
+    on: tuple[str, str],
+    buckets: int = 32,
+    how: str = "inner",
+    suffix: str = "_r",
+    schemas: tuple[pa.Schema, pa.Schema] | None = None,
+):
+    """Join two Datasets on int64 key columns ``on=(left_key, right_key)``.
+
+    Returns a Dataset with all left columns plus all right columns except
+    the right key; right columns whose names collide with a left column are
+    renamed with ``suffix``.  ``how`` is 'inner' or 'left'.
+
+    Pass ``schemas=(left_schema, right_schema)`` when a side has a long lazy
+    lineage: ``Dataset.schema()`` on such a side executes part of the plan
+    just to learn column types, and the union below would then re-execute it.
+    """
+    import ray.data as rd  # noqa: F401  (callers hold Datasets already)
+
+    lkey, rkey = on
+    if schemas is not None:
+        ls, rs = schemas
+    else:
+        ls = _ray_schema_to_arrow(left)
+        rs = _ray_schema_to_arrow(right)
+    lcols = list(ls.names)
+    rcols_src = [n for n in rs.names if n != rkey]
+    rename = {
+        n: (n + suffix if n in lcols else n) for n in rcols_src
+    }
+    rcols_out = [rename[n] for n in rcols_src]
+
+    union_fields = (
+        [(n, ls.field(n).type) for n in lcols]
+        + [(rename[n], rs.field(n).type) for n in rcols_src]
+        + [("__rk", pa.int64()), ("side", pa.int8()), ("prt", pa.int64())]
+    )
+    union_schema = pa.schema(union_fields)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        k = t[lkey].to_numpy(zero_copy_only=False)
+        cols = {name: t[name] for name in lcols}
+        for name in rcols_src:
+            cols[rename[name]] = pa.nulls(n, rs.field(name).type)
+        cols["__rk"] = pa.nulls(n, pa.int64())
+        cols["side"] = pa.array(np.zeros(n, np.int8), pa.int8())
+        cols["prt"] = pa.array(_prt_of(k, buckets), pa.int64())
+        return pa.table(cols, schema=union_schema)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        k = t[rkey].to_numpy(zero_copy_only=False)
+        cols = {name: pa.nulls(n, ls.field(name).type) for name in lcols}
+        for name in rcols_src:
+            cols[rename[name]] = t[name]
+        cols["__rk"] = pa.array(k.astype(np.int64), pa.int64())
+        cols["side"] = pa.array(np.ones(n, np.int8), pa.int8())
+        cols["prt"] = pa.array(_prt_of(k, buckets), pa.int64())
+        return pa.table(cols, schema=union_schema)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    out_fields = [(n, ls.field(n).type) for n in lcols] + [
+        (rename[n], rs.field(n).type) for n in rcols_src
+    ]
+    out_schema = pa.schema(out_fields)
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        lmask, rmask = side == 0, side == 1
+        lt = t.filter(pa.array(lmask))
+        rt = t.filter(pa.array(rmask))
+        if lt.num_rows == 0 or (how == "inner" and rt.num_rows == 0):
+            return pa.table(
+                {n: pa.nulls(0, ty) for n, ty in zip(out_schema.names, out_schema.types)},
+                schema=out_schema,
+            )
+        lk = lt[lkey].to_numpy(zero_copy_only=False)
+        rk = rt["__rk"].to_numpy(zero_copy_only=False)
+        li = pd.DataFrame({"k": lk, "i": np.arange(len(lk), dtype=np.int64)})
+        ri = pd.DataFrame({"k": rk, "j": np.arange(len(rk), dtype=np.int64)})
+        m = li.merge(ri, on="k", how="inner" if how == "inner" else "left")
+        i_idx = pa.array(m["i"].to_numpy(), pa.int64())
+        if how == "left":
+            j_idx = pa.array(pd.array(m["j"], dtype="Int64"), pa.int64())
+        else:
+            j_idx = pa.array(m["j"].to_numpy(np.int64), pa.int64())
+        cols = {n: lt[n].take(i_idx) for n in lcols}
+        for n in rcols_src:
+            cols[rename[n]] = rt[rename[n]].take(j_idx)
+        return pa.table(cols, schema=out_schema)
+
+    return both.groupby("prt").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def dedup_rows(ds, cols: list[str], buckets: int = 16):
+    """Distinct rows by an int64 column tuple: hash-partition on the tuple,
+    vectorized first-of-run within each partition (no per-group Python
+    call).  Keeps the first occurrence's full row."""
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        h = np.zeros(t.num_rows, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for c in cols:
+                h = h * _GOLD ^ t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("prt", pa.array(np.abs(h) % buckets, pa.int64()))
+
+    def first_of_run(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks().drop_columns(["prt"])
+        if t.num_rows == 0:
+            return t
+        arrs = [t[c].to_numpy(zero_copy_only=False) for c in cols]
+        order = np.lexsort(arrs[::-1])
+        diff = np.zeros(len(order) - 1, dtype=bool)
+        for a in arrs:
+            s = a[order]
+            diff |= s[1:] != s[:-1]
+        keep = np.concatenate(([True], diff))
+        return t.take(pa.array(order[keep], pa.int64()))
+
+    return (
+        ds.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(first_of_run, batch_format="pyarrow")
+    )

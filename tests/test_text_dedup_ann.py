@@ -56,7 +56,11 @@ def test_minhash_pipeline_finds_known_dups(ray_session):
     candidate pair with high estimated Jaccard."""
     import pyarrow as pa
 
-    from crossai_ts_ray.pipelines.text_pipeline import MinHashSig, _PAIR_SCHEMA
+    from crossai_ts_ray.pipelines.text_pipeline import (
+        MinHashSignatures,
+        band_table,
+        _sig_matrix,
+    )
 
     base = "spark window batch merge value column agg join small line " * 8
     docs = pa.table(
@@ -74,28 +78,85 @@ def test_minhash_pipeline_finds_known_dups(ray_session):
             ),
         }
     )
-    sig = MinHashSig()
-    rows = sig(docs)
-    # bucket by (band_id, band_key) manually, emit pairs
+    sigs = MinHashSignatures()(docs)
+    assert sigs.num_rows == 6  # one row per doc, sig shipped once
+    bands = band_table(sigs)
+    sig_m = _sig_matrix(sigs)
+    by_doc = dict(zip(sigs["doc_id"].to_pylist(), sig_m))
+    # bucket by (band_id, band_key), emit pairs
     import collections
 
     buckets = collections.defaultdict(list)
-    for r in rows.to_pylist():
-        buckets[(r["band_id"], r["band_key"])].append((r["doc_id"], r["sig"]))
+    for r in bands.to_pylist():
+        buckets[(r["band_id"], r["band_key"])].append(r["doc_id"])
     found = set()
     for members in buckets.values():
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 a, b = members[i], members[j]
-                if a[0] != b[0]:
-                    est = float(
-                        (np.array(a[1]) == np.array(b[1])).mean()
-                    )
+                if a != b:
+                    est = float((by_doc[a] == by_doc[b]).mean())
                     if est >= 0.5:
-                        found.add((min(a[0], b[0]), max(a[0], b[0])))
+                        found.add((min(a, b), max(a, b)))
     assert (0, 1) in found
     assert (0, 4) in found
     assert not any(2 in p or 3 in p for p in found)
+
+
+def test_band_keys_match_minhasher(ray_session):
+    """Vectorized band_table must produce byte-identical keys to the per-doc
+    MinHasher.band_keys kernel."""
+    import pyarrow as pa
+
+    from crossai_ts_ray.functions.dedup import MinHasher
+    from crossai_ts_ray.pipelines.text_pipeline import MinHashSignatures, band_table
+
+    texts = ["doc one text here", "another entirely different doc", "third doc"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    bands = band_table(MinHashSignatures()(docs))
+    mh = MinHasher()
+    want = {}
+    for did, tx in zip([10, 20, 30], texts):
+        for b_id, k in enumerate(mh.band_keys(mh.signature(tx), 16).view(np.int64)):
+            want[(did, b_id)] = int(k)
+    got = {
+        (r["doc_id"], r["band_id"]): r["band_key"] for r in bands.to_pylist()
+    }
+    assert got == want
+
+
+def test_simhash_banded_pairs_match_bruteforce(ray_session):
+    """The banded multi-probe SimHash blocking must find EXACTLY the pairs a
+    brute-force all-pairs scan finds (completeness guarantee)."""
+    from crossai_ts_ray.functions.dedup import hamming64
+    from crossai_ts_ray.pipelines.text_pipeline import (
+        dedup_simhash_pairs,
+        simhash_fingerprints,
+    )
+    from crossai_ts_ray.util import dataset_to_table
+
+    fps = dataset_to_table(simhash_fingerprints(SF))
+    ids = np.array(fps["doc_id"].to_pylist(), dtype=np.int64)
+    vals = np.array(fps["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+    want = set()
+    for i in range(len(ids)):
+        d = hamming64(vals, vals[i])
+        for j in np.flatnonzero((d <= 10) & (ids > ids[i])):
+            want.add((int(ids[i]), int(ids[j]), int(d[j])))
+    got_t = dataset_to_table(dedup_simhash_pairs(SF, max_hamming=10))
+    got = set(
+        zip(
+            got_t["doc_a"].to_pylist(),
+            got_t["doc_b"].to_pylist(),
+            got_t["hamming"].to_pylist(),
+        )
+    )
+    assert got == want
 
 
 def test_lsh_topk_recall(ray_session):
