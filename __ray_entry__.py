@@ -400,11 +400,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _ann("cosine_topk"),
         "ann_lsh_topk": _ann("lsh_topk"),
         "embedding_near_pairs": _ann("embedding_near_pairs"),
+        # spectral aggregate family (caits/fe/_spectral.py) over windowed
+        # token signals -- FFT features, rows-only (no SQL oracle); kernel
+        # parity tested in tests/test_spectral_features.py
+        "spectral_features": _spectral_features_q,
         # grouped outlier filter + the full checkpointed job
         "outlier_filter_zscore": _outlier_filter_q,
         "synth_rollup_job": _synth_job_q,
     }
     return q
+
+
+def _spectral_features_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.feature_pipeline import doc_spectral_features
+
+    return doc_spectral_features(sf_dir, window=64, overlap=32)
 
 
 def relational_sql(name: str) -> str:

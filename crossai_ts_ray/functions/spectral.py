@@ -255,6 +255,45 @@ def griffinlim(
     return istft(S_mag * angles, hop_length=hop_length, length=length)
 
 
+def mfcc_stats(
+    x, sr: float = 22050, n_mfcc: int = 13, export: str = "array", **kw
+) -> np.ndarray | dict:
+    """Per-coefficient MFCC aggregate bundle (caits/fe/_spectrum.py:432):
+    mean and std of the MFCC matrix plus means of its first- and second-order
+    deltas, each aggregated over frames -> four (n_mfcc,) vectors."""
+    m = mfcc(x, sr=sr, n_mfcc=n_mfcc, **kw)
+    d1 = delta(m)
+    d2 = delta(m, order=2)
+    stats = {
+        "mfcc_mean": m.mean(axis=1),
+        "mfcc_std": m.std(axis=1),
+        "delta_mean": d1.mean(axis=1),
+        "delta2_mean": d2.mean(axis=1),
+    }
+    if export == "array":
+        return np.concatenate(list(stats.values()))
+    if export == "dict":
+        return stats
+    raise ValueError(f"Unsupported export={export}")
+
+
+def mel_to_audio(
+    M: np.ndarray,
+    sr: float = 22050,
+    n_fft: int = 2048,
+    hop_length: int | None = None,
+    power: float = 2.0,
+    n_iter: int = 32,
+    length: int | None = None,
+) -> np.ndarray:
+    """Invert a mel power spectrogram to audio: mel -> STFT magnitude (NNLS)
+    -> Griffin-Lim phase reconstruction (caits/fe/inverse.py:273)."""
+    S = mel_to_stft(M, sr=sr, n_fft=n_fft, power=power)
+    return griffinlim(
+        S, n_iter=n_iter, hop_length=hop_length or n_fft // 4, length=length
+    )
+
+
 def magphase(S):
     """caits/hpss.py:191"""
     mag = np.abs(S)

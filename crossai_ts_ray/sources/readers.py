@@ -59,14 +59,79 @@ def _tokenize_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _assign_seq(group: pa.Table) -> pa.Table:
-    """Per-source running sequence number, ordered by numeric doc id
-    (SQL parity: ``row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1``)."""
-    did = group["_did"].to_numpy(zero_copy_only=False)
-    order = np.argsort(did, kind="stable")
-    seq = np.empty(len(did), dtype=np.int64)
-    seq[order] = np.arange(len(did), dtype=np.int64)
-    return group.append_column("seq", pa.array(seq, pa.int64())).drop_columns(["_did"])
+def _fragment_source_stats(path: str, rg: int) -> pa.Table:
+    """Per-(row-group, source) count and doc_id range -- the tiny planning
+    pass (reads only two pruned columns of one row group)."""
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(path).read_row_group(rg, columns=["doc_id", "source"])
+    t = t.combine_chunks()
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    src = t["source"]
+    d = src.combine_chunks().dictionary_encode() if isinstance(src, pa.ChunkedArray) else src.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(codes, kind="stable")
+    c_s, d_s = codes[order], did[order]
+    starts = np.flatnonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))
+    ends = np.append(starts[1:], len(c_s))
+    return pa.table(
+        {
+            "rg": pa.array(np.full(len(starts), rg, np.int64), pa.int64()),
+            "source": d.dictionary.take(pa.array(c_s[starts])).cast(pa.string()),
+            "count": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "did_min": pa.array(np.minimum.reduceat(d_s, starts), pa.int64()),
+            "did_max": pa.array(np.maximum.reduceat(d_s, starts), pa.int64()),
+        }
+    )
+
+
+def _plan_seq_offsets(path: str) -> dict[tuple[int, str], int]:
+    """Per-(row-group, source) seq start offsets by prefix sum over row-group
+    order (SURVEY.md section 7.5).  Validates that each source's doc_ids are
+    non-overlapping and increasing across row groups -- the layout contract
+    that makes rank-within-fragment + offset equal the global
+    ``row_number() OVER (PARTITION BY source ORDER BY doc_id)``.
+    Driver state is metadata-sized: O(row_groups x sources)."""
+    import pyarrow.parquet as pq
+
+    nrg = pq.ParquetFile(path).metadata.num_row_groups
+    stats_ds = rd.from_items([{"path": path, "rg": i} for i in range(nrg)])
+
+    def stats_batch(t: pa.Table) -> pa.Table:
+        tabs = [
+            _fragment_source_stats(p, r)
+            for p, r in zip(t["path"].to_pylist(), t["rg"].to_pylist())
+        ]
+        return pa.concat_tables(tabs)
+
+    stats = pa.concat_tables(
+        [
+            b
+            for b in stats_ds.map_batches(
+                stats_batch, batch_size=1, batch_format="pyarrow"
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    last_max: dict[str, int] = {}
+    order = np.argsort(stats["rg"].to_numpy(zero_copy_only=False), kind="stable")
+    for i in order:
+        rg = int(stats["rg"][int(i)].as_py())
+        src = stats["source"][int(i)].as_py()
+        cnt = int(stats["count"][int(i)].as_py())
+        dmin = int(stats["did_min"][int(i)].as_py())
+        dmax = int(stats["did_max"][int(i)].as_py())
+        if src in last_max and dmin <= last_max[src]:
+            raise ValueError(
+                f"documents layout violates per-source doc_id ordering across "
+                f"row groups (source {src!r}, rg {rg}): fragment prefix-sum "
+                "seq assignment needs sorted non-overlapping ranges"
+            )
+        last_max[src] = dmax
+        offsets[(rg, src)] = running.get(src, 0)
+        running[src] = running.get(src, 0) + cnt
+    return offsets
 
 
 _DERIVED_CACHE: dict[str, rd.Dataset] = {}
@@ -74,19 +139,63 @@ _DERIVED_CACHE: dict[str, rd.Dataset] = {}
 
 def tokens_from_documents(sf_dir: str) -> rd.Dataset:
     """Derive the token-sequence table from ``documents.parquet`` so driver
-    correctness queries have a DuckDB-expressible oracle.  The per-source seq
-    assignment is a keyed shuffle (small: one group per source).  The derived
-    table is memoized per process as a MaterializedDataset -- many queries
-    start from it, and it is rollup-small."""
+    correctness queries have a DuckDB-expressible oracle.
+
+    seq parity: ``row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1``,
+    computed WITHOUT whole-source groups or a raw-sized shuffle: a planning
+    pass prefix-sums per-(row-group, source) counts into start offsets
+    (metadata-sized, broadcast via ray.put), then each map task tokenizes one
+    row group and adds rank-within-fragment to its offset.  Work per task is
+    bounded by row-group size; the token lists never shuffle.  The constructed
+    (lazy) plan is memoized per process; execution streams per consumer --
+    nothing raw-sized is materialized."""
     hit = _DERIVED_CACHE.get(sf_dir)
     if hit is not None:
         return hit
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
-    )
-    tok = docs.map_batches(_tokenize_batch, batch_format="pyarrow", zero_copy_batch=True)
-    out = tok.groupby("source").map_groups(
-        _assign_seq, batch_format="pyarrow"
-    ).materialize()
-    _DERIVED_CACHE[sf_dir] = out
-    return out
+    import pyarrow.parquet as pq
+    import ray
+
+    path = f"{sf_dir}/documents.parquet"
+    offsets = _plan_seq_offsets(path)
+    off_ref = ray.put(offsets)
+    nrg = pq.ParquetFile(path).metadata.num_row_groups
+
+    def process_fragment(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        offs = _ray.get(off_ref)
+        out = []
+        for p, rg in zip(t["path"].to_pylist(), t["rg"].to_pylist()):
+            raw = pq.ParquetFile(p).read_row_group(
+                rg, columns=["doc_id", "text", "source"]
+            )
+            tok = _tokenize_batch(raw)
+            did = tok["_did"].to_numpy(zero_copy_only=False)
+            src = tok["source"].combine_chunks() if isinstance(
+                tok["source"], pa.ChunkedArray
+            ) else tok["source"]
+            d = src.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            # rank within (fragment, source) by doc_id + fragment offset
+            order = np.lexsort((did, codes))
+            c_s = codes[order]
+            starts = np.flatnonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))
+            rank_sorted = np.arange(len(order), dtype=np.int64) - np.repeat(
+                starts, np.diff(np.append(starts, len(order)))
+            )
+            rank = np.empty(len(order), dtype=np.int64)
+            rank[order] = rank_sorted
+            src_list = d.dictionary.to_pylist()
+            base = np.array(
+                [offs.get((rg, s), 0) for s in src_list], dtype=np.int64
+            )[codes]
+            seq = base + rank
+            out.append(
+                tok.append_column("seq", pa.array(seq, pa.int64())).drop_columns(["_did"])
+            )
+        return pa.concat_tables(out)
+
+    frags = rd.from_items([{"path": path, "rg": i} for i in range(nrg)])
+    ds = frags.map_batches(process_fragment, batch_size=1, batch_format="pyarrow")
+    _DERIVED_CACHE[sf_dir] = ds
+    return ds
