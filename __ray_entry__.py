@@ -400,6 +400,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _ann("cosine_topk"),
         "ann_lsh_topk": _ann("lsh_topk"),
         "embedding_near_pairs": _ann("embedding_near_pairs"),
+        # IVF cell-blocked approximate near-pairs (the 10^9-row scale path;
+        # recall vs the exact triangle join measured in tests)
+        "embedding_near_pairs_ivf": _ann("embedding_near_pairs_ivf"),
         # spectral aggregate family (caits/fe/_spectral.py) over windowed
         # token signals -- FFT features, rows-only (no SQL oracle); kernel
         # parity tested in tests/test_spectral_features.py

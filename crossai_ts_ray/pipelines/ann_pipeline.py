@@ -1,19 +1,27 @@
 """Similarity search over the embeddings table.
 
-* ``cosine_topk``: brute-force cosine top-k against a broadcast query matrix
-  (NumPy matmul per batch -- the exact baseline).
-* ``lsh_topk``: random-hyperplane LSH bucketing as the scale path -- probes
-  only buckets within a Hamming radius of the query's code, trading recall
-  for touched-fraction; recall is measured against the brute-force baseline
-  in tests.
-* ``embedding_near_pairs``: all-pairs near-duplicate detection via blocked
-  matmul against a broadcast normalized matrix.
+* ``cosine_topk``: brute-force cosine top-k against a broadcast query vector
+  (NumPy matmul per batch -- the exact baseline; the only broadcast object
+  is the query itself).
+* ``build_lsh_index``: the PERSISTED index -- (vec_id, code, normalized
+  embedding) materialized once per process and reused by every query;
+  codes are never recomputed per query.
+* ``lsh_topk``: ANN top-k over the persisted index -- per batch, one
+  vectorized XOR+popcount prunes to vectors within a Hamming radius of the
+  query code, and only the survivors hit the matmul.
+* ``embedding_near_pairs``: EXACT all-pairs near-dup detection via triangle
+  block join -- every row is replicated to its B block-pair groups (one
+  keyed shuffle, O(N x B) communication), each group compares two bounded
+  sub-matrices; no full-matrix broadcast, no driver materialization.
+* ``embedding_near_pairs_ivf``: the approximate 10^9-row scale path --
+  k-means cells from a bounded sample, multi-probe assignment (nprobe
+  nearest cells), pairs within cells only; recall vs the exact baseline is
+  measured in tests/test_text_dedup_ann.py.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -23,8 +31,8 @@ def _read_emb(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
-def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    col = t["embedding"]
+def _emb_matrix(t: pa.Table, col_name: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    col = t[col_name]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -84,63 +92,81 @@ LIMIT 10
 """
 
 
-class LshIndexStage:
-    """Actor: random-hyperplane LSH codes (plane matrix built once per actor,
-    deterministic seed)."""
+def _lsh_planes(dim: int, planes: int = 16, seed: int = 5) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, planes))
 
-    def __init__(self, dim: int = 64, planes: int = 16, seed: int = 5):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, planes))
 
-    def __call__(self, t: pa.Table) -> pa.Table:
+def _codes_of(m: np.ndarray, planes_m: np.ndarray) -> np.ndarray:
+    bits = (m @ planes_m > 0).astype(np.uint64)
+    code = np.zeros(len(m), dtype=np.uint64)
+    for j in range(planes_m.shape[1]):
+        code |= bits[:, j] << np.uint64(j)
+    return code
+
+
+_INDEX_CACHE: dict[tuple[str, int], rd.Dataset] = {}
+
+
+def build_lsh_index(sf_dir: str, planes: int = 16, seed: int = 5) -> rd.Dataset:
+    """Persisted LSH index: (vec_id, code, embedding) materialized once per
+    process (at production scale: written to Parquet partitioned by code
+    prefix).  Queries reuse it -- codes are computed exactly once per
+    vector, not once per (vector, query)."""
+    key = (sf_dir, planes)
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def add_code(t: pa.Table) -> pa.Table:
         m, ids = _emb_matrix(t)
-        codes = (m @ self.planes > 0).astype(np.uint64)
-        code = np.zeros(len(m), dtype=np.uint64)
-        for j in range(self.planes.shape[1]):
-            code |= codes[:, j] << np.uint64(j)
+        pm = _lsh_planes(m.shape[1], planes, seed)
+        code = _codes_of(m, pm)
         return pa.table(
             {
                 "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
                 "code": pa.array(code.view(np.int64), pa.int64()),
+                "embedding": t["embedding"],
             }
         )
 
+    idx = _read_emb(sf_dir).map_batches(add_code, batch_format="pyarrow").materialize()
+    _INDEX_CACHE[key] = idx
+    return idx
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.int64)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    return _POP8[np.ascontiguousarray(x).view(np.uint8)].reshape(len(x), 8).sum(axis=1)
+
 
 def lsh_topk(sf_dir: str, k: int = 10, query_id: int = 0, radius: int = 6, planes: int = 16):
-    """LSH-bucketed ANN: score only vectors whose code is within ``radius``
-    bits of the query's code.  Returns the same schema as cosine_topk;
-    approximate (recall measured in tests).  Defaults tuned for the synthetic
-    near-uniform embeddings (top neighbors at cos ~0.4 are barely tighter
-    than random, the hardest case for hyperplane LSH): radius 6/16 planes
-    prunes ~3/4 of candidates at ~0.6 recall; real clustered embeddings get
-    much higher recall at smaller radius."""
+    """LSH-bucketed ANN over the PERSISTED index: score only vectors whose
+    stored code is within ``radius`` bits of the query's code (one XOR +
+    popcount per batch prunes before any matmul).  Returns the same schema as
+    cosine_topk; approximate (recall measured in tests).  Defaults tuned for
+    the synthetic near-uniform embeddings (top neighbors at cos ~0.4 are
+    barely tighter than random, the hardest case for hyperplane LSH):
+    radius 6/16 planes prunes ~3/4 of candidates at ~0.6 recall; real
+    clustered embeddings get much higher recall at smaller radius."""
     q = query_vector(sf_dir, query_id)
-    stage = LshIndexStage(dim=len(q), planes=planes)
-    q_code = int(
-        stage(pa.table({"vec_id": pa.array([0], pa.int64()),
-                        "embedding": pa.array([q.astype(np.float32).tolist()],
-                                              pa.list_(pa.float32()))}))["code"][0].as_py()
-    )
+    q_code = int(_codes_of(q[None, :], _lsh_planes(len(q), planes))[0])
     q_ref = ray.put(q / np.sqrt((q * q).sum()))
-    ds = _read_emb(sf_dir)
+    idx = build_lsh_index(sf_dir, planes=planes)
 
     def score_bucketed(t: pa.Table) -> pa.Table:
         qn = ray.get(q_ref)
-        m, ids = _emb_matrix(t)
-        codes_t = LshIndexStage(dim=m.shape[1], planes=planes)(t)["code"].to_numpy(
-            zero_copy_only=False
-        ).view(np.uint64)
-        x = codes_t ^ np.uint64(q_code)
-        dist = np.zeros(len(x), dtype=np.int64)
-        for _ in range(planes):
-            dist += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
+        t = t.combine_chunks()
+        codes = t["code"].to_numpy(zero_copy_only=False).view(np.uint64)
+        dist = _popcount64(codes ^ np.uint64(q_code))
         keep = dist <= radius
-        m, ids = m[keep], ids[keep]
-        if len(ids) == 0:
+        if not keep.any():
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
             )
+        sub = t.filter(pa.array(keep))
+        m, ids = _emb_matrix(sub)
         sims = (m @ qn) / np.sqrt((m * m).sum(axis=1))
         return pa.table(
             {
@@ -149,38 +175,212 @@ def lsh_topk(sf_dir: str, k: int = 10, query_id: int = 0, radius: int = 6, plane
             }
         )
 
-    return ds.map_batches(score_bucketed, batch_format="pyarrow").sort(
+    return idx.map_batches(score_bucketed, batch_format="pyarrow").sort(
         ["sim", "vec_id"], descending=[True, False]
     ).limit(k)
 
 
-def embedding_near_pairs(sf_dir: str, threshold: float = 0.35):
-    """Embedding-cosine near-dup pairs: each batch multiplies against the
-    broadcast full normalized matrix (blocked O(n^2) with n_batch x n work
-    per task).  For 10^9-row scale swap the broadcast side for IVF cells."""
-    import pyarrow.parquet as pq
+def embedding_near_pairs(sf_dir: str, threshold: float = 0.35, blocks: int = 8):
+    """EXACT embedding-cosine near-dup pairs via triangle block join.
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    m, ids = _emb_matrix(t)
-    mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
-    ref = ray.put((mn, ids))
+    Each vector gets a block id ``b = hash(vec_id) % blocks`` and is
+    replicated to every unordered block pair {(lo, hi): lo <= hi} it belongs
+    to (``blocks`` copies/row -- one keyed shuffle of O(N x blocks) bytes,
+    streamed with backpressure).  Each pair-group task compares two bounded
+    sub-matrices with one matmul.  Distributes the O(N^2) compute over
+    blocks(blocks+1)/2 tasks with NO full-matrix broadcast and no driver
+    materialization; output is exact.  For 10^9+ rows where O(N^2) compute
+    itself is the wall, use ``embedding_near_pairs_ivf``."""
     ds = _read_emb(sf_dir)
+    B = blocks
+    GOLD = np.int64(0x9E3779B1)
 
-    def pairs(t: pa.Table) -> pa.Table:
-        mn_all, ids_all = ray.get(ref)
-        mb, idb = _emb_matrix(t)
-        mbn = mb / np.sqrt((mb * mb).sum(axis=1, keepdims=True))
-        sims = mbn @ mn_all.T
+    def replicate(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            b = (np.abs(ids * GOLD) % B).astype(np.int64)
+        # pair-group ids for (lo, hi), lo <= hi: row of block b joins groups
+        # (b, j) for all j -- as lo when j >= b, as hi when j < b
+        n = len(ids)
+        grp = np.empty((n, B), dtype=np.int64)
+        other = np.arange(B, dtype=np.int64)
+        for j in range(B):
+            lo = np.minimum(b, other[j])
+            hi = np.maximum(b, other[j])
+            grp[:, j] = lo * B + hi
+        rep = pa.array(np.arange(n, dtype=np.int64).repeat(B))
+        out = t.take(rep)
+        return out.append_column("grp", pa.array(grp.reshape(-1), pa.int64())).append_column(
+            "blk", pa.array(np.repeat(b, B), pa.int64())
+        )
+
+    def pairs_group(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table(
+            {
+                "vec_a": pa.nulls(0, pa.int64()),
+                "vec_b": pa.nulls(0, pa.int64()),
+                "sim": pa.nulls(0, pa.float64()),
+            }
+        )
+        if t.num_rows < 2:
+            return empty
+        g = int(t["grp"][0].as_py())
+        lo, hi = g // B, g % B
+        blk = t["blk"].to_numpy(zero_copy_only=False)
+        if lo == hi:
+            # intra-block triangle
+            m, ids = _emb_matrix(t)
+            # the replicate step emits a row once per group, so no dedup needed
+            mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+            sims = mn @ mn.T
+            ai, bj = np.nonzero(sims >= threshold)
+            a, b = ids[ai], ids[bj]
+            keep = a < b
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep].astype(np.int64), pa.int64()),
+                    "vec_b": pa.array(b[keep].astype(np.int64), pa.int64()),
+                    "sim": pa.array(np.round(sims[ai[keep], bj[keep]], 6), pa.float64()),
+                }
+            )
+        left = t.filter(pa.array(blk == lo))
+        right = t.filter(pa.array(blk == hi))
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        ml, il = _emb_matrix(left)
+        mr, ir = _emb_matrix(right)
+        mln = ml / np.sqrt((ml * ml).sum(axis=1, keepdims=True))
+        mrn = mr / np.sqrt((mr * mr).sum(axis=1, keepdims=True))
+        sims = mln @ mrn.T
         ai, bj = np.nonzero(sims >= threshold)
-        a = idb[ai]
-        b = ids_all[bj]
-        keep = a < b
+        a, b = il[ai], ir[bj]
+        s = sims[ai, bj]
+        lo_id = np.minimum(a, b)
+        hi_id = np.maximum(a, b)
+        keep = a != b
         return pa.table(
             {
-                "vec_a": pa.array(a[keep].astype(np.int64), pa.int64()),
-                "vec_b": pa.array(b[keep].astype(np.int64), pa.int64()),
-                "sim": pa.array(np.round(sims[ai[keep], bj[keep]], 6), pa.float64()),
+                "vec_a": pa.array(lo_id[keep].astype(np.int64), pa.int64()),
+                "vec_b": pa.array(hi_id[keep].astype(np.int64), pa.int64()),
+                "sim": pa.array(np.round(s[keep], 6), pa.float64()),
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("grp")
+        .map_groups(pairs_group, batch_format="pyarrow")
+    )
+
+
+def _kmeans_centroids(
+    sample: np.ndarray, cells: int, iters: int = 10, seed: int = 9
+) -> np.ndarray:
+    """Plain Lloyd k-means on a bounded normalized sample (cosine ~ dot on
+    the unit sphere); deterministic seed."""
+    rng = np.random.default_rng(seed)
+    init = rng.choice(len(sample), size=min(cells, len(sample)), replace=False)
+    C = sample[init].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ C.T, axis=1)
+        for c in range(len(C)):
+            mask = assign == c
+            if mask.any():
+                v = sample[mask].mean(axis=0)
+                n = np.sqrt((v * v).sum())
+                if n > 0:
+                    C[c] = v / n
+    return C
+
+
+def embedding_near_pairs_ivf(
+    sf_dir: str,
+    threshold: float = 0.35,
+    cells: int = 16,
+    nprobe: int = 2,
+    sample_rows: int = 4096,
+):
+    """Approximate near-dup pairs for 10^9-row scale: IVF cell blocking.
+
+    A bounded sample (first ``sample_rows`` rows) trains k-means centroids on
+    the driver (centroid matrix is tiny and broadcast via ray.put); every
+    vector is assigned to its ``nprobe`` nearest cells (multi-probe raises
+    recall across cell boundaries); pairs are computed within cells only and
+    deduped.  Work is O(sum cell_size^2) instead of O(N^2); recall vs the
+    exact triangle join is measured in tests."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import dedup_rows
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_t = next(pf.iter_batches(batch_size=sample_rows, columns=["vec_id", "embedding"]))
+    sm, _ = _emb_matrix(pa.Table.from_batches([sample_t]))
+    smn = sm / np.sqrt((sm * sm).sum(axis=1, keepdims=True))
+    C = _kmeans_centroids(smn, cells)
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        t = t.combine_chunks()
+        m, ids = _emb_matrix(t)
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        sims = mn @ Cm.T
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        n = len(ids)
+        rep = pa.array(np.arange(n, dtype=np.int64).repeat(nprobe))
+        out = t.take(rep)
+        return out.append_column(
+            "cell", pa.array(top.reshape(-1).astype(np.int64), pa.int64())
+        )
+
+    def pairs_cell(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows < 2:
+            return pa.table(
+                {
+                    "vec_a": pa.nulls(0, pa.int64()),
+                    "vec_b": pa.nulls(0, pa.int64()),
+                    "sim_u": pa.nulls(0, pa.int64()),
+                }
+            )
+        m, ids = _emb_matrix(t)
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        sims = mn @ mn.T
+        ai, bj = np.nonzero(sims >= threshold)
+        a, b = ids[ai], ids[bj]
+        keep = a < b
+        # multi-probe can see the same pair in two cells: dedup locally, then
+        # globally (sim carried as int micro-units so dedup_rows can hash it)
+        s_u = np.round(sims[ai[keep], bj[keep]] * 1e6).astype(np.int64)
+        u = np.unique(np.stack([a[keep], b[keep], s_u], axis=1), axis=0)
+        return pa.table(
+            {
+                "vec_a": pa.array(u[:, 0], pa.int64()),
+                "vec_b": pa.array(u[:, 1], pa.int64()),
+                "sim_u": pa.array(u[:, 2], pa.int64()),
+            }
+        )
+
+    cand = (
+        _read_emb(sf_dir)
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(lambda g: pairs_cell(g.drop_columns(["cell"])), batch_format="pyarrow")
+    )
+    dedup = dedup_rows(cand, ["vec_a", "vec_b"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table(
+            {
+                "vec_a": t["vec_a"],
+                "vec_b": t["vec_b"],
+                "sim": pa.array(
+                    t["sim_u"].to_numpy(zero_copy_only=False) / 1e6, pa.float64()
+                ),
+            }
+        )
+
+    return dedup.map_batches(finish, batch_format="pyarrow")

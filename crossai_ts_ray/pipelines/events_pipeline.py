@@ -142,29 +142,67 @@ def sliding_hourly(sf_dir: str, window_buckets: int = 3) -> rd.Dataset:
     return dense.groupby("source").map_groups(roll, batch_format="pyarrow")
 
 
-def user_sessions(sf_dir: str, gap_s: int = 1800) -> rd.Dataset:
+def user_sessions(sf_dir: str, gap_s: int = 1800, buckets: int = 32) -> rd.Dataset:
     """Session windows per user: a new session starts after a silence gap
     > ``gap_s`` -- the classic order-sensitive per-key scan (Ray Data has no
-    event-time windows; SURVEY.md §2.9 maps them to sorted per-key groups)."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    event-time windows; SURVEY.md §2.9 maps them to sorted per-key scans).
 
-    def sessions(t: pa.Table) -> pa.Table:
+    Scale shape: hash-partition by user (one keyed shuffle), then ONE
+    vectorized pass per partition computes every user's session count with
+    segment ops (lexsort + reduceat) -- no per-user Python call, no
+    single-user 1-row map_groups tasks."""
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    GOLD = np.int64(0x9E3779B1)
+
+    def add_prt(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        if t.num_rows == 0:
-            return pa.Table.from_pylist(
-                [], schema=pa.schema([("user_id", pa.int64()), ("sessions", pa.int64())])
-            )
+        u = t["user_id"].to_numpy(zero_copy_only=False)
         ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ts = np.sort(ts)
-        gaps = np.diff(ts) > gap_s * 1_000_000
+        with np.errstate(over="ignore"):
+            prt = np.abs(u * GOLD) % buckets
         return pa.table(
             {
-                "user_id": t["user_id"][:1].cast(pa.int64()),
-                "sessions": pa.array([int(gaps.sum()) + 1], pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "prt": pa.array(prt, pa.int64()),
             }
         )
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    out_schema = pa.schema([("user_id", pa.int64()), ("sessions", pa.int64())])
+
+    def sessions_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, u))
+        u_s, t_s = u[order], ts[order]
+        new_user = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        starts = np.flatnonzero(new_user)
+        # a gap row: same user as previous AND silence > gap_s
+        gap = np.concatenate(
+            ([False], (~new_user[1:]) & (np.diff(t_s) > gap_s * 1_000_000))
+        )
+        cums = np.concatenate(([0], np.cumsum(gap)))
+        ends = np.append(starts[1:], len(u_s))
+        gaps_per_user = cums[ends] - cums[starts]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts], pa.int64()),
+                "sessions": pa.array(gaps_per_user + 1, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: sessions_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def asof_last_event_value(sf_dir: str, buckets: int = 32) -> rd.Dataset:

@@ -176,6 +176,65 @@ def test_lsh_topk_recall(ray_session):
             assert sim == exact_sims[vid]
 
 
+def test_embedding_near_pairs_exact_triangle_join(ray_session):
+    """The triangle block join must produce exactly the brute-force pair
+    set (it is an exact algorithm, only the partitioning is new)."""
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.ann_pipeline import _emb_matrix, embedding_near_pairs
+    from crossai_ts_ray.util import dataset_to_table
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m, ids = _emb_matrix(t)
+    mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    sims = mn @ mn.T
+    ai, bj = np.nonzero(sims >= 0.35)
+    keep = ids[ai] < ids[bj]
+    want = set(
+        zip(
+            ids[ai[keep]].tolist(),
+            ids[bj[keep]].tolist(),
+            np.round(sims[ai[keep], bj[keep]], 6).tolist(),
+        )
+    )
+    got_t = dataset_to_table(embedding_near_pairs(SF, threshold=0.35))
+    got = set(
+        zip(
+            got_t["vec_a"].to_pylist(),
+            got_t["vec_b"].to_pylist(),
+            got_t["sim"].to_pylist(),
+        )
+    )
+    assert got == want
+
+
+def test_embedding_near_pairs_ivf_recall(ray_session):
+    from crossai_ts_ray.pipelines.ann_pipeline import (
+        embedding_near_pairs,
+        embedding_near_pairs_ivf,
+    )
+    from crossai_ts_ray.util import dataset_to_table
+
+    exact_t = dataset_to_table(embedding_near_pairs(SF, threshold=0.35))
+    exact = set(zip(exact_t["vec_a"].to_pylist(), exact_t["vec_b"].to_pylist()))
+    ivf_t = dataset_to_table(embedding_near_pairs_ivf(SF, threshold=0.35))
+    ivf = set(zip(ivf_t["vec_a"].to_pylist(), ivf_t["vec_b"].to_pylist()))
+    assert ivf <= exact  # no false positives: within-cell sims are exact
+    recall = len(ivf & exact) / max(1, len(exact))
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
+    # sims reported for IVF pairs match the exact values
+    exact_sims = dict(
+        zip(
+            zip(exact_t["vec_a"].to_pylist(), exact_t["vec_b"].to_pylist()),
+            exact_t["sim"].to_pylist(),
+        )
+    )
+    for a, b, s in zip(
+        ivf_t["vec_a"].to_pylist(), ivf_t["vec_b"].to_pylist(), ivf_t["sim"].to_pylist()
+    ):
+        assert s == exact_sims[(a, b)]
+
+
 def test_language_detection():
     from crossai_ts_ray.functions.text import detect_language
 
