@@ -130,3 +130,70 @@ def time_stretch_fft(x, rate: float):
     S = stft(np.asarray(x, dtype=np.float64))
     S2 = phase_vocoder(S, rate)
     return istft(S2, length=int(round(len(x) / rate)))
+
+
+_WINDOWS = {
+    "hann": np.hanning,
+    "hamming": np.hamming,
+    "blackman": np.blackman,
+    "bartlett": np.bartlett,
+    "boxcar": lambda n: np.ones(n),
+}
+
+
+def convolve_ts(x, window: str = "hann", kernel: int = 7):
+    """Length-preserving smoothing convolution with a normalized window
+    kernel (caits/augmentation/_augment_1d.py:144 delegates to
+    tsaug.Convolve; same semantic: 'same'-mode convolution, kernel summing
+    to 1 so the signal level is preserved)."""
+    x = np.asarray(x, dtype=np.float64)
+    if window not in _WINDOWS:
+        raise ValueError(f"unknown window {window!r}")
+    k = _WINDOWS[window](kernel).astype(np.float64)
+    k /= k.sum()
+    return np.convolve(x, k, mode="same")
+
+
+def time_warp_ts(x, n_speed_change: int = 3, max_speed_ratio: float = 3.0,
+                 seed: int = 0):
+    """Random smooth monotonic time warp, length-preserving
+    (caits/augmentation/_augment_1d.py:598 delegates to tsaug.TimeWarp;
+    same semantic: ``n_speed_change + 1`` segments with speeds whose max/min
+    ratio is bounded by ``max_speed_ratio``, piecewise-linear cumulative time
+    curve, linear resampling back onto the original grid).  Seeded
+    deterministic."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if n < 2:
+        return x.copy()
+    rng = _rng(seed)
+    speeds = rng.uniform(1.0, float(max_speed_ratio), n_speed_change + 1)
+    # segment boundaries in source time
+    seg = np.linspace(0, n - 1, n_speed_change + 2)
+    # cumulative warped time at boundaries (piecewise-linear, monotone)
+    seg_len = np.diff(seg)
+    warped = np.concatenate(([0.0], np.cumsum(seg_len * speeds)))
+    warped *= (n - 1) / warped[-1]  # normalize so endpoints map to endpoints
+    # source position for each output sample: invert the warp curve
+    src = np.interp(np.arange(n, dtype=np.float64), warped, seg)
+    return np.interp(src, np.arange(n, dtype=np.float64), x)
+
+
+def pitch_shift_ts(x, sr: float, n_steps: float, bins_per_octave: int = 12):
+    """Pitch shift by ``n_steps`` (fractions of an octave per
+    ``bins_per_octave``): phase-vocoder time stretch at rate
+    ``2 ** (-n_steps / bins_per_octave)``, then resample back to the original
+    rate and fix the length (caits/augmentation/_augment_1d.py:743, the
+    librosa-effects recipe; resampling is the engine's linear-interp
+    ``resample_signal``)."""
+    if bins_per_octave <= 0 or int(bins_per_octave) != bins_per_octave:
+        raise ValueError(
+            f"bins_per_octave={bins_per_octave} must be a positive integer."
+        )
+    from .preprocess import fix_length, resample_signal
+
+    x = np.asarray(x, dtype=np.float64)
+    rate = 2.0 ** (-float(n_steps) / bins_per_octave)
+    stretched = time_stretch_fft(x, rate)
+    shifted = resample_signal(stretched, orig_fs=float(sr) / rate, target_fs=sr)
+    return fix_length(shifted, size=len(x))

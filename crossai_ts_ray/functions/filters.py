@@ -27,6 +27,40 @@ def filter_median_simple(x: np.ndarray, kernel_size: int = 3) -> np.ndarray:
     return np.median(win, axis=-1)
 
 
+_NDIMAGE_PAD = {
+    "reflect": "symmetric",  # scipy.ndimage 'reflect' == np.pad 'symmetric'
+    "mirror": "reflect",
+    "nearest": "edge",
+    "wrap": "wrap",
+    "constant": "constant",
+}
+
+
+def filter_median_gen(
+    x: np.ndarray,
+    window_size: int,
+    mode: str = "reflect",
+    cval: float = 0.0,
+    origin: int = 0,
+) -> np.ndarray:
+    """General median filter with boundary modes and origin shift
+    (caits/filtering.py:34 calls scipy.ndimage.median_filter; same semantics
+    for 1-D signals, vectorized via a sliding-window view).  The window at
+    output i covers input ``[i - w//2 + origin, i + (w-1)//2 + origin]``."""
+    x = np.asarray(x, dtype=np.float64)
+    w = int(window_size)
+    if mode not in _NDIMAGE_PAD:
+        raise ValueError(f"unknown mode {mode!r}")
+    left = w // 2 - origin
+    right = (w - 1) // 2 + origin
+    if left < 0 or right < 0:
+        raise ValueError(f"origin={origin} out of range for window {w}")
+    kw = {"constant_values": cval} if mode == "constant" else {}
+    xp = np.pad(x, (left, right), mode=_NDIMAGE_PAD[mode], **kw)
+    win = np.lib.stride_tricks.sliding_window_view(xp, w)
+    return np.median(win, axis=-1)
+
+
 def filter_gaussian(x: np.ndarray, sigma: float = 1.0, truncate: float = 4.0) -> np.ndarray:
     """Gaussian smoothing, 'reflect' boundary in the scipy.ndimage sense
     ((d c b a | a b c d), i.e. np.pad mode='symmetric');

@@ -82,3 +82,69 @@ def frames_to_samples(frames, hop_length: int = 512, n_fft: int | None = None):
 def times_like(x, fs: float = 1.0, axis=0):
     """caits/convert.py:8 -- time coordinate per sample."""
     return np.arange(np.asarray(x).shape[axis]) / fs
+
+
+def tiny(x) -> float:
+    """Smallest positive normal for the dtype (float32 tiny for non-float
+    inputs; caits/core/_core_window.py:212)."""
+    x = np.asarray(x)
+    if np.issubdtype(x.dtype, np.floating) or np.issubdtype(
+        x.dtype, np.complexfloating
+    ):
+        dtype = x.dtype
+    else:
+        dtype = np.dtype(np.float32)
+    return np.finfo(dtype).tiny
+
+
+def normalize(S: np.ndarray, norm=np.inf, axis: int | None = 0,
+              threshold=None, fill=None) -> np.ndarray:
+    """lp / inf / min / l0 normalization along an axis with small-norm
+    threshold handling (caits/core/_core_window.py:134, librosa semantics):
+    norm=inf -> max|.|, -inf -> min|.|, 0 -> count of nonzeros, p>0 -> lp
+    norm, None -> passthrough.  fill=None leaves small columns unscaled,
+    False zeroes them, True fills with the unit-norm constant."""
+    S = np.asarray(S)
+    if threshold is None:
+        threshold = tiny(S)
+    elif threshold <= 0:
+        raise ValueError(f"threshold={threshold} must be strictly positive")
+    if fill not in (None, False, True):
+        raise ValueError(f"fill={fill} must be None or boolean")
+    if not np.all(np.isfinite(S)):
+        raise ValueError("Input must be finite")
+
+    mag = np.abs(S).astype(float)
+    fill_norm = 1
+    if norm is None:
+        return S
+    elif norm == np.inf:
+        length = np.max(mag, axis=axis, keepdims=True)
+    elif norm == -np.inf:
+        length = np.min(mag, axis=axis, keepdims=True)
+    elif norm == 0:
+        if fill is True:
+            raise ValueError("Cannot normalize with norm=0 and fill=True")
+        length = np.sum(mag > 0, axis=axis, keepdims=True, dtype=mag.dtype)
+    elif np.issubdtype(type(norm), np.number) and norm > 0:
+        length = np.sum(mag**norm, axis=axis, keepdims=True) ** (1.0 / norm)
+        if axis is None:
+            fill_norm = mag.size ** (-1.0 / norm)
+        else:
+            fill_norm = mag.shape[axis] ** (-1.0 / norm)
+    else:
+        raise ValueError(f"Unsupported norm: {norm!r}")
+
+    small_idx = length < threshold
+    Snorm = np.empty_like(S, dtype=float)
+    if fill is None:
+        length[small_idx] = 1.0
+        Snorm[:] = S / length
+    elif fill:
+        length[small_idx] = np.nan
+        Snorm[:] = S / length
+        Snorm[np.isnan(Snorm)] = fill_norm
+    else:
+        length[small_idx] = np.inf
+        Snorm[:] = S / length
+    return Snorm

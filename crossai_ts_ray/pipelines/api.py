@@ -293,6 +293,227 @@ class SpectralFeatureStage(Stage):
         )
 
 
+@dataclass
+class Matrix2DStage(Stage):
+    """``FunctionTransformer2D`` equivalent (/root/reference/caits/
+    transformers/_function_transformers/_func_transformer_2d.py:8): apply a
+    matrix-valued transform to each row's signal (e.g. a spectrogram) and
+    store the result as a flattened list column plus (rows, cols) shape
+    columns -- the Arrow-friendly 2-D layout."""
+
+    fn: Callable[[np.ndarray], np.ndarray]
+    out_col: str = "matrix"
+    fn_kwargs: dict = field(default_factory=dict)
+
+    def apply(self, ds):
+        fn, kwargs, out_col = self.fn, self.fn_kwargs, self.out_col
+
+        def run(batch: pa.Table) -> pa.Table:
+            t = batch.combine_chunks()
+            col = t["tokens"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            offs = (offs - offs[0]).astype(np.int64)
+            mats = [
+                np.atleast_2d(np.asarray(fn(flat[offs[i] : offs[i + 1]], **kwargs)))
+                for i in range(t.num_rows)
+            ]
+            new_offs = np.zeros(t.num_rows + 1, dtype=np.int64)
+            np.cumsum([m.size for m in mats], out=new_offs[1:])
+            values = (
+                np.concatenate([m.reshape(-1) for m in mats])
+                if mats
+                else np.zeros(0, np.float64)
+            )
+            arr = pa.ListArray.from_arrays(
+                pa.array(new_offs, pa.int64()).cast(pa.int32()),
+                pa.array(values, pa.float64()),
+            )
+            return (
+                t.append_column(out_col, arr)
+                .append_column(
+                    out_col + "_rows",
+                    pa.array([m.shape[0] for m in mats], pa.int64()),
+                )
+                .append_column(
+                    out_col + "_cols",
+                    pa.array([m.shape[1] for m in mats], pa.int64()),
+                )
+            )
+
+        return ds.map_batches(run, batch_format="pyarrow")
+
+
+@dataclass
+class SignalFeatureStage(Stage):
+    """``FeatureExtractorSignal`` equivalent (/root/reference/caits/
+    transformers/_feature_extractors/_signal.py:8): apply a list of
+    signal-valued extractors (``{"func": fn, "params": {...}}``, each 1-D ->
+    1-D, e.g. rolling_rms) per row; each extractor lands in a list column
+    named after the function."""
+
+    feature_extractors: list[dict]
+
+    def apply(self, ds):
+        extractors = self.feature_extractors
+
+        def run(batch: pa.Table) -> pa.Table:
+            t = batch.combine_chunks()
+            col = t["tokens"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            offs = (offs - offs[0]).astype(np.int64)
+            out = t
+            for ex in extractors:
+                fn, params = ex["func"], ex.get("params", {})
+                pieces = [
+                    np.asarray(fn(flat[offs[i] : offs[i + 1]], **params), dtype=np.float64)
+                    for i in range(t.num_rows)
+                ]
+                new_offs = np.zeros(t.num_rows + 1, dtype=np.int64)
+                np.cumsum([len(p) for p in pieces], out=new_offs[1:])
+                values = (
+                    np.concatenate(pieces) if pieces else np.zeros(0, np.float64)
+                )
+                arr = pa.ListArray.from_arrays(
+                    pa.array(new_offs, pa.int64()).cast(pa.int32()),
+                    pa.array(values, pa.float64()),
+                )
+                out = out.append_column(fn.__name__, arr)
+            return out
+
+        return ds.map_batches(run, batch_format="pyarrow")
+
+
+@dataclass
+class StandardScalerStage(Stage):
+    """Fitted transformer: global mean/std of the token values learned in ONE
+    streaming aggregate pass (per-batch partial sums -> driver-side tiny
+    combine -> ray.put broadcast), then applied vectorized per batch -- the
+    fit-as-aggregate + broadcast pattern the reference reaches through
+    ``SklearnWrapper(StandardScaler)`` (/root/reference/caits/transformers/
+    _sklearn_wrapper.py:11).  Driver state is 3 floats."""
+
+    ddof: int = 0
+
+    def apply(self, ds):
+        import ray
+
+        def partial(t: pa.Table) -> pa.Table:
+            col = t["tokens"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            v = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "n": pa.array([len(v)], pa.int64()),
+                    "s": pa.array([v.sum()], pa.float64()),
+                    "ss": pa.array([(v * v).sum()], pa.float64()),
+                }
+            )
+
+        agg = ds.map_batches(partial, batch_format="pyarrow").sum(["n", "s", "ss"])
+        n, s, ss = agg["sum(n)"], agg["sum(s)"], agg["sum(ss)"]
+        mean = s / n
+        var = ss / n - mean * mean
+        if self.ddof:
+            var *= n / (n - self.ddof)
+        std = float(np.sqrt(max(var, 0.0)))
+        params_ref = ray.put((float(mean), std if std > 0 else 1.0))
+
+        def scale(t: pa.Table) -> pa.Table:
+            m, sd = ray.get(params_ref)
+            tt = t.combine_chunks()
+            col = tt["tokens"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            v = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            arr = pa.ListArray.from_arrays(col.offsets, pa.array((v - m) / sd, pa.float64()))
+            return tt.set_column(tt.schema.get_field_index("tokens"), "tokens", arr)
+
+        return ds.map_batches(scale, batch_format="pyarrow")
+
+
+@dataclass
+class AugmentSignalStage(Stage):
+    """Apply a list of augmentations (each ``{"func": callable, "params":
+    dict}``) to every row's token signal, ``repeats`` times, and UNION the
+    augmented copies with the originals -- the reference ``AugmentSignal``
+    transformer semantic (/root/reference/caits/transformers/
+    _augment_signal.py:16): each repeat composes ALL augmentation functions
+    over the ORIGINAL signal, and the output keeps originals first.
+
+    Ray shape: one map_batches; each task emits (repeats + 1) x batch rows
+    (original rows tagged ``aug_id = 0``, repeat r tagged r) -- no dataset
+    union, no second read of the input.  Per-repeat determinism with random
+    augmentations comes from the functions' explicit seeds; pass a different
+    ``seed`` param per repeat via ``params_per_repeat`` if desired."""
+
+    augmentations: list[dict]
+    repeats: int = 1
+    params_per_repeat: list[dict] | None = None
+
+    def apply(self, ds):
+        augs, repeats, ppr = self.augmentations, self.repeats, self.params_per_repeat
+
+        def run(batch: pa.Table) -> pa.Table:
+            t = batch.combine_chunks()
+            col = t["tokens"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = col.offsets.to_numpy(zero_copy_only=False)
+            offs = (offs - offs[0]).astype(np.int64)
+            out_tables = [
+                t.append_column(
+                    "aug_id", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+                )
+            ]
+            for r in range(1, repeats + 1):
+                pieces = []
+                for i in range(t.num_rows):
+                    x = flat[offs[i] : offs[i + 1]]
+                    for a in augs:
+                        params = dict(a.get("params", {}))
+                        if ppr is not None:
+                            params.update(ppr[r - 1])
+                        x = np.asarray(a["func"](x, **params), dtype=np.float64)
+                    pieces.append(x)
+                new_offs = np.zeros(t.num_rows + 1, dtype=np.int64)
+                np.cumsum([len(p) for p in pieces], out=new_offs[1:])
+                new_flat = (
+                    np.concatenate(pieces) if pieces else np.zeros(0, np.float64)
+                )
+                arr = pa.ListArray.from_arrays(
+                    pa.array(new_offs, pa.int64()).cast(pa.int32()),
+                    pa.array(new_flat, pa.float64()),
+                )
+                aug_t = t.set_column(
+                    t.schema.get_field_index("tokens"), "tokens", arr
+                ).append_column(
+                    "aug_id", pa.array(np.full(t.num_rows, r, np.int64), pa.int64())
+                )
+                out_tables.append(aug_t)
+            # originals keep int tokens; augmented are float -- unify to float
+            unified = []
+            for tab in out_tables:
+                c = tab["tokens"]
+                if isinstance(c, pa.ChunkedArray):
+                    c = c.combine_chunks()
+                if c.type != pa.list_(pa.float64()):
+                    c = c.cast(pa.list_(pa.float64()))
+                unified.append(
+                    tab.set_column(tab.schema.get_field_index("tokens"), "tokens", c)
+                )
+            return pa.concat_tables(unified)
+
+        return ds.map_batches(run, batch_format="pyarrow")
+
+
 class EnginePipeline:
     """Ordered named stages compiled onto a Dataset -- the sklearn-Pipeline
     shape (list of (name, stage)) without fit state; fitted stages are

@@ -33,6 +33,133 @@ def interpolate_probabilities(
     return np.interp(np.arange(n_samples, dtype=np.float64), xp, probs)
 
 
+def _cubic_spline_coeffs(x: np.ndarray, y: np.ndarray):
+    """Not-a-knot cubic spline second-derivative moments (the
+    scipy.interpolate.CubicSpline default boundary condition), solved as a
+    dense linear system -- knot counts here are window counts (small).
+    Degenerate cases follow SciPy: 2 knots -> linear, 3 knots -> single
+    parabola."""
+    n = len(x)
+    h = np.diff(x)
+    A = np.zeros((n, n))
+    b = np.zeros(n)
+    for i in range(1, n - 1):
+        A[i, i - 1] = h[i - 1] / 6.0
+        A[i, i] = (h[i - 1] + h[i]) / 3.0
+        A[i, i + 1] = h[i] / 6.0
+        b[i] = (y[i + 1] - y[i]) / h[i] - (y[i] - y[i - 1]) / h[i - 1]
+    if n == 2:
+        return np.zeros(2)
+    if n == 3:
+        # single parabola: M0 = M1 = M2 = const second derivative
+        A[0, 0], A[0, 1] = 1.0, -1.0
+        A[-1, -2], A[-1, -1] = 1.0, -1.0
+    else:
+        # not-a-knot: third derivative continuous across x1 and x_{n-2}
+        A[0, 0], A[0, 1], A[0, 2] = h[1], -(h[0] + h[1]), h[0]
+        A[-1, -3], A[-1, -2], A[-1, -1] = h[-1], -(h[-2] + h[-1]), h[-2]
+    return np.linalg.solve(A, b)
+
+
+def cubic_spline_interp(x: np.ndarray, y: np.ndarray, xq: np.ndarray) -> np.ndarray:
+    """Evaluate a not-a-knot cubic spline at ``xq``, extrapolating with the
+    end polynomials (scipy CubicSpline extrapolate=True semantics)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xq = np.asarray(xq, dtype=np.float64)
+    if len(x) == 1:
+        return np.full(len(xq), y[0])
+    M = _cubic_spline_coeffs(x, y)
+    h = np.diff(x)
+    idx = np.clip(np.searchsorted(x, xq, side="right") - 1, 0, len(x) - 2)
+    x0, x1 = x[idx], x[idx + 1]
+    hi = h[idx]
+    A = (x1 - xq) / hi
+    B = (xq - x0) / hi
+    return (
+        A * y[idx]
+        + B * y[idx + 1]
+        + ((A**3 - A) * M[idx] + (B**3 - B) * M[idx + 1]) * hi**2 / 6.0
+    )
+
+
+def interpolate_probabilities_windows(
+    probabilities: np.ndarray,
+    sr: int,
+    ws: float,
+    overlap_percentage: float,
+    interp_choice: int = 2,
+) -> np.ndarray:
+    """Window-level probability matrix (windows x classes) -> per-sample
+    probabilities by per-class cubic-spline interpolation -- the reference
+    signature and semantics (caits/performance/utils.py:51: non-overlap step
+    grid, interp_choice 1/2/3 = start/middle/end anchors, samples
+    0..end_idx[-1])."""
+    probabilities = np.asarray(probabilities, dtype=np.float64)
+    ws_samples = int(ws * sr)
+    op_samples = int(ws_samples * overlap_percentage)
+    non_op_step = ws_samples - op_samples
+    n_instances, num_classes = probabilities.shape
+    start_idx = np.arange(n_instances) * non_op_step
+    end_idx = start_idx + non_op_step
+    if interp_choice == 1:
+        interp_idx = start_idx
+    elif interp_choice == 2:
+        interp_idx = (start_idx + end_idx) // 2
+    elif interp_choice == 3:
+        interp_idx = end_idx
+    else:
+        raise ValueError(
+            "Invalid interp_choice. Choose 1 (start), 2 (middle), or 3 (end)."
+        )
+    interp_indices = np.arange(0, end_idx[-1], dtype=np.float64)
+    out = np.zeros((len(interp_indices), num_classes))
+    for c in range(num_classes):
+        out[:, c] = cubic_spline_interp(
+            interp_idx.astype(np.float64), probabilities[:, c], interp_indices
+        )
+    return out
+
+
+def compute_class(predictions: np.ndarray) -> np.ndarray:
+    """argmax over classes of the repeat-mean probabilities
+    (caits/performance/metrics.py:8)."""
+    return np.argmax(np.mean(predictions, axis=0), axis=1)
+
+
+def compute_entropy(predictions: np.ndarray) -> np.ndarray:
+    """Per-instance mean Shannon entropy (bits) across repeats
+    (caits/performance/metrics.py:12)."""
+    eps = np.finfo(float).eps
+    return np.mean(
+        -np.sum(predictions * np.log(predictions + eps), axis=2) / np.log(2), axis=0
+    )
+
+
+_STATS_FUNCTIONS = {
+    "class": compute_class,
+    "probas": lambda x: x,
+    "mean_pred": lambda x: np.mean(x, axis=0),
+    "std": lambda x: np.std(x, axis=0),
+    "variance": lambda x: np.var(x, axis=0),
+    "entropy": compute_entropy,
+}
+
+
+def prediction_statistics(probabilities: np.ndarray, stats="all") -> dict:
+    """Trustworthiness statistics over (n_repeats, n_instances, n_classes)
+    prediction probabilities (caits/performance/metrics.py:28): class
+    prediction, raw probas, mean/std/variance across repeats, entropy.
+    Unknown metric names are skipped (reference prints a notice)."""
+    if stats == "all":
+        metrics = list(_STATS_FUNCTIONS.keys())
+    elif isinstance(stats, str):
+        metrics = [stats]
+    else:
+        metrics = list(stats)
+    return {m: _STATS_FUNCTIONS[m](probabilities) for m in metrics if m in _STATS_FUNCTIONS}
+
+
 def extract_events(
     probs: np.ndarray, prob_threshold: float = 0.5, min_duration: int = 1
 ) -> list[tuple[int, int]]:

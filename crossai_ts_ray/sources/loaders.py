@@ -85,3 +85,50 @@ def load_dir(root: str, fmt: str | None = None) -> rd.Dataset:
     if fmt == "binary":
         return load_binary_corpus(root)
     raise ValueError(fmt)
+
+
+def wav_specs_check(wav_file_path: str, print_base: bool = False) -> dict:
+    """WAV header specs via the stdlib ``wave`` module
+    (caits/loading/_audio.py:137): sample rate, channels, frame count, etc.
+    as a dict."""
+    import wave
+
+    with wave.open(wav_file_path, "rb") as wf:
+        if print_base:
+            n = wf.getnchannels()
+            print(f"Sample rate: {wf.getframerate()} Hz")
+            print(
+                "Mono" if n == 1 else "Stereo" if n == 2 else f"Multi-channel: ({n} channels)"
+            )
+        return wf.getparams()._asdict()
+
+
+def load_yaml_config(config_path: str) -> dict:
+    """YAML config file -> dict (caits/loading/_utils.py:10)."""
+    import yaml
+
+    try:
+        with open(config_path, "r") as f:
+            return yaml.safe_load(f)
+    except FileNotFoundError as e:
+        raise FileNotFoundError(f"Configuration file not found: {config_path}") from e
+    except yaml.YAMLError as e:
+        raise yaml.YAMLError(
+            f"Error parsing YAML configuration: {config_path}"
+        ) from e
+
+
+def json_loader(dataset_path: str, classes: list[str] | None = None) -> dict:
+    """JSON corpus directory -> {stem: contents} dict, optionally restricted
+    to class subdirectories (caits/loading/_utils.py:42)."""
+    import glob
+    import json
+
+    out: dict = {}
+    pattern = os.path.join(dataset_path, "**", "*.json")
+    for p in sorted(glob.glob(pattern, recursive=True)):
+        if classes is not None and _source_from_path(p) not in classes:
+            continue
+        with open(p) as f:
+            out[os.path.splitext(os.path.basename(p))[0]] = json.load(f)
+    return out
