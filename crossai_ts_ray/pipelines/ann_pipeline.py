@@ -193,13 +193,12 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.35, blocks: int = 8):
     itself is the wall, use ``embedding_near_pairs_ivf``."""
     ds = _read_emb(sf_dir)
     B = blocks
-    GOLD = np.int64(0x9E3779B1)
+    from ..stages.joins import hash_prt
 
     def replicate(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            b = (np.abs(ids * GOLD) % B).astype(np.int64)
+        b = hash_prt(ids, B)
         # pair-group ids for (lo, hi), lo <= hi: row of block b joins groups
         # (b, j) for all j -- as lo when j >= b, as hi when j < b
         n = len(ids)

@@ -152,14 +152,13 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, buckets: int = 32) -> rd.Datas
     segment ops (lexsort + reduceat) -- no per-user Python call, no
     single-user 1-row map_groups tasks."""
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
-    GOLD = np.int64(0x9E3779B1)
+    from ..stages.joins import hash_prt
 
     def add_prt(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         u = t["user_id"].to_numpy(zero_copy_only=False)
         ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            prt = np.abs(u * GOLD) % buckets
+        prt = hash_prt(u, buckets)
         return pa.table(
             {
                 "user_id": pa.array(u, pa.int64()),
@@ -223,6 +222,8 @@ def asof_last_event_value(sf_dir: str, buckets: int = 32) -> rd.Dataset:
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
+    from ..stages.joins import hash_prt
+
     union_schema = pa.schema(
         [
             ("key", pa.int64()),
@@ -233,14 +234,12 @@ def asof_last_event_value(sf_dir: str, buckets: int = 32) -> rd.Dataset:
             ("prt", pa.int64()),
         ]
     )
-    GOLD = np.int64(0x9E3779B1)
 
     def tag_events(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         k = t["user_id"].to_numpy(zero_copy_only=False)
         ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            prt = np.abs(k * GOLD) % buckets
+        prt = hash_prt(k, buckets)
         n = len(k)
         return pa.table(
             {
@@ -260,8 +259,7 @@ def asof_last_event_value(sf_dir: str, buckets: int = 32) -> rd.Dataset:
         od = (
             t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
         )
-        with np.errstate(over="ignore"):
-            prt = np.abs(k * GOLD) % buckets
+        prt = hash_prt(k, buckets)
         n = len(k)
         return pa.table(
             {

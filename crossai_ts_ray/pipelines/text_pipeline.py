@@ -244,6 +244,27 @@ def band_table(t: pa.Table, bands: int = 16) -> pa.Table:
     )
 
 
+def _pairs_in_runs(starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-run index pairs (i < j) for runs given by [starts, ends)
+    slices of a common array (runs need NOT tile the array) -- fully
+    vectorized (repeat/cumsum arithmetic), no Python loop over runs.
+    Returns (ia, ib) global indices."""
+    m = (ends - starts).astype(np.int64)
+    if not len(m) or not (m >= 2).any():
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    run_id = np.repeat(np.arange(len(m)), m)
+    local = np.arange(m.sum(), dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(m)))[:-1], m
+    )
+    idx = starts[run_id] + local
+    counts = m[run_id] - 1 - local  # partners to the right within the run
+    ia = np.repeat(idx, counts)
+    off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    ib = np.arange(counts.sum(), dtype=np.int64) - np.repeat(off, counts) + ia + 1
+    return ia, ib
+
+
 def _bucket_candidate_pairs(keyed_ds, key_cols: list[str], P: int = 32):
     """Candidate pairs from an LSH-style (doc_id, *key_cols) table: hash-
     partition on the key tuple, sort each partition, enumerate pairs within
@@ -253,11 +274,13 @@ def _bucket_candidate_pairs(keyed_ds, key_cols: list[str], P: int = 32):
 
     def add_prt(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
+        from ..stages.joins import hash_prt
+
         h = np.zeros(t.num_rows, dtype=np.int64)
         with np.errstate(over="ignore"):
             for c in key_cols:
                 h = h * np.int64(0x9E3779B1) ^ t[c].to_numpy(zero_copy_only=False)
-        return t.append_column("prt", pa.array(np.abs(h) % P, pa.int64()))
+        return t.append_column("prt", pa.array(hash_prt(h, P), pa.int64()))
 
     def pairs_partition(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -274,19 +297,11 @@ def _bucket_candidate_pairs(keyed_ds, key_cols: list[str], P: int = 32):
         starts = np.flatnonzero(np.concatenate(([True], diff)))
         ends = np.append(starts[1:], len(order))
         dids = t["doc_id"].to_numpy(zero_copy_only=False)[order]
-        ia, ib = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            i, j = np.triu_indices(m, 1)
-            ia.append(s + i)
-            ib.append(s + j)
-        if not ia:
+        ia, ib = _pairs_in_runs(starts, ends)
+        if not len(ia):
             return pa.table(
                 {"doc_a": pa.nulls(0, pa.int64()), "doc_b": pa.nulls(0, pa.int64())}
             )
-        ia, ib = np.concatenate(ia), np.concatenate(ib)
         da, db = dids[ia], dids[ib]
         keep = da != db
         lo = np.minimum(da[keep], db[keep])
@@ -494,12 +509,54 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 10, P: int = 32):
 
     def add_prt(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
+        from ..stages.joins import hash_prt
+
         k = t["pkey"].to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            prt = np.abs(k * np.int64(0x9E3779B1)) % P
-        return t.append_column("prt", pa.array(prt, pa.int64()))
+        return t.append_column("prt", pa.array(hash_prt(k, P), pa.int64()))
+
+    def _finalize(da, db, fa, fb, band):
+        """Full-fp hamming + first-band canonicalization on candidate doc
+        pairs; returns (doc_a, doc_b, hamming) arrays."""
+        d = _popcount64(fa ^ fb)
+        keep = (d <= max_hamming) & (da != db)
+        if not keep.any():
+            z = np.zeros(0, np.int64)
+            return z, z, z
+        da, db, fa, fb, d, band = (
+            da[keep], db[keep], fa[keep], fb[keep], d[keep], band[keep]
+        )
+        fdiff = fa ^ fb
+        band_d = np.stack(
+            [
+                _POP8[((fdiff >> np.uint64(16 * k)) & np.uint64(0xFFFF))
+                      .astype(np.uint16).view(np.uint8)].reshape(-1, 2).sum(axis=1)
+                for k in range(4)
+            ],
+            axis=1,
+        )
+        first_band = np.argmax(band_d <= 2, axis=1).astype(np.uint64)
+        emit = band == first_band
+        lo = np.minimum(da[emit], db[emit])
+        hi = np.maximum(da[emit], db[emit])
+        return lo, hi, d[emit]
 
     def pairs_partition(t: pa.Table) -> pa.Table:
+        """CANONICAL-BUCKET EMISSION, enumeration-light.
+
+        A qualifying pair is emitted exactly once globally: in the FIRST band
+        with distance <= 2, in the smallest shared probe key's bucket of that
+        band.  To avoid enumerating hot identical-value clusters once per
+        probe bucket (17x waste), rows are sub-grouped by their TRUE band
+        value inside each bucket:
+
+        * equal-value pairs (band distance 0) enumerate ONLY in the value's
+          canonical bucket (min over its Hamming ball) -- one sub-run pass;
+        * cross-value pairs go through (value_a, value_b) REPRESENTATIVE
+          pairs first; the band-level canonical test (d=1: min of the two
+          values == bucket; d=2: min of the two shared flip keys == bucket)
+          kills non-canonical rep pairs BEFORE the doc-level cross product
+          is expanded.
+        """
         t = t.combine_chunks()
         empty = pa.table(
             {
@@ -511,49 +568,94 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 10, P: int = 32):
         if t.num_rows < 2:
             return empty
         key = t["pkey"].to_numpy(zero_copy_only=False)
-        order = np.argsort(key, kind="stable")
+        fp_all = t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+        band_all = (key >> 16).astype(np.uint64)
+        bv_all = (fp_all >> (band_all * np.uint64(16))) & np.uint64(0xFFFF)
+        order = np.lexsort((bv_all.view(np.int64), key))
         k_s = key[order]
-        starts = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
-        ends = np.append(starts[1:], len(order))
+        bv_s = bv_all[order]
         dids = t["doc_id"].to_numpy(zero_copy_only=False)[order]
-        fps_s = t["fp"].to_numpy(zero_copy_only=False)[order].view(np.uint64)
-        ia, ib = [], []
-        for s, e in zip(starts, ends):
-            m = e - s
-            if m < 2:
-                continue
-            i, j = np.triu_indices(m, 1)
-            ia.append(s + i)
-            ib.append(s + j)
-        if not ia:
+        fps_s = fp_all[order]
+        n = len(order)
+        new_bucket = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        new_sub = new_bucket | np.concatenate(([False], bv_s[1:] != bv_s[:-1]))
+        sub_starts = np.flatnonzero(new_sub)
+        sub_ends = np.append(sub_starts[1:], n)
+        sub_key = k_s[sub_starts]
+        sub_bv = bv_s[sub_starts]
+        sub_zval = (sub_key & 0xFFFF).astype(np.uint64)
+        sub_band = (sub_key >> 16).astype(np.uint64)
+
+        out_a, out_b, out_d = [], [], []
+
+        # --- equal-value pairs: only in the value's canonical bucket ---
+        ball_min = np.minimum(
+            (sub_bv[:, None] ^ flips[None, :]).min(axis=1), sub_bv
+        )
+        d0_subs = np.flatnonzero((ball_min == sub_zval) & (sub_ends - sub_starts >= 2))
+        if len(d0_subs):
+            ia, ib = _pairs_in_runs(sub_starts[d0_subs], sub_ends[d0_subs])
+            # _pairs_in_runs expects consecutive runs; remap via gather of
+            # global indices
+            if len(ia):
+                a, b, dd = _finalize(
+                    dids[ia], dids[ib], fps_s[ia], fps_s[ib],
+                    sub_band[np.searchsorted(sub_starts, ia, side="right") - 1],
+                )
+                out_a.append(a); out_b.append(b); out_d.append(dd)
+
+        # --- cross-value pairs via representative (value, value) pairs ---
+        # sub-runs grouped by bucket: runs over sub_key
+        sb_new = np.concatenate(([True], sub_key[1:] != sub_key[:-1]))
+        sb_starts = np.flatnonzero(sb_new)
+        sb_ends = np.append(sb_starts[1:], len(sub_key))
+        ra, rb = _pairs_in_runs(sb_starts, sb_ends)  # indices into sub arrays
+        if len(ra):
+            va, vb = sub_bv[ra], sub_bv[rb]
+            zv = sub_zval[ra]
+            diff = va ^ vb
+            dband = _POP8[diff.astype(np.uint16).view(np.uint8)].reshape(-1, 2).sum(axis=1)
+            canon = np.empty(len(va), dtype=np.uint64)
+            m1 = dband == 1
+            canon[m1] = np.minimum(va[m1], vb[m1])
+            m2 = dband == 2
+            if m2.any():
+                low = diff[m2] & (~diff[m2] + np.uint64(1))
+                canon[m2] = np.minimum(va[m2] ^ low, va[m2] ^ (diff[m2] ^ low))
+            ok = np.flatnonzero((dband >= 1) & (canon == zv))
+            if len(ok):
+                # expand qualifying rep pairs to doc-level cross products
+                la = (sub_ends - sub_starts)[ra[ok]]
+                lb = (sub_ends - sub_starts)[rb[ok]]
+                counts = la * lb
+                rep = np.repeat(np.arange(len(ok)), counts)
+                # position within each cross product
+                off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                pos = np.arange(counts.sum(), dtype=np.int64) - off[rep]
+                gi = sub_starts[ra[ok]][rep] + pos // lb[rep]
+                gj = sub_starts[rb[ok]][rep] + pos % lb[rep]
+                a, b, dd = _finalize(
+                    dids[gi], dids[gj], fps_s[gi], fps_s[gj], sub_band[ra[ok]][rep]
+                )
+                out_a.append(a); out_b.append(b); out_d.append(dd)
+
+        if not out_a:
             return empty
-        ia, ib = np.concatenate(ia), np.concatenate(ib)
-        da, db = dids[ia], dids[ib]
-        d = _popcount64(fps_s[ia] ^ fps_s[ib])
-        keep = (d <= max_hamming) & (da != db)
-        lo = np.minimum(da[keep], db[keep])
-        hi = np.maximum(da[keep], db[keep])
-        # partition-local dedup (identical docs share all 17 probes of a band)
-        stacked = np.stack([lo, hi, d[keep]], axis=1)
-        u = np.unique(stacked, axis=0)
         return pa.table(
             {
-                "doc_a": pa.array(u[:, 0], pa.int64()),
-                "doc_b": pa.array(u[:, 1], pa.int64()),
-                "hamming": pa.array(u[:, 2], pa.int64()),
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_d), pa.int64()),
             }
         )
 
-    from ..stages.joins import dedup_rows
-
-    cand = (
+    return (
         probed.map_batches(add_prt, batch_format="pyarrow")
         .groupby("prt")
         .map_groups(
             lambda g: pairs_partition(g.drop_columns(["prt"])), batch_format="pyarrow"
         )
     )
-    return dedup_rows(cand, ["doc_a", "doc_b"])
 
 
 def _min_label_partition(t: pa.Table) -> pa.Table:
@@ -607,10 +709,10 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
     def _partition_min(ds):
         def add_prt(t: pa.Table) -> pa.Table:
             t = t.combine_chunks()
+            from ..stages.joins import hash_prt
+
             d = t["doc_id"].to_numpy(zero_copy_only=False)
-            with np.errstate(over="ignore"):
-                prt = np.abs(d * np.int64(0x9E3779B1)) % buckets
-            return t.append_column("prt", pa.array(prt, pa.int64()))
+            return t.append_column("prt", pa.array(hash_prt(d, buckets), pa.int64()))
 
         return (
             ds.map_batches(add_prt, batch_format="pyarrow")

@@ -28,9 +28,23 @@ import pyarrow as pa
 _GOLD = np.int64(0x9E3779B1)
 
 
-def _prt_of(keys: np.ndarray, buckets: int) -> np.ndarray:
+def hash_prt(keys: np.ndarray, buckets: int) -> np.ndarray:
+    """Partition id from an int64 key: splitmix64-style avalanche mix, then
+    mod.  A plain ``(key * odd) % 2^k`` depends only on the key's low k bits
+    (multiplication mod a power of two never mixes high bits downward), which
+    silently skews partitioning for structured keys -- always use this."""
     with np.errstate(over="ignore"):
-        return np.abs(keys.astype(np.int64) * _GOLD) % buckets
+        h = keys.astype(np.int64).view(np.uint64).copy()
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        return (h % np.uint64(buckets)).astype(np.int64)
+
+
+def _prt_of(keys: np.ndarray, buckets: int) -> np.ndarray:
+    return hash_prt(keys, buckets)
 
 
 def _ray_schema_to_arrow(ds) -> pa.Schema:
@@ -152,7 +166,7 @@ def dedup_rows(ds, cols: list[str], buckets: int = 16):
         with np.errstate(over="ignore"):
             for c in cols:
                 h = h * _GOLD ^ t[c].to_numpy(zero_copy_only=False).astype(np.int64)
-        return t.append_column("prt", pa.array(np.abs(h) % buckets, pa.int64()))
+        return t.append_column("prt", pa.array(hash_prt(h, buckets), pa.int64()))
 
     def first_of_run(t: pa.Table) -> pa.Table:
         t = t.combine_chunks().drop_columns(["prt"])

@@ -149,14 +149,17 @@ def test_simhash_banded_pairs_match_bruteforce(ray_session):
         for j in np.flatnonzero((d <= 10) & (ids > ids[i])):
             want.add((int(ids[i]), int(ids[j]), int(d[j])))
     got_t = dataset_to_table(dedup_simhash_pairs(SF, max_hamming=10))
-    got = set(
+    got_list = list(
         zip(
             got_t["doc_a"].to_pylist(),
             got_t["doc_b"].to_pylist(),
             got_t["hamming"].to_pylist(),
         )
     )
+    got = set(got_list)
     assert got == want
+    # canonical-bucket emission: each pair produced EXACTLY once, no dedup
+    assert len(got_list) == len(got)
 
 
 def test_lsh_topk_recall(ray_session):
