@@ -82,25 +82,45 @@ class ImageDecodeResize:
         return _fake_pixels(payload, w, h)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = batch.combine_chunks()
-        rows = []
-        for r in t.to_pylist():
-            if r["kind"] != "image":
-                continue
-            img = self._decode(r["payload"], r["width"], r["height"])
-            # nearest-neighbor resize (vectorized index grid)
-            ys = (np.arange(self.out) * img.shape[0] // self.out)
-            xs = (np.arange(self.out) * img.shape[1] // self.out)
-            small = img[np.ix_(ys, xs)]
-            rows.append(
-                {
-                    "media_id": r["media_id"],
-                    "pixels": small.ravel().astype(np.float32).tolist(),
-                    "mean_intensity": float(img.mean()),
-                    "std_intensity": float(img.std()),
-                }
+        sub = t.filter(pc.equal(t["kind"], "image")).combine_chunks()
+        n = sub.num_rows
+        if n == 0:
+            return pa.table(
+                {f.name: pa.nulls(0, f.type) for f in self._schema()},
+                schema=self._schema(),
             )
-        return pa.Table.from_pylist(rows, schema=self._schema())
+        pay = sub["payload"]
+        w = sub["width"].to_numpy(zero_copy_only=False)
+        h = sub["height"].to_numpy(zero_copy_only=False)
+        # per-payload decode is inherent (ragged bytes); feature math is
+        # batched over a preallocated (n, out*out) matrix -- no per-row dicts
+        pix = np.empty((n, self.out * self.out), dtype=np.float32)
+        means = np.empty(n)
+        stds = np.empty(n)
+        for i in range(n):
+            img = self._decode(pay[i].as_buffer(), int(w[i]), int(h[i]))
+            ys = np.arange(self.out) * img.shape[0] // self.out
+            xs = np.arange(self.out) * img.shape[1] // self.out
+            pix[i] = img[np.ix_(ys, xs)].ravel()
+            means[i] = img.mean()
+            stds[i] = img.std()
+        offs = pa.array(
+            np.arange(0, (n + 1) * self.out * self.out, self.out * self.out, np.int32)
+        )
+        return pa.table(
+            {
+                "media_id": sub["media_id"],
+                "pixels": pa.ListArray.from_arrays(
+                    offs, pa.array(pix.reshape(-1), pa.float32())
+                ),
+                "mean_intensity": pa.array(means, pa.float64()),
+                "std_intensity": pa.array(stds, pa.float64()),
+            },
+            schema=self._schema(),
+        )
 
     @staticmethod
     def _schema():
@@ -122,37 +142,41 @@ class AudioDecodeFeatures:
         self.decode = decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.stats import rms_value, zcr_value
+        import pyarrow.compute as pc
 
+        schema = pa.schema(
+            [
+                ("media_id", pa.string()),
+                ("rms", pa.float64()),
+                ("zcr", pa.float64()),
+                ("duration_s", pa.float64()),
+            ]
+        )
         t = batch.combine_chunks()
-        rows = []
-        for r in t.to_pylist():
-            if r["kind"] != "audio":
-                continue
-            if self.decode == "real":
-                raise NotImplementedError(
-                    "real audio decode requires soundfile (not in this "
-                    "container); plug in here: bytes -> (pcm, sr)"
-                )
-            pcm = _fake_pcm(r["payload"])
-            rows.append(
-                {
-                    "media_id": r["media_id"],
-                    "rms": float(rms_value(pcm)),
-                    "zcr": float(zcr_value(pcm)),
-                    "duration_s": len(pcm) / max(1, r["sample_rate"]),
-                }
+        sub = t.filter(pc.equal(t["kind"], "audio")).combine_chunks()
+        n = sub.num_rows
+        if n == 0:
+            return pa.table({f.name: pa.nulls(0, f.type) for f in schema}, schema=schema)
+        if self.decode == "real":
+            raise NotImplementedError(
+                "real audio decode requires soundfile (not in this "
+                "container); plug in here: bytes -> (pcm, sr)"
             )
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("media_id", pa.string()),
-                    ("rms", pa.float64()),
-                    ("zcr", pa.float64()),
-                    ("duration_s", pa.float64()),
-                ]
-            ),
+        pay = sub["payload"]
+        # fixed-length fake decode -> one (n, L) matrix; rms/zcr vectorized
+        # across the whole batch (axis=1), no per-clip kernel calls
+        pcm = np.stack([_fake_pcm(pay[i].as_buffer()) for i in range(n)])
+        rms = np.sqrt((pcm**2).mean(axis=1))
+        zcr = np.sum(pcm[:, :-1] * pcm[:, 1:] < 0, axis=1) / (pcm.shape[1] - 1)
+        sr = np.maximum(1, sub["sample_rate"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "media_id": sub["media_id"],
+                "rms": pa.array(rms, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
+                "duration_s": pa.array(pcm.shape[1] / sr, pa.float64()),
+            },
+            schema=schema,
         )
 
 
@@ -163,18 +187,32 @@ class VideoFrameSample:
         self.every = every
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        schema = pa.schema(
+            [("media_id", pa.string()), ("sampled_frames", pa.list_(pa.int32()))]
+        )
         t = batch.combine_chunks()
-        rows = []
-        for r in t.to_pylist():
-            if r["kind"] != "video":
-                continue
-            frames = list(range(0, r["n_frames"], self.every))
-            rows.append({"media_id": r["media_id"], "sampled_frames": frames})
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [("media_id", pa.string()), ("sampled_frames", pa.list_(pa.int32()))]
-            ),
+        sub = t.filter(pc.equal(t["kind"], "video")).combine_chunks()
+        n = sub.num_rows
+        if n == 0:
+            return pa.table({f.name: pa.nulls(0, f.type) for f in schema}, schema=schema)
+        nf = sub["n_frames"].to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = -(-nf // self.every)  # ceil
+        offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        # frame ids for all rows in one arange (vectorized ragged build)
+        local = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+            offs[:-1].astype(np.int64), counts
+        )
+        values = (local * self.every).astype(np.int32)
+        return pa.table(
+            {
+                "media_id": sub["media_id"],
+                "sampled_frames": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(values, pa.int32())
+                ),
+            },
+            schema=schema,
         )
 
 

@@ -1,8 +1,11 @@
 """Document-corpus pipelines: per-doc text stats, language/quality scoring,
 exact + near deduplication (MinHash-LSH, SimHash, n-gram Jaccard).
 
-All heavy stages are actor pools (compiled state built once per actor) over
-Arrow batches; shuffles are explicit groupbys on hash keys.
+Scale shape: per-doc stages are elastic task pools over Arrow batches with
+per-worker-process cached state (hash matrices, stopword tables); everything
+pairwise rides on explicit hash-partitioned groupbys and the partitioned
+hash joins in stages/joins.py -- nothing is broadcast or materialized on the
+driver at corpus scale.
 """
 
 from __future__ import annotations
@@ -27,7 +30,8 @@ def _read_docs(sf_dir: str, columns=("doc_id", "text")):
 
 
 class TextStats:
-    """Actor: per-doc token counts, char counts, mean word length, md5."""
+    """Per-doc token counts, char counts, mean word length, md5 (stateless
+    -- runs as an elastic task pool)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -57,14 +61,12 @@ class TextStats:
 
 
 def text_stats(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(
-        TextStats, batch_format="pyarrow", concurrency=2
-    )
+    return _read_docs(sf_dir).map_batches(TextStats(), batch_format="pyarrow")
 
 
 class LangQuality:
-    """Actor: heuristic language ID + quality score (stopword tables loaded
-    once per actor)."""
+    """Heuristic language ID + quality score (stopword tables are module
+    state, loaded once per worker process; stateless task pool)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = batch.combine_chunks()
@@ -79,9 +81,7 @@ class LangQuality:
 
 
 def lang_quality(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(
-        LangQuality, batch_format="pyarrow", concurrency=2
-    )
+    return _read_docs(sf_dir).map_batches(LangQuality(), batch_format="pyarrow")
 
 
 def lang_distribution(sf_dir: str):
@@ -116,34 +116,42 @@ FROM documents GROUP BY lang
 """
 
 
-def dedup_exact(sf_dir: str):
-    """Exact dedup: content hash -> hash group -> representative (min doc_id)
-    + duplicate count.  The hash-partition + per-group-first pattern."""
+def dedup_exact(sf_dir: str, P: int = 32):
+    """Exact dedup: content hash -> hash partition -> representative (min
+    doc_id) + duplicate count.  One vectorized pandas groupby per HASH
+    PARTITION (not one Python call per distinct hash -- the partition-merge
+    pattern from stages/rollup.py)."""
+    from ..stages.joins import hash_prt
+
     ds = _read_docs(sf_dir)
 
     def hash_batch(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
+        hs = [md5_fingerprint(s) for s in t["text"].to_pylist()]
+        hi = np.array([int(h[:15], 16) for h in hs], dtype=np.int64)
         return pa.table(
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
-                "text_hash": pa.array(
-                    [md5_fingerprint(s) for s in t["text"].to_pylist()]
-                ),
+                "text_hash": pa.array(hs, pa.string()),
+                "prt": pa.array(hash_prt(hi, P), pa.int64()),
             }
         )
 
-    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
-    return hashed.groupby("text_hash").map_groups(
-        lambda g: pa.table(
-            {
-                "text_hash": g["text_hash"][:1],
-                "rep_doc_id": pa.array(
-                    [min(g["doc_id"].to_pylist())], pa.int64()
-                ),
-                "copies": pa.array([g.num_rows], pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("text_hash", as_index=False).agg(
+            rep_doc_id=("doc_id", "min"), copies=("doc_id", "size")
+        )
+        agg["rep_doc_id"] = agg["rep_doc_id"].astype(np.int64)
+        agg["copies"] = agg["copies"].astype(np.int64)
+        return agg
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge_partition(g.drop(columns=["prt"])),
+            batch_format="pandas",
+        )
     )
 
 
@@ -392,7 +400,8 @@ class SimHash:
 
 
 def simhash_fingerprints(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(SimHash, batch_format="pyarrow", concurrency=2)
+    # stateless task pool: fingerprinting parallelism scales with the cluster
+    return _read_docs(sf_dir).map_batches(SimHash(), batch_format="pyarrow")
 
 
 def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
@@ -407,39 +416,102 @@ def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
     over the joined pairs (shingle-set ops per pair; pair-bounded work)."""
     from ..stages.joins import keyed_equijoin
 
+    from ..stages.joins import hash_prt
+
     pairs = dedup_minhash_pairs(sf_dir, threshold=candidate_threshold)
     docs = _read_docs(sf_dir)
     docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
-    j = keyed_equijoin(
-        pairs, docs, on=("doc_a", "doc_id"), schemas=(_PAIR_SCHEMA, docs_schema)
-    )  # + text
-    j1_schema = pa.schema(list(_PAIR_SCHEMA) + [pa.field("text", pa.string())])
-    j = keyed_equijoin(
-        j, docs, on=("doc_b", "doc_id"), suffix="_b", schemas=(j1_schema, docs_schema)
-    )  # + text_b
 
-    def verify(b: pa.Table) -> pa.Table:
-        b = b.combine_chunks()
-        if b.num_rows == 0:
-            return pa.Table.from_pylist([], schema=_VPAIR_SCHEMA)
-        ja = np.array(
-            [
-                jaccard(char_ngrams(ta), char_ngrams(tb))
-                for ta, tb in zip(b["text"].to_pylist(), b["text_b"].to_pylist())
-            ]
-        )
-        keep = pa.array(ja >= verify_threshold)
+    # PROBE side: each pair twice, keyed by doc_a (role 0) and doc_b (role 1)
+    # -- the corpus text then moves through ONE keyed shuffle total, and the
+    # second shuffle only carries pair-bounded half rows.
+    def explode(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        est = t["est_jaccard"].to_numpy(zero_copy_only=False)
+        n = len(a)
         return pa.table(
             {
-                "doc_a": b["doc_a"].filter(keep),
-                "doc_b": b["doc_b"].filter(keep),
-                "est_jaccard": b["est_jaccard"].filter(keep),
-                "jaccard": pa.array(np.round(ja[ja >= verify_threshold], 6), pa.float64()),
+                "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "est_jaccard": pa.array(np.concatenate([est, est]), pa.float64()),
+                "probe": pa.array(np.concatenate([a, b]), pa.int64()),
+                "role": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    probe_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("est_jaccard", pa.float64()),
+            ("probe", pa.int64()),
+            ("role", pa.int8()),
+        ]
+    )
+    halves = keyed_equijoin(
+        pairs.map_batches(explode, batch_format="pyarrow"),
+        docs,
+        on=("probe", "doc_id"),
+        schemas=(probe_schema, docs_schema),
+    )  # + text (for the probe side)
+
+    def add_pair_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            h = a * np.int64(0x9E3779B1) ^ b
+        return t.append_column("prt", pa.array(hash_prt(h, 32), pa.int64()))
+
+    def verify_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_VPAIR_SCHEMA)
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((role, b, a))
+        # consecutive (a, b) rows: role 0 then role 1
+        a_s, b_s, r_s = a[order], b[order], role[order]
+        texts = t["text"].take(pa.array(order)).to_pylist()
+        est = t["est_jaccard"].to_numpy(zero_copy_only=False)[order]
+        first = np.flatnonzero(
+            np.concatenate(([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])))
+        )
+        rows_a, rows_b, rows_e, rows_j = [], [], [], []
+        n = len(a_s)
+        for s in first:
+            if s + 1 >= n or r_s[s] != 0 or r_s[s + 1] != 1:
+                continue  # half missing (doc absent) -- drop like an inner join
+            ja = jaccard(char_ngrams(texts[s]), char_ngrams(texts[s + 1]))
+            if ja >= verify_threshold:
+                rows_a.append(a_s[s])
+                rows_b.append(b_s[s])
+                rows_e.append(est[s])
+                rows_j.append(round(ja, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(rows_a, pa.int64()),
+                "doc_b": pa.array(rows_b, pa.int64()),
+                "est_jaccard": pa.array(rows_e, pa.float64()),
+                "jaccard": pa.array(rows_j, pa.float64()),
             },
             schema=_VPAIR_SCHEMA,
         )
 
-    return j.map_batches(verify, batch_format="pyarrow")
+    return (
+        halves.map_batches(add_pair_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: verify_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 _VPAIR_SCHEMA = pa.schema(

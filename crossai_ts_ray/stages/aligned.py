@@ -367,24 +367,43 @@ def aligned_rollup_cascade(
         ["kind", "ntok_hist", "tok_hist"]
     )
     out[fine.name] = fine_rows
+    if len(tiers) < 2:
+        return out
     partials = union.filter(expr="kind == 1").drop_columns(
         ["mean", "p50", "p99", "tok_mean", "tok_p50", "tok_p99"]
     )
-    prev_width = coarse.width
-    cur = partials
-    for tier in tiers[1:]:
-        factor = tier.width // prev_width
-        if factor > 1:
-            cur = cur.map_batches(
-                lambda b, f=factor: rekey_dense(b, f), batch_format="pyarrow"
+
+    # ONE exchange serves every coarse tier: partition by (source, COARSEST
+    # bucket) -- nesting widths mean a partition holds complete groups for
+    # all of them, so each tier is then a plain in-partition merge of the
+    # same shuffled partials (vs one sort-shuffle per tier before).
+    coarsest = tiers[-1]
+
+    def add_prt_coarsest(t: pa.Table) -> pa.Table:
+        rk = rekey_dense(t, coarsest.width // coarse.width)
+        keyed = with_partition_col(rk, merge_partitions, False)
+        return t.append_column("prt", keyed["prt"])
+
+    def merge_all_tiers(g: pa.Table) -> pa.Table:
+        tabs = []
+        for i, tier in enumerate(tiers[1:]):
+            m = merge_dense_partials(rekey_dense(g, tier.width // coarse.width))
+            tabs.append(
+                m.append_column(
+                    "tier_id", pa.array(np.full(m.num_rows, i, np.int64), pa.int64())
+                )
             )
-            prev_width = tier.width
-        keyed = cur.map_batches(
-            lambda b: with_partition_col(b, merge_partitions, False),
-            batch_format="pyarrow",
-        )
-        out[tier.name] = keyed.groupby("prt").map_groups(
-            lambda g: merge_dense_partials(g), batch_format="pyarrow"
-        )
-        # next tier re-merges the SAME dense partials at a coarser key
+        return pa.concat_tables(tabs)
+
+    merged = (
+        partials.map_batches(add_prt_coarsest, batch_format="pyarrow")
+        # coalesce the (small) partials: without this the sort inherits one
+        # block per input group and the merge pays per-task scheduling
+        # latency on ~100 mostly-empty tasks
+        .repartition(merge_partitions)
+        .groupby("prt")
+        .map_groups(merge_all_tiers, batch_format="pyarrow")
+    ).materialize()  # rollup-sized: all coarse tiers, one pass
+    for i, tier in enumerate(tiers[1:]):
+        out[tier.name] = merged.filter(expr=f"tier_id == {i}").drop_columns(["tier_id"])
     return out
