@@ -396,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # score (rows-only: stopword-table heuristics aren't SQL)
         "dedup_jaccard_verified": _text("dedup_jaccard_verified"),
         "dedup_simhash_pairs": _text("dedup_simhash_pairs"),
+        # connected components over the SimHash near-dup graph (join-based
+        # min-label propagation; rows-only -- iterative, no SQL oracle)
+        "dedup_clusters_simhash": _dedup_clusters_q,
         # similarity search family
         "ann_cosine_topk": _ann("cosine_topk"),
         "ann_lsh_topk": _ann("lsh_topk"),
@@ -412,6 +415,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synth_rollup_job": _synth_job_q,
     }
     return q
+
+
+def _dedup_clusters_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.text_pipeline import (
+        dedup_clusters,
+        dedup_simhash_pairs,
+    )
+
+    return dedup_clusters(dedup_simhash_pairs(sf_dir))
 
 
 def _spectral_features_q(sf_dir: str):

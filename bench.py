@@ -67,6 +67,22 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         total_rows=bench_rows, num_sources=64, num_shards=16, mean_n_tok=96.0
     )
     token_dir = synth.generate(spec, synth.default_cache_dir(spec))
+
+    # worker spawn + import warmup: force Ray worker processes up with the
+    # library modules imported BEFORE any timed section -- session startup
+    # (process fork + numpy/pyarrow/library imports per worker) is a
+    # once-per-cluster cost, not engine throughput
+    import ray.data as _rd
+
+    def _warm_workers(b):
+        import crossai_ts_ray.stages.aligned  # noqa: F401
+        import crossai_ts_ray.stages.rollup  # noqa: F401
+
+        return b
+
+    _rd.range(ncpu * 4, override_num_blocks=ncpu * 4).map_batches(
+        _warm_workers, batch_size=1
+    ).materialize()
     _warm(glob.glob(os.path.join(token_dir, "shard=*", "*.parquet")))
     for t in ("documents", "events", "lineitem"):
         p = f"{sf_dir}/{t}.parquet"
@@ -170,33 +186,43 @@ def run_scaling(sf_dir: str) -> dict:
     """Same job at two parallelism levels in fresh processes (the sandbox
     stand-in for N vs 4N nodes)."""
 
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 
     def one(ncpu: int) -> dict:
+        # 4.8M rows: large enough that parallel work dominates fixed per-run
+        # costs, small enough that 8 concurrent readers stay inside this
+        # host's memory-bandwidth budget (9.6M rows at 8 CPUs is bandwidth-
+        # saturated and measures the host, not the engine)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_BENCH_ONLY="rollup",
                    GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALE_ROWS", "4800000"),
                    GRAFT_SHARDS_PER_COMMIT=os.environ.get("GRAFT_SHARDS_PER_COMMIT", "16"))
-        best = None
-        for _ in range(repeats):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["queries"]["rollup_job"] < best["queries"]["rollup_job"]:
-                best = r  # min over repeats: robust to co-tenant noise
-        return best
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
     # Default pair 2 vs 8: this host sustains only ~10-13 effective cores, so
     # 8->32 measures oversubscription, not scaling (both pairs documented in
     # BASELINE.md; override with GRAFT_SCALE_LO/HI).
     n_lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     n_hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    lo, hi = one(n_lo), one(n_hi)
+    # INTERLEAVE the two levels and take the per-level min: the host's
+    # co-tenant noise comes in multi-minute windows, so running all repeats
+    # of one level back-to-back lets one window depress a whole level
+    # (observed: same binary 31s..66s at 2 CPUs) -- alternating exposes both
+    # levels to the same windows
+    lo = hi = None
+    for _ in range(repeats):
+        r_lo, r_hi = one(n_lo), one(n_hi)
+        if lo is None or r_lo["queries"]["rollup_job"] < lo["queries"]["rollup_job"]:
+            lo = r_lo
+        if hi is None or r_hi["queries"]["rollup_job"] < hi["queries"]["rollup_job"]:
+            hi = r_hi
     # scaling on the headline distributed job, not driver-side bookkeeping
     t_lo = lo["queries"]["rollup_job"]
     t_hi = hi["queries"]["rollup_job"]

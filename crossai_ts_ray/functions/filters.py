@@ -251,3 +251,51 @@ def butterworth_bandpass_energy(
             for b in bands
         ]
     )
+
+
+def find_peaks_simple(x: np.ndarray) -> np.ndarray:
+    """Indices of local maxima, scipy.signal.find_peaks default semantics:
+    strictly higher than both neighbors; a flat plateau flanked by lower
+    values peaks at its midpoint; edges are never peaks."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    peaks = []
+    i = 1
+    while i < n - 1:
+        if x[i - 1] < x[i]:
+            ahead = i + 1
+            while ahead < n - 1 and x[ahead] == x[i]:
+                ahead += 1
+            if x[ahead] < x[i]:
+                peaks.append((i + ahead - 1) // 2)
+                i = ahead
+        i += 1
+    return np.array(peaks, dtype=np.int64)
+
+
+def envelope_energy_peak_detection(
+    x: np.ndarray,
+    fs: float,
+    start: int = 50,
+    stop: int = 1000,
+    freq_step: int = 50,
+    fcl_add: int = 50,
+    export: str = "array",
+):
+    """Envelope Energy Peak Detection (caits/fe/_statistical.py:476): per
+    frequency band [fcl, fcl + fcl_add], order-1 Butterworth bandpass
+    (zero-phase), square, order-2 10 Hz lowpass envelope, normalize by the
+    max, count local maxima.  Returns peak counts per band."""
+    x = np.asarray(x, dtype=np.float64)
+    names, n_peaks = [], []
+    for fcl in range(start, stop, freq_step):
+        names.append(f"EEPD{fcl}_{fcl + freq_step}")
+        bp = filter_butterworth(x, fs, "bandpass", (fcl, fcl + fcl_add), order=1)
+        eed = filter_butterworth(bp**2, fs, "lowpass", 10.0, order=2)
+        eed = eed / np.max(eed + 1e-17)
+        n_peaks.append(int(len(find_peaks_simple(eed))))
+    if export == "array":
+        return np.array(n_peaks)
+    if export == "dict":
+        return dict(zip(names, n_peaks))
+    raise ValueError(f"Unsupported export={export}")

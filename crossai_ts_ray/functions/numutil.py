@@ -65,8 +65,10 @@ def merge_sparse_hists(
     v = np.concatenate(vals_list)
     c = np.concatenate(cnts_list)
     uv, inv = np.unique(v, return_inverse=True)
-    uc = np.zeros(len(uv), dtype=np.int64)
-    np.add.at(uc, inv, c)
+    # bincount with weights beats np.add.at's per-element scatter
+    uc = np.bincount(inv, weights=c.astype(np.float64), minlength=len(uv)).astype(
+        np.int64
+    )
     return uv, uc
 
 

@@ -148,3 +148,53 @@ def normalize(S: np.ndarray, norm=np.inf, axis: int | None = 0,
         length[small_idx] = np.inf
         Snorm[:] = S / length
     return Snorm
+
+
+def _resample_fourier(x: np.ndarray, num: int) -> np.ndarray:
+    """Fourier-method resampling to ``num`` samples (the scipy.signal.resample
+    real-input recipe: rfft, truncate/zero-pad the spectrum with the even-N
+    Nyquist-bin correction, irfft scaled by num/n)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    X = np.fft.rfft(x)
+    Y = np.zeros(num // 2 + 1, dtype=complex)
+    N = min(num, n)
+    nyq = N // 2 + 1
+    Y[:nyq] = X[:nyq]
+    if N % 2 == 0:
+        if num < n:
+            Y[N // 2] *= 2.0
+        elif num > n:
+            Y[N // 2] *= 0.5
+    return np.fft.irfft(Y, num) * (float(num) / float(n))
+
+
+def resample(y: np.ndarray, orig_sr: float, target_sr: float,
+             res_type: str = "linear", scale: bool = False) -> np.ndarray:
+    """librosa-style resample dispatch (caits/core/_core_resample.py:14):
+    output length ceil(n * target/orig); ``res_type`` 'linear' (np.interp)
+    or 'fft' (Fourier method).  soxr/polyphase modes need resampy/soxr
+    (absent in this container) and raise with that pointer.  ``scale=True``
+    rescales so the energy (sum of squares) is approximately preserved."""
+    y = np.asarray(y, dtype=np.float64)
+    if orig_sr == target_sr:
+        return y.copy()
+    ratio = float(target_sr) / float(orig_sr)
+    n_out = int(np.ceil(len(y) * ratio))
+    if res_type == "linear":
+        t_in = np.arange(len(y)) / orig_sr
+        t_out = np.arange(n_out) / target_sr
+        out = np.interp(t_out, t_in, y)
+    elif res_type == "fft":
+        out = _resample_fourier(y, n_out)
+    elif res_type in ("soxr_hq", "soxr_vhq", "soxr_mq", "soxr_lq", "polyphase",
+                      "kaiser_best", "kaiser_fast"):
+        raise NotImplementedError(
+            f"res_type={res_type!r} needs soxr/resampy/scipy (absent in this "
+            "container); use 'linear' or 'fft'"
+        )
+    else:
+        raise ValueError(f"unknown res_type {res_type!r}")
+    if scale:
+        out = out / np.sqrt(ratio)
+    return out

@@ -255,6 +255,12 @@ def griffinlim(
     return istft(S_mag * angles, hop_length=hop_length, length=length)
 
 
+def mfcc_mean(y, sr: float = 22050, n_mfcc: int = 20, **kw) -> np.ndarray:
+    """Mean of each MFCC coefficient over frames
+    (caits/fe/_statistical.py:574)."""
+    return mfcc(y, sr=sr, n_mfcc=n_mfcc, **kw).mean(axis=1)
+
+
 def mfcc_stats(
     x, sr: float = 22050, n_mfcc: int = 13, export: str = "array", **kw
 ) -> np.ndarray | dict:

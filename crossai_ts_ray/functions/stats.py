@@ -239,4 +239,16 @@ def signal_stats(x, fs: float = 1.0) -> dict:
         )
     mom = central_moments(x)
     out.update({k: float(v) for k, v in mom.items()})
+    # the reference bundle also carries EEPD peak counts and per-coefficient
+    # MFCC means (caits/fe/_statistical.py:642-644); they only make sense for
+    # audio-rate signals, so they auto-enable when fs supports the EEPD band
+    # grid / an STFT frame fits
+    if fs / 2.0 > 1000:
+        from .filters import envelope_energy_peak_detection
+
+        out["eepd"] = envelope_energy_peak_detection(x, fs)
+    if len(x) >= 2048:
+        from .spectral import mfcc_mean
+
+        out["mfcc_mean"] = mfcc_mean(x, sr=fs)
     return out

@@ -64,7 +64,9 @@ def _fragment_source_stats(path: str, rg: int) -> pa.Table:
     pass (reads only two pruned columns of one row group)."""
     import pyarrow.parquet as pq
 
-    t = pq.ParquetFile(path).read_row_group(rg, columns=["doc_id", "source"])
+    t = pq.ParquetFile(path).read_row_group(
+        rg, columns=["doc_id", "source"], use_threads=False
+    )
     t = t.combine_chunks()
     did = t["doc_id"].to_numpy(zero_copy_only=False)
     src = t["source"]
@@ -167,7 +169,7 @@ def tokens_from_documents(sf_dir: str) -> rd.Dataset:
         out = []
         for p, rg in zip(t["path"].to_pylist(), t["rg"].to_pylist()):
             raw = pq.ParquetFile(p).read_row_group(
-                rg, columns=["doc_id", "text", "source"]
+                rg, columns=["doc_id", "text", "source"], use_threads=False
             )
             tok = _tokenize_batch(raw)
             did = tok["_did"].to_numpy(zero_copy_only=False)

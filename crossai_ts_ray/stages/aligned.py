@@ -12,11 +12,16 @@ are on the seq axis.  Consequences:
   "pre-aggregate before the shuffle" principle taken to its limit: the
   partitioning key chosen at ingest (source, seq-range) is reused by the
   rollup.
-* coarser tiers: per-(source, coarse-bucket) partial counters + DENSE value
-  histograms (token domain is a bounded vocab => a dense int32 bincount is
-  ~40x smaller than the raw multiset of a 1d bucket and merges by vector
-  addition -- exact).  The shuffle moves ~200KB per (source, hourly bucket)
-  instead of the raw token volume.
+* SOURCE-COMPLETE fast path: when the planner sees a source whose files all
+  fit in one group, EVERY tier finalizes inside that map task (coarse
+  percentiles from dense bincounts -- bitwise-exact) and the source never
+  touches the exchange.  Only over-sized sources emit partials.
+* coarser tiers (over-sized sources): per-(source, coarse-bucket) partial
+  counters + DENSE value histograms (token domain is a bounded vocab => a
+  dense int32 bincount is ~40x smaller than the raw multiset of a 1d bucket
+  and merges by vector addition -- exact).  ONE exchange keyed by the
+  coarsest bucket serves every coarse tier (widths nest), moving ~200KB per
+  (source, hourly bucket) instead of the raw token volume.
 
 Bitwise-exactness: identical multisets reach every percentile computation;
 ``percentile_from_dense`` replicates np.percentile(method="linear") on the
@@ -77,8 +82,11 @@ def _percentiles_dense_rows(hists: np.ndarray, q: float) -> np.ndarray:
     return np.where(t >= 0.5, b - diff * (1 - t), a + diff * t)
 
 
-def plan_aligned_groups(shard_dirs: list[str], chunk_rows: int, width: int):
-    """[(source_files...)] grouped so finest-tier buckets never span groups."""
+def plan_aligned_groups_ex(shard_dirs: list[str], chunk_rows: int, width: int):
+    """[(source_files...)] grouped so finest-tier buckets never span groups,
+    plus a per-group SOURCE-COMPLETE flag: a source whose files all fit in
+    one group needs no coarse-tier exchange at all (every tier's buckets are
+    complete inside the map task)."""
     import glob as _glob
     import re
 
@@ -88,21 +96,44 @@ def plan_aligned_groups(shard_dirs: list[str], chunk_rows: int, width: int):
         for f in sorted(_glob.glob(os.path.join(sd, "*.parquet"))):
             m = re.match(r"part-(.+)-(\d+)\.parquet", os.path.basename(f))
             by_source.setdefault(m.group(1), []).append(f)
-    groups = []
+    groups, complete = [], []
     for src in sorted(by_source):
         files = by_source[src]
+        one_group = len(files) <= k
         for i in range(0, len(files), k):
             groups.append(files[i : i + k])
-    return groups
+            complete.append(one_group)
+    return groups, complete
+
+
+def plan_aligned_groups(shard_dirs: list[str], chunk_rows: int, width: int):
+    """[(source_files...)] grouped so finest-tier buckets never span groups."""
+    return plan_aligned_groups_ex(shard_dirs, chunk_rows, width)[0]
 
 
 def process_aligned_group(
-    files: list[str], fine: Tier, coarse: Tier, chunk_rows: int | None = None
+    files: list[str],
+    fine: Tier,
+    coarse: Tier,
+    chunk_rows: int | None = None,
+    tiers=None,
+    source_complete: bool = False,
 ) -> pa.Table:
     """One map task: read a bucket-aligned file group of ONE source, emit
-    union rows -- kind=0: finalized fine-tier rollups; kind=1: coarse-tier
-    partials (counters + dense hists)."""
-    t = pq.read_table(files, columns=["tokens", "n_tok", "source", "seq"])
+    union rows routed by ``tier_id``: finalized rollups carry their tier
+    index; coarse partials (counters + dense hists) carry tier_id = -1.
+
+    When ``source_complete`` (the whole source fits in this group -- planner
+    fact), EVERY tier is finalized in-task and no partials are emitted: such
+    sources never touch the coarse exchange.  Over-sized sources emit the
+    finest tier finalized plus base-coarse partials as before."""
+    # use_threads=False: a Ray map task owns ONE scheduled CPU; letting
+    # pyarrow fan out onto its global pool (os.cpu_count() threads) makes
+    # every task silently steal the whole machine -- wrong resource
+    # accounting and dishonest scaling measurements.
+    t = pq.read_table(
+        files, columns=["tokens", "n_tok", "source", "seq"], use_threads=False
+    )
     t = t.combine_chunks()
     n = t.num_rows
     seq = t["seq"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -144,8 +175,15 @@ def process_aligned_group(
                 f"file-group range [{lo}, {hi}) -- use the generic shuffle path"
             )
 
+    if source_complete and tiers is not None:
+        # fine finalizes in the loop; coarse tiers finalize below from ONE
+        # base-granularity hist pass (coarser tiers = hist reductions, the
+        # exchange merge run in-task)
+        specs = [(0, 0, fine)]
+    else:
+        specs = [(0, 0, fine), (1, -1, coarse)]
     out_tables = []
-    for kind, tier in ((0, fine), (1, coarse)):
+    for kind, tier_id, tier in specs:
         bucket = seq // tier.width
         starts = group_boundaries(bucket)
         ends = np.append(starts[1:], n)
@@ -163,6 +201,7 @@ def process_aligned_group(
 
         base = {
             "kind": pa.array(np.full(G, kind, dtype=np.int8), pa.int8()),
+            "tier_id": pa.array(np.full(G, tier_id, dtype=np.int8), pa.int8()),
             "source": pa.array([src] * G, pa.string()),
             "bucket": pa.array(bucket[starts], pa.int64()),
             "count": pa.array(counts, pa.int64()),
@@ -178,6 +217,7 @@ def process_aligned_group(
             # finalize in-task: complete groups by the alignment contract
             mean = sum_n.astype(np.float64) / counts.astype(np.float64)
             tok_mean = tok_sum.astype(np.float64) / tok_count.astype(np.float64)
+            # small buckets: per-group sorts beat histogramming
             p50 = np.empty(G)
             p99 = np.empty(G)
             tp50 = np.empty(G)
@@ -191,11 +231,10 @@ def process_aligned_group(
                 tvv = np.sort(flat64[seg_starts[i] : seg_ends[i]])
                 tp50[i] = percentile_from_sorted(tvv, Q_LOW)
                 tp99[i] = percentile_from_sorted(tvv, Q_HIGH)
-            fine_cols = dict(base)
-            fine_cols.pop("kind")
             tbl = pa.table(
                 {
                     "kind": base["kind"],
+                    "tier_id": base["tier_id"],
                     "source": base["source"],
                     "bucket": base["bucket"],
                     "count": base["count"],
@@ -217,19 +256,28 @@ def process_aligned_group(
                 }
             )
         else:
-            # dense partial hists per coarse group (merge = vector add)
-            nh = np.zeros((G, NTOK_BINS), dtype=np.int32)
-            th = np.zeros((G, VOCAB_SIZE), dtype=np.int32)
+            # dense partial hists per coarse group (merge = vector add);
+            # bincount over fused (group, value) keys -- np.add.at's scatter
+            # is ~10x slower and was 60% of the whole task
             gid_rows = np.repeat(np.arange(G, dtype=np.int64), ends - starts)
-            np.add.at(nh, (gid_rows, n_tok), 1)
+            nh = (
+                np.bincount(gid_rows * NTOK_BINS + n_tok, minlength=G * NTOK_BINS)
+                .reshape(G, NTOK_BINS)
+                .astype(np.int32)
+            )
             gid_toks = np.repeat(
                 np.arange(G, dtype=np.int64), seg_ends - seg_starts
             )
-            np.add.at(th, (gid_toks, flat64), 1)
+            th = (
+                np.bincount(gid_toks * VOCAB_SIZE + flat64, minlength=G * VOCAB_SIZE)
+                .reshape(G, VOCAB_SIZE)
+                .astype(np.int32)
+            )
             nulls = [None] * G
             tbl = pa.table(
                 {
                     "kind": base["kind"],
+                    "tier_id": base["tier_id"],
                     "source": base["source"],
                     "bucket": base["bucket"],
                     "count": base["count"],
@@ -255,6 +303,78 @@ def process_aligned_group(
                 }
             )
         out_tables.append(tbl)
+
+    if source_complete and tiers is not None and len(tiers) > 1:
+        # ONE base-granularity counting pass; every coarser tier is a hist
+        # reduction of it (the exchange merge, run in-task) -- no re-scan of
+        # the raw values per tier
+        base_t = tiers[1]
+        bucket = seq // base_t.width
+        starts = group_boundaries(bucket)
+        ends = np.append(starts[1:], n)
+        G = len(starts)
+        b_cnt = (ends - starts).astype(np.int64)
+        b_sum = np.add.reduceat(n_tok, starts)
+        b_min = np.minimum.reduceat(n_tok, starts)
+        b_max = np.maximum.reduceat(n_tok, starts)
+        seg_starts = row_offs[starts]
+        seg_ends = np.append(row_offs[starts[1:]], row_offs[-1])
+        b_tcnt = (seg_ends - seg_starts).astype(np.int64)
+        b_tsum = np.add.reduceat(flat64, seg_starts)
+        b_tmin = np.minimum.reduceat(flat, seg_starts).astype(np.int64)
+        b_tmax = np.maximum.reduceat(flat, seg_starts).astype(np.int64)
+        gid_rows = np.repeat(np.arange(G, dtype=np.int64), ends - starts)
+        nh = np.bincount(
+            gid_rows * NTOK_BINS + n_tok, minlength=G * NTOK_BINS
+        ).reshape(G, NTOK_BINS)
+        gid_toks = np.repeat(np.arange(G, dtype=np.int64), seg_ends - seg_starts)
+        th = np.bincount(
+            gid_toks * VOCAB_SIZE + flat64, minlength=G * VOCAB_SIZE
+        ).reshape(G, VOCAB_SIZE)
+        b_bkt = bucket[starts]
+        for ti, tier in enumerate(tiers[1:], start=1):
+            factor = tier.width // base_t.width
+            nb = b_bkt // factor
+            s2 = np.flatnonzero(np.concatenate(([True], nb[1:] != nb[:-1])))
+            g2 = len(s2)
+            cnt = np.add.reduceat(b_cnt, s2)
+            sm = np.add.reduceat(b_sum, s2)
+            mn = np.minimum.reduceat(b_min, s2)
+            mx = np.maximum.reduceat(b_max, s2)
+            tcnt = np.add.reduceat(b_tcnt, s2)
+            tsum = np.add.reduceat(b_tsum, s2)
+            tmn = np.minimum.reduceat(b_tmin, s2)
+            tmx = np.maximum.reduceat(b_tmax, s2)
+            nh2 = np.add.reduceat(nh, s2, axis=0)
+            th2 = np.add.reduceat(th, s2, axis=0)
+            out_tables.append(
+                pa.table(
+                    {
+                        "kind": pa.array(np.zeros(g2, np.int8), pa.int8()),
+                        "tier_id": pa.array(np.full(g2, ti, np.int8), pa.int8()),
+                        "source": pa.array([src] * g2, pa.string()),
+                        "bucket": pa.array(nb[s2], pa.int64()),
+                        "count": pa.array(cnt, pa.int64()),
+                        "sum": pa.array(sm, pa.int64()),
+                        "mean": pa.array(sm / cnt.astype(np.float64), pa.float64()),
+                        "min": pa.array(mn.astype(np.int32), pa.int32()),
+                        "max": pa.array(mx.astype(np.int32), pa.int32()),
+                        "p50": pa.array(_percentiles_dense_rows(nh2, Q_LOW), pa.float64()),
+                        "p99": pa.array(_percentiles_dense_rows(nh2, Q_HIGH), pa.float64()),
+                        "tok_count": pa.array(tcnt, pa.int64()),
+                        "tok_sum": pa.array(tsum, pa.int64()),
+                        "tok_mean": pa.array(
+                            tsum / tcnt.astype(np.float64), pa.float64()
+                        ),
+                        "tok_min": pa.array(tmn.astype(np.int32), pa.int32()),
+                        "tok_max": pa.array(tmx.astype(np.int32), pa.int32()),
+                        "tok_p50": pa.array(_percentiles_dense_rows(th2, Q_LOW), pa.float64()),
+                        "tok_p99": pa.array(_percentiles_dense_rows(th2, Q_HIGH), pa.float64()),
+                        "ntok_hist": pa.array([None] * g2, pa.list_(pa.int32())),
+                        "tok_hist": pa.array([None] * g2, pa.list_(pa.int32())),
+                    }
+                )
+            )
     return pa.concat_tables(out_tables)
 
 
@@ -350,60 +470,82 @@ def aligned_rollup_cascade(
             )
     fine = tiers[0]
     coarse = tiers[1] if len(tiers) > 1 else tiers[0]
-    groups = plan_aligned_groups(shard_dirs, chunk_rows, fine.width)
-    gds = rd.from_items([{"files": g} for g in groups])
+    groups, complete = plan_aligned_groups_ex(shard_dirs, chunk_rows, fine.width)
+    any_partial = not all(complete)
+    gds = rd.from_items(
+        [{"files": g, "complete": c} for g, c in zip(groups, complete)]
+    )
 
     def run_group(batch: pa.Table) -> pa.Table:
         tables = [
-            process_aligned_group(list(files), fine, coarse, chunk_rows=chunk_rows)
-            for files in batch["files"].to_pylist()
+            process_aligned_group(
+                list(files),
+                fine,
+                coarse,
+                chunk_rows=chunk_rows,
+                tiers=tiers,
+                source_complete=bool(c),
+            )
+            for files, c in zip(
+                batch["files"].to_pylist(), batch["complete"].to_pylist()
+            )
         ]
         return pa.concat_tables(tables)
 
     union = gds.map_batches(run_group, batch_size=1, batch_format="pyarrow").materialize()
 
+    drop_final = ["kind", "tier_id", "ntok_hist", "tok_hist"]
     out = {}
-    fine_rows = union.filter(expr="kind == 0").drop_columns(
-        ["kind", "ntok_hist", "tok_hist"]
-    )
-    out[fine.name] = fine_rows
+    out[fine.name] = union.filter(expr="tier_id == 0").drop_columns(drop_final)
     if len(tiers) < 2:
         return out
-    partials = union.filter(expr="kind == 1").drop_columns(
-        ["mean", "p50", "p99", "tok_mean", "tok_p50", "tok_p99"]
-    )
 
-    # ONE exchange serves every coarse tier: partition by (source, COARSEST
-    # bucket) -- nesting widths mean a partition holds complete groups for
-    # all of them, so each tier is then a plain in-partition merge of the
-    # same shuffled partials (vs one sort-shuffle per tier before).
-    coarsest = tiers[-1]
+    merged = None
+    if any_partial:
+        # ONE exchange serves every coarse tier: partition by (source,
+        # COARSEST bucket) -- nesting widths mean a partition holds complete
+        # groups for all of them, so each tier is a plain in-partition merge
+        # of the same shuffled partials.  Only OVER-SIZED sources (several
+        # aligned groups) reach this exchange; planner-complete sources were
+        # finalized inside their map task.
+        partials = union.filter(expr="tier_id == -1").drop_columns(
+            ["kind", "mean", "p50", "p99", "tok_mean", "tok_p50", "tok_p99"]
+        )
+        coarsest = tiers[-1]
 
-    def add_prt_coarsest(t: pa.Table) -> pa.Table:
-        rk = rekey_dense(t, coarsest.width // coarse.width)
-        keyed = with_partition_col(rk, merge_partitions, False)
-        return t.append_column("prt", keyed["prt"])
+        def add_prt_coarsest(t: pa.Table) -> pa.Table:
+            rk = rekey_dense(t, coarsest.width // coarse.width)
+            keyed = with_partition_col(rk, merge_partitions, False)
+            return t.append_column("prt", keyed["prt"])
 
-    def merge_all_tiers(g: pa.Table) -> pa.Table:
-        tabs = []
-        for i, tier in enumerate(tiers[1:]):
-            m = merge_dense_partials(rekey_dense(g, tier.width // coarse.width))
-            tabs.append(
-                m.append_column(
-                    "tier_id", pa.array(np.full(m.num_rows, i, np.int64), pa.int64())
+        def merge_all_tiers(g: pa.Table) -> pa.Table:
+            g = g.drop_columns(["tier_id"])
+            tabs = []
+            for i, tier in enumerate(tiers[1:], start=1):
+                m = merge_dense_partials(rekey_dense(g, tier.width // coarse.width))
+                tabs.append(
+                    m.append_column(
+                        "tier_id",
+                        pa.array(np.full(m.num_rows, i, np.int64), pa.int64()),
+                    )
                 )
-            )
-        return pa.concat_tables(tabs)
+            return pa.concat_tables(tabs)
 
-    merged = (
-        partials.map_batches(add_prt_coarsest, batch_format="pyarrow")
-        # coalesce the (small) partials: without this the sort inherits one
-        # block per input group and the merge pays per-task scheduling
-        # latency on ~100 mostly-empty tasks
-        .repartition(merge_partitions)
-        .groupby("prt")
-        .map_groups(merge_all_tiers, batch_format="pyarrow")
-    ).materialize()  # rollup-sized: all coarse tiers, one pass
-    for i, tier in enumerate(tiers[1:]):
-        out[tier.name] = merged.filter(expr=f"tier_id == {i}").drop_columns(["tier_id"])
+        merged = (
+            partials.map_batches(add_prt_coarsest, batch_format="pyarrow")
+            # coalesce the (small) partials: without this the sort inherits
+            # one block per input group and the merge pays per-task
+            # scheduling latency on ~100 mostly-empty tasks
+            .repartition(merge_partitions)
+            .groupby("prt")
+            .map_groups(merge_all_tiers, batch_format="pyarrow")
+        ).materialize()  # rollup-sized: all coarse tiers, one pass
+
+    for i, tier in enumerate(tiers[1:], start=1):
+        finalized = union.filter(expr=f"tier_id == {i}").drop_columns(drop_final)
+        if merged is not None:
+            finalized = finalized.union(
+                merged.filter(expr=f"tier_id == {i}").drop_columns(["tier_id"])
+            )
+        out[tier.name] = finalized
     return out

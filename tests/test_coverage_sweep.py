@@ -246,6 +246,69 @@ def test_yaml_and_json_loaders(tmp_path):
     assert d1 == {"doc1": {"k": 1}}
 
 
+def test_find_peaks_simple_semantics():
+    from crossai_ts_ray.functions.filters import find_peaks_simple
+
+    x = np.array([0, 1, 0, 2, 2, 2, 0, 3, 4, 3, 0], dtype=float)
+    got = find_peaks_simple(x).tolist()
+    # peak at 1; plateau 2,2,2 peaks at its midpoint (index 4); peak at 8
+    assert got == [1, 4, 8]
+    # edges never peak
+    assert find_peaks_simple(np.array([3.0, 1.0, 2.0])).tolist() == []
+
+
+def test_envelope_energy_peak_detection():
+    from crossai_ts_ray.functions.filters import envelope_energy_peak_detection
+
+    fs = 4000
+    t = np.arange(4096) / fs
+    # 100 Hz carrier amplitude-modulated at 5 Hz -> several envelope peaks
+    x = np.sin(2 * np.pi * 100 * t) * (1 + 0.8 * np.sin(2 * np.pi * 5 * t))
+    counts = envelope_energy_peak_detection(x, fs, start=50, stop=250, freq_step=50)
+    assert counts.shape == (4,)
+    assert counts[1] >= 3  # the 100-150 band sees the 5 Hz modulation peaks
+    d = envelope_energy_peak_detection(x, fs, start=50, stop=150, freq_step=50, export="dict")
+    assert set(d) == {"EEPD50_100", "EEPD100_150"}
+    with pytest.raises(ValueError):
+        envelope_energy_peak_detection(x, fs, export="bogus")
+
+
+def test_signal_stats_audio_extras():
+    from crossai_ts_ray.functions.stats import signal_stats
+
+    rng = np.random.default_rng(31)
+    x = rng.normal(size=4096)
+    s = signal_stats(x, fs=8000)
+    assert "eepd" in s and len(s["eepd"]) == (1000 - 50) // 50
+    assert "mfcc_mean" in s and s["mfcc_mean"].shape == (20,)
+    # token-rate signals stay lean (no audio-band features at fs=1)
+    s2 = signal_stats(x[:512], fs=1.0)
+    assert "eepd" not in s2 and "mfcc_mean" not in s2
+
+
+def test_resample_fft_mode():
+    from crossai_ts_ray.functions.preprocess import resample
+
+    fs = 1000
+    t = np.arange(1000) / fs
+    x = np.sin(2 * np.pi * 50 * t)
+    up = resample(x, fs, 2 * fs, res_type="fft")
+    assert len(up) == 2000
+    # a bandlimited signal upsamples near-exactly: compare to the analytic sine
+    t2 = np.arange(2000) / (2 * fs)
+    assert np.abs(up[50:-50] - np.sin(2 * np.pi * 50 * t2)[50:-50]).max() < 1e-6
+    down = resample(x, fs, fs // 2, res_type="fft")
+    assert len(down) == 500
+    assert resample(x, fs, fs, res_type="fft").shape == x.shape
+    with pytest.raises(NotImplementedError):
+        resample(x, fs, 2 * fs, res_type="soxr_hq")
+    with pytest.raises(ValueError):
+        resample(x, fs, 2 * fs, res_type="bogus")
+    # energy-preserving scale option
+    sc = resample(x, fs, 4 * fs, res_type="fft", scale=True)
+    assert np.abs((sc**2).sum() - (x**2).sum()) / (x**2).sum() < 0.05
+
+
 # -- evaluation path ---------------------------------------------------------
 
 
