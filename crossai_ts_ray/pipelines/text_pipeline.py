@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.dedup import MinHasher, simhash64
@@ -730,106 +731,195 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 10, P: int = 32):
     )
 
 
-def _min_label_partition(t: pa.Table) -> pa.Table:
-    """(doc_id, cluster) -> per-doc min cluster, vectorized over a whole
-    hash partition (lexsort + minimum.reduceat; no per-group Python call)."""
-    t = t.combine_chunks()
-    if t.num_rows == 0:
-        return pa.table(
-            {"doc_id": pa.nulls(0, pa.int64()), "cluster": pa.nulls(0, pa.int64())}
-        )
-    d = t["doc_id"].to_numpy(zero_copy_only=False)
-    c = t["cluster"].to_numpy(zero_copy_only=False)
-    order = np.argsort(d, kind="stable")
-    ds_, cs_ = d[order], c[order]
-    starts = np.flatnonzero(np.concatenate(([True], ds_[1:] != ds_[:-1])))
-    return pa.table(
-        {
-            "doc_id": pa.array(ds_[starts], pa.int64()),
-            "cluster": pa.array(np.minimum.reduceat(cs_, starts), pa.int64()),
-        }
-    )
+def _dsu_min_roots(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over the edge list (a[i], b[i]) -> (nodes, root) with
+    root = min doc_id of each node's component.  Unions always attach the
+    larger root index under the smaller and node indices are sort order,
+    so every tree root is the minimum doc_id of its component."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    m = len(a)
+    for x, y in zip(inv[:m].tolist(), inv[m:].tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    # full path compression, vectorized pointer jumping
+    while True:
+        pp = parent[parent]
+        if np.array_equal(pp, parent):
+            break
+        parent = pp
+    return nodes, nodes[parent]
 
 
 def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
-    """Near-dup pair list -> connected components by iterative min-label
-    propagation, entirely as keyed joins/groupbys over edge-sized data:
-    each round joins the label table onto the edge list (partitioned hash
-    join, stages/joins.py), takes the per-doc min of {own label, neighbor
-    labels} with a vectorized segment-min, and checks convergence with a
-    single scalar aggregate (labels only ever decrease, so sum(cluster)
-    is a monotone potential -- unchanged sum <=> converged).  The driver
-    sees one int per round; labels/edges are never take_all'd or ray.put.
-    Converges in O(longest path to the component min) rounds.
+    """Near-dup pair list -> connected components in a FIXED number of
+    exchanges, not O(graph diameter) label-propagation rounds (each Ray
+    round costs a sort-shuffle plus join-lineage re-execution -- measured
+    ~50s+/round at sf0.01, and growing per round):
 
-    Returns a Dataset of (doc_id, cluster) with cluster = min doc_id of the
-    component."""
-    from ..stages.joins import keyed_equijoin
+    1. symmetrize edges and hash-shuffle ONCE on the first endpoint; a
+       per-partition union-find labels every node it sees with the min
+       doc_id of its local component (each undirected edge is seen whole
+       in the partition of each endpoint),
+    2. hash-shuffle the (doc_id, local_label) rows ONCE on doc_id: a doc
+       that received different labels from different partitions proves
+       those labels equivalent -- emit the per-doc min label (kind=0) plus
+       label~label equivalence edges (kind=1),
+    3. the equivalence graph is CONTRACTED data: <= one entry per
+       (component x partition it spans), orders of magnitude smaller than
+       the edge list for small near-dup components -- a single driver-side
+       union-find resolves it and the root map is broadcast via ray.put
+       (small-side broadcast, never a raw-sized object),
+    4. one streaming map remaps per-doc labels through the root map.
 
-    def edges_sym(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
+    Correctness: for any edge (u, v), partition h(u) assigns u and v the
+    same local label L, so the equivalence chain u~L~v links every path in
+    the component; the global min doc_id m labels itself m in partition
+    h(m), so each component's equivalence class contains and resolves to m.
+
+    ``max_rounds`` is unused (kept for signature compatibility); the
+    algorithm is non-iterative.  Returns a Dataset of (doc_id, cluster)
+    with cluster = min doc_id of the component."""
+    import ray
+
+    from ..stages.joins import hash_prt
+    from ..util import dataset_to_table
+
+    def edges_routed(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = np.concatenate([a, b])
+        n = np.concatenate([b, a])
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-                "nbr": pa.array(np.concatenate([b, a]), pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+                "nbr": pa.array(n, pa.int64()),
+                "prt": pa.array(hash_prt(d, buckets), pa.int64()),
             }
         )
 
-    edges = pairs_ds.map_batches(edges_sym, batch_format="pyarrow").materialize()
-
-    def _partition_min(ds):
-        def add_prt(t: pa.Table) -> pa.Table:
-            t = t.combine_chunks()
-            from ..stages.joins import hash_prt
-
-            d = t["doc_id"].to_numpy(zero_copy_only=False)
-            return t.append_column("prt", pa.array(hash_prt(d, buckets), pa.int64()))
-
-        return (
-            ds.map_batches(add_prt, batch_format="pyarrow")
-            .groupby("prt")
-            .map_groups(
-                lambda g: _min_label_partition(g.drop_columns(["prt"])),
-                batch_format="pyarrow",
+    def local_cc(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.nulls(0, pa.int64()),
+                    "cluster": pa.nulls(0, pa.int64()),
+                    "prt": pa.nulls(0, pa.int64()),
+                }
             )
+        nodes, roots = _dsu_min_roots(
+            t["doc_id"].to_numpy(zero_copy_only=False),
+            t["nbr"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.int64()),
+                "cluster": pa.array(roots, pa.int64()),
+                "prt": pa.array(hash_prt(nodes, buckets), pa.int64()),
+            }
         )
 
-    # initial labels: min(doc, min neighbor) -- union of (doc, nbr) and
-    # (doc, doc) rows, then one partitioned segment-min
-    def as_label_rows(col: str):
-        return lambda t: pa.table(
+    def reconcile(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        empty = pa.table(
+            {
+                "kind": pa.nulls(0, pa.int8()),
+                "doc_id": pa.nulls(0, pa.int64()),
+                "cluster": pa.nulls(0, pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        c = t["cluster"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, d))
+        ds_, cs_ = d[order], c[order]
+        starts = np.flatnonzero(np.concatenate(([True], ds_[1:] != ds_[:-1])))
+        counts = np.diff(np.append(starts, len(ds_)))
+        minlab = cs_[starts]  # sorted by (doc, cluster): first per doc = min
+        grp = np.repeat(np.arange(len(starts)), counts)
+        # equivalence edges: any extra distinct label on a doc ~ its min
+        keep = cs_ != minlab[grp]
+        eq_a, eq_b = minlab[grp][keep], cs_[keep]
+        if len(eq_a):
+            uniq = np.unique(np.stack([eq_a, eq_b], axis=1), axis=0)
+            eq_a, eq_b = uniq[:, 0], uniq[:, 1]
+        G, E = len(starts), len(eq_a)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        [np.zeros(G, np.int8), np.ones(E, np.int8)]
+                    ),
+                    pa.int8(),
+                ),
+                "doc_id": pa.array(
+                    np.concatenate([ds_[starts], eq_a]), pa.int64()
+                ),
+                "cluster": pa.array(
+                    np.concatenate([minlab, eq_b]), pa.int64()
+                ),
+            }
+        )
+
+    recon = (
+        pairs_ds.map_batches(edges_routed, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(local_cc, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: reconcile(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+
+    # step 3: contracted equivalence graph -> tiny global union-find
+    eq = dataset_to_table(
+        recon.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], 1)).drop_columns(["kind"]),
+            batch_format="pyarrow",
+        ),
+        schema=pa.schema([("doc_id", pa.int64()), ("cluster", pa.int64())]),
+    )
+    if eq.num_rows:
+        labs, roots = _dsu_min_roots(
+            eq["doc_id"].to_numpy(zero_copy_only=False),
+            eq["cluster"].to_numpy(zero_copy_only=False),
+        )
+        changed = labs != roots
+        remap_ref = ray.put((labs[changed], roots[changed]))
+    else:
+        remap_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["kind"], 0))
+        labs, roots = ray.get(remap_ref)
+        c = t["cluster"].to_numpy(zero_copy_only=False)
+        if len(labs):
+            idx = np.searchsorted(labs, c)
+            idx = np.minimum(idx, len(labs) - 1)
+            hit = labs[idx] == c
+            c = np.where(hit, roots[idx], c)
+        return pa.table(
             {
                 "doc_id": t["doc_id"].cast(pa.int64()),
-                "cluster": t[col].cast(pa.int64()),
+                "cluster": pa.array(c, pa.int64()),
             }
         )
 
-    labels = _partition_min(
-        edges.map_batches(as_label_rows("nbr"), batch_format="pyarrow").union(
-            edges.map_batches(as_label_rows("doc_id"), batch_format="pyarrow")
-        )
-    ).materialize()
-    prev_sum = labels.sum("cluster")
-
-    for _ in range(max_rounds):
-        # neighbor labels via one partitioned hash join on nbr
-        nbr_lab = keyed_equijoin(edges, labels, on=("nbr", "doc_id"), buckets=buckets)
-        cand = nbr_lab.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t["doc_id"].cast(pa.int64()),
-                    "cluster": t["cluster"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        labels = _partition_min(cand.union(labels)).materialize()
-        new_sum = labels.sum("cluster")
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    return labels
+    return recon.map_batches(finalize, batch_format="pyarrow")
 
 
 def ngram_jaccard_verify(sf_dir: str, pairs: list[tuple[int, int]]) -> list[dict]:

@@ -273,3 +273,42 @@ def test_dedup_clusters_connected_components(ray_session):
     labels = dedup_clusters(rd.from_arrow(pairs))
     got = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+
+def test_dedup_clusters_random_graph_vs_bfs(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crossai_ts_ray.pipelines.text_pipeline import dedup_clusters
+
+    rng = np.random.default_rng(7)
+    n_nodes, n_edges = 400, 300
+    a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+    pairs = pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
+
+    # reference: BFS connected components, label = min node id
+    adj = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want, seen = {}, set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            want[u] = m
+
+    labels = dedup_clusters(rd.from_arrow(pairs), buckets=7)
+    got = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
+    assert got == want
