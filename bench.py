@@ -81,7 +81,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
         return b
 
     _rd.range(ncpu * 4, override_num_blocks=ncpu * 4).map_batches(
-        _warm_workers, batch_size=1
+        _warm_workers, batch_size=None
     ).materialize()
     _warm(glob.glob(os.path.join(token_dir, "shard=*", "*.parquet")))
     for t in ("documents", "events", "lineitem"):

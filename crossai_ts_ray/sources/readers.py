@@ -110,7 +110,7 @@ def _plan_seq_offsets(path: str) -> dict[tuple[int, str], int]:
         [
             b
             for b in stats_ds.map_batches(
-                stats_batch, batch_size=1, batch_format="pyarrow"
+                stats_batch, batch_size=None, batch_format="pyarrow"
             ).iter_batches(batch_format="pyarrow")
         ]
     )
@@ -198,6 +198,6 @@ def tokens_from_documents(sf_dir: str) -> rd.Dataset:
         return pa.concat_tables(out)
 
     frags = rd.from_items([{"path": path, "rg": i} for i in range(nrg)])
-    ds = frags.map_batches(process_fragment, batch_size=1, batch_format="pyarrow")
+    ds = frags.map_batches(process_fragment, batch_size=None, batch_format="pyarrow")
     _DERIVED_CACHE[sf_dir] = ds
     return ds

@@ -82,28 +82,68 @@ def _percentiles_dense_rows(hists: np.ndarray, q: float) -> np.ndarray:
     return np.where(t >= 0.5, b - diff * (1 - t), a + diff * t)
 
 
-def plan_aligned_groups_ex(shard_dirs: list[str], chunk_rows: int, width: int):
-    """[(source_files...)] grouped so finest-tier buckets never span groups,
-    plus a per-group SOURCE-COMPLETE flag: a source whose files all fit in
-    one group needs no coarse-tier exchange at all (every tier's buckets are
-    complete inside the map task)."""
+#: per-map-task row budget for group sizing.  Bigger groups amortize task
+#: overhead, turn more sources into SOURCE-COMPLETE (zero exchange), and cut
+#: the boundary-partial fraction for over-sized sources; the ceiling is the
+#: worker heap (450k rows x ~100 tokens x 4B ~= 180MB Arrow + ~2x transients
+#: per task -- safe at 8 tasks/node on multi-GB workers).
+GROUP_TARGET_ROWS = 450_000
+
+
+def plan_aligned_groups_ex(
+    shard_dirs: list[str],
+    chunk_rows: int,
+    width: int,
+    target_rows: int | None = None,
+    coarse_width: int | None = None,
+):
+    """Plan bucket-aligned file groups per source.
+
+    Returns ``(groups, complete, src_start, src_end)``:
+
+    * ``groups``     -- [(files...)] such that finest-tier buckets never span
+      groups (group stride is a multiple of k0 = width / gcd(width,
+      chunk_rows)),
+    * ``complete``   -- the whole source fits this one group,
+    * ``src_start``  -- the group holds the source's first chunk file (no
+      earlier data exists, so its leading tier buckets are complete),
+    * ``src_end``    -- the group holds the source's last chunk file.
+
+    Group sizing: prefer a stride that ALSO aligns group edges to
+    ``coarse_width`` (the first coarse tier then finalizes entirely in-task
+    and ships zero partials), as long as that stays within 2x
+    ``target_rows``; otherwise the largest k0 multiple under the target.
+    The target bounds the per-task working set -- large fresh allocations
+    are expensive on ballooned VMs and real workers alike."""
     import glob as _glob
     import re
 
-    k = width // math.gcd(width, chunk_rows)
+    if target_rows is None:
+        target_rows = int(
+            os.environ.get("GRAFT_GROUP_TARGET_ROWS", GROUP_TARGET_ROWS)
+        )
+    k0 = width // math.gcd(width, chunk_rows)
+    k = k0 * max(1, target_rows // (k0 * chunk_rows))
+    if coarse_width is not None:
+        kc = coarse_width // math.gcd(coarse_width, chunk_rows)
+        kc = kc // math.gcd(kc, k0) * k0  # lcm(kc, k0)
+        if kc * chunk_rows <= 2 * target_rows:
+            k = kc * max(1, target_rows // (kc * chunk_rows))
     by_source: dict[str, list[str]] = {}
     for sd in shard_dirs:
         for f in sorted(_glob.glob(os.path.join(sd, "*.parquet"))):
             m = re.match(r"part-(.+)-(\d+)\.parquet", os.path.basename(f))
             by_source.setdefault(m.group(1), []).append(f)
-    groups, complete = [], []
+    groups, complete, starts, ends = [], [], [], []
     for src in sorted(by_source):
         files = by_source[src]
         one_group = len(files) <= k
         for i in range(0, len(files), k):
             groups.append(files[i : i + k])
             complete.append(one_group)
-    return groups, complete
+            starts.append(i == 0)
+            ends.append(i + k >= len(files))
+    return groups, complete, starts, ends
 
 
 def plan_aligned_groups(shard_dirs: list[str], chunk_rows: int, width: int):
@@ -114,19 +154,38 @@ def plan_aligned_groups(shard_dirs: list[str], chunk_rows: int, width: int):
 def process_aligned_group(
     files: list[str],
     fine: Tier,
-    coarse: Tier,
+    coarse: Tier | None = None,
     chunk_rows: int | None = None,
     tiers=None,
     source_complete: bool = False,
+    src_start: bool | None = None,
+    src_end: bool | None = None,
 ) -> pa.Table:
-    """One map task: read a bucket-aligned file group of ONE source, emit
-    union rows routed by ``tier_id``: finalized rollups carry their tier
-    index; coarse partials (counters + dense hists) carry tier_id = -1.
+    """One map task: read a bucket-aligned file group of ONE source and emit
+    union rows routed by ``tier_id``:
 
-    When ``source_complete`` (the whole source fits in this group -- planner
-    fact), EVERY tier is finalized in-task and no partials are emitted: such
-    sources never touch the coarse exchange.  Over-sized sources emit the
-    finest tier finalized plus base-coarse partials as before."""
+    * finalized rollup rows carry their tier index (kind=0),
+    * partial rows (counters + dense hists) carry ``tier_id = -i`` (kind=1).
+
+    Every tier finalizes IN-TASK every bucket that is complete inside this
+    group's effective seq coverage: [lo, hi) widened to -inf when the group
+    holds the source's first chunk file and +inf when it holds the last.
+    Only the (at most two) BOUNDARY buckets per coarse tier -- cut by a
+    non-terminal group edge -- ship partials, so the coarse exchange moves
+    O(groups x tiers) dense hists instead of O(all coarse buckets).
+
+    Percentiles stream per base-coarse bucket into one vocab-sized
+    accumulator per tier (~400KB live, cache-resident); a G x VOCAB hist
+    matrix would be memory-bandwidth-bound under task concurrency.
+    Bitwise-exactness: identical multisets reach every percentile
+    computation (``percentile_from_dense`` replicates np.percentile
+    'linear' on the expanded multiset)."""
+    if tiers is None:
+        tiers = (fine,) if coarse is None or coarse is fine else (fine, coarse)
+    if src_start is None:
+        src_start = source_complete
+    if src_end is None:
+        src_end = source_complete
     # use_threads=False: a Ray map task owns ONE scheduled CPU; letting
     # pyarrow fan out onto its global pool (os.cpu_count() threads) makes
     # every task silently steal the whole machine -- wrong resource
@@ -145,6 +204,7 @@ def process_aligned_group(
     # rows are seq-sorted within a source's files by construction
     if not (np.diff(seq) > 0).all():
         raise ValueError("aligned path requires seq-sorted input")
+    lo, hi = None, None
     if chunk_rows is not None:
         # alignment contract: every file's seq values live in its own
         # chunk-sized seq range (a merely seq-SORTED but striped layout would
@@ -174,205 +234,233 @@ def process_aligned_group(
                 f"unaligned input: seq range [{seq[0]}, {seq[-1]}] outside "
                 f"file-group range [{lo}, {hi}) -- use the generic shuffle path"
             )
+    if lo is None and not (src_start and src_end):
+        raise ValueError(
+            "boundary-partial planning needs chunk_rows for groups that do "
+            "not hold a whole source"
+        )
 
-    if source_complete and tiers is not None:
-        # fine finalizes in the loop; coarse tiers finalize below from ONE
-        # base-granularity hist pass (coarser tiers = hist reductions, the
-        # exchange merge run in-task)
-        specs = [(0, 0, fine)]
-    else:
-        specs = [(0, 0, fine), (1, -1, coarse)]
     out_tables = []
-    for kind, tier_id, tier in specs:
-        bucket = seq // tier.width
-        starts = group_boundaries(bucket)
-        ends = np.append(starts[1:], n)
-        G = len(starts)
-        counts = (ends - starts).astype(np.int64)
-        sum_n = np.add.reduceat(n_tok, starts)
-        min_n = np.minimum.reduceat(n_tok, starts).astype(np.int32)
-        max_n = np.maximum.reduceat(n_tok, starts).astype(np.int32)
-        seg_starts = row_offs[starts]
-        seg_ends = np.append(row_offs[starts[1:]], row_offs[-1])
-        tok_count = (seg_ends - seg_starts).astype(np.int64)
-        tok_sum = np.add.reduceat(flat64, seg_starts)
-        tok_min = np.minimum.reduceat(flat, seg_starts).astype(np.int32)
-        tok_max = np.maximum.reduceat(flat, seg_starts).astype(np.int32)
 
-        base = {
-            "kind": pa.array(np.full(G, kind, dtype=np.int8), pa.int8()),
-            "tier_id": pa.array(np.full(G, tier_id, dtype=np.int8), pa.int8()),
-            "source": pa.array([src] * G, pa.string()),
-            "bucket": pa.array(bucket[starts], pa.int64()),
-            "count": pa.array(counts, pa.int64()),
-            "sum": pa.array(sum_n, pa.int64()),
-            "min": pa.array(min_n, pa.int32()),
-            "max": pa.array(max_n, pa.int32()),
-            "tok_count": pa.array(tok_count, pa.int64()),
-            "tok_sum": pa.array(tok_sum, pa.int64()),
-            "tok_min": pa.array(tok_min, pa.int32()),
-            "tok_max": pa.array(tok_max, pa.int32()),
+    def base_cols(tid: int, kind: int, bkts, cnt, sm, mn, mx, tcnt, tsum, tmn, tmx):
+        g = len(bkts)
+        return {
+            "kind": pa.array(np.full(g, kind, dtype=np.int8), pa.int8()),
+            "tier_id": pa.array(np.full(g, tid, dtype=np.int8), pa.int8()),
+            "source": pa.array([src] * g, pa.string()),
+            "bucket": pa.array(np.asarray(bkts, np.int64), pa.int64()),
+            "count": pa.array(np.asarray(cnt, np.int64), pa.int64()),
+            "sum": pa.array(np.asarray(sm, np.int64), pa.int64()),
+            "min": pa.array(np.asarray(mn).astype(np.int32), pa.int32()),
+            "max": pa.array(np.asarray(mx).astype(np.int32), pa.int32()),
+            "tok_count": pa.array(np.asarray(tcnt, np.int64), pa.int64()),
+            "tok_sum": pa.array(np.asarray(tsum, np.int64), pa.int64()),
+            "tok_min": pa.array(np.asarray(tmn).astype(np.int32), pa.int32()),
+            "tok_max": pa.array(np.asarray(tmx).astype(np.int32), pa.int32()),
         }
-        if kind == 0:
-            # finalize in-task: complete groups by the alignment contract
-            mean = sum_n.astype(np.float64) / counts.astype(np.float64)
-            tok_mean = tok_sum.astype(np.float64) / tok_count.astype(np.float64)
-            # small buckets: per-group sorts beat histogramming
-            p50 = np.empty(G)
-            p99 = np.empty(G)
-            tp50 = np.empty(G)
-            tp99 = np.empty(G)
-            from ..functions.numutil import percentile_from_sorted
 
-            for i in range(G):
-                nv = np.sort(n_tok[starts[i] : ends[i]])
-                p50[i] = percentile_from_sorted(nv, Q_LOW)
-                p99[i] = percentile_from_sorted(nv, Q_HIGH)
-                tvv = np.sort(flat64[seg_starts[i] : seg_ends[i]])
-                tp50[i] = percentile_from_sorted(tvv, Q_LOW)
-                tp99[i] = percentile_from_sorted(tvv, Q_HIGH)
-            tbl = pa.table(
-                {
-                    "kind": base["kind"],
-                    "tier_id": base["tier_id"],
-                    "source": base["source"],
-                    "bucket": base["bucket"],
-                    "count": base["count"],
-                    "sum": base["sum"],
-                    "mean": pa.array(mean, pa.float64()),
-                    "min": base["min"],
-                    "max": base["max"],
-                    "p50": pa.array(p50, pa.float64()),
-                    "p99": pa.array(p99, pa.float64()),
-                    "tok_count": base["tok_count"],
-                    "tok_sum": base["tok_sum"],
-                    "tok_mean": pa.array(tok_mean, pa.float64()),
-                    "tok_min": base["tok_min"],
-                    "tok_max": base["tok_max"],
-                    "tok_p50": pa.array(tp50, pa.float64()),
-                    "tok_p99": pa.array(tp99, pa.float64()),
-                    "ntok_hist": pa.array([None] * G, pa.list_(pa.int32())),
-                    "tok_hist": pa.array([None] * G, pa.list_(pa.int32())),
-                }
-            )
-        else:
-            # dense partial hists per coarse group (merge = vector add);
-            # bincount over fused (group, value) keys -- np.add.at's scatter
-            # is ~10x slower and was 60% of the whole task
-            gid_rows = np.repeat(np.arange(G, dtype=np.int64), ends - starts)
-            nh = (
-                np.bincount(gid_rows * NTOK_BINS + n_tok, minlength=G * NTOK_BINS)
-                .reshape(G, NTOK_BINS)
-                .astype(np.int32)
-            )
-            gid_toks = np.repeat(
-                np.arange(G, dtype=np.int64), seg_ends - seg_starts
-            )
-            th = (
-                np.bincount(gid_toks * VOCAB_SIZE + flat64, minlength=G * VOCAB_SIZE)
-                .reshape(G, VOCAB_SIZE)
-                .astype(np.int32)
-            )
-            nulls = [None] * G
-            tbl = pa.table(
-                {
-                    "kind": base["kind"],
-                    "tier_id": base["tier_id"],
-                    "source": base["source"],
-                    "bucket": base["bucket"],
-                    "count": base["count"],
-                    "sum": base["sum"],
-                    "mean": pa.array([None] * G, pa.float64()),
-                    "min": base["min"],
-                    "max": base["max"],
-                    "p50": pa.array(nulls, pa.float64()),
-                    "p99": pa.array(nulls, pa.float64()),
-                    "tok_count": base["tok_count"],
-                    "tok_sum": base["tok_sum"],
-                    "tok_mean": pa.array(nulls, pa.float64()),
-                    "tok_min": base["tok_min"],
-                    "tok_max": base["tok_max"],
-                    "tok_p50": pa.array(nulls, pa.float64()),
-                    "tok_p99": pa.array(nulls, pa.float64()),
-                    "ntok_hist": _list_arr(
-                        np.arange(G + 1, dtype=np.int64) * NTOK_BINS, nh.ravel(), pa.int32()
-                    ),
-                    "tok_hist": _list_arr(
-                        np.arange(G + 1, dtype=np.int64) * VOCAB_SIZE, th.ravel(), pa.int32()
-                    ),
-                }
-            )
-        out_tables.append(tbl)
+    def assemble(cols, mean, tok_mean, p50, p99, tp50, tp99, nh_list, th_list):
+        g = len(cols["bucket"])
+        return pa.table(
+            {
+                "kind": cols["kind"],
+                "tier_id": cols["tier_id"],
+                "source": cols["source"],
+                "bucket": cols["bucket"],
+                "count": cols["count"],
+                "sum": cols["sum"],
+                "mean": mean if mean is not None else pa.array([None] * g, pa.float64()),
+                "min": cols["min"],
+                "max": cols["max"],
+                "p50": p50 if p50 is not None else pa.array([None] * g, pa.float64()),
+                "p99": p99 if p99 is not None else pa.array([None] * g, pa.float64()),
+                "tok_count": cols["tok_count"],
+                "tok_sum": cols["tok_sum"],
+                "tok_mean": tok_mean
+                if tok_mean is not None
+                else pa.array([None] * g, pa.float64()),
+                "tok_min": cols["tok_min"],
+                "tok_max": cols["tok_max"],
+                "tok_p50": tp50 if tp50 is not None else pa.array([None] * g, pa.float64()),
+                "tok_p99": tp99 if tp99 is not None else pa.array([None] * g, pa.float64()),
+                "ntok_hist": nh_list
+                if nh_list is not None
+                else pa.array([None] * g, pa.list_(pa.int32())),
+                "tok_hist": th_list
+                if th_list is not None
+                else pa.array([None] * g, pa.list_(pa.int32())),
+            }
+        )
 
-    if source_complete and tiers is not None and len(tiers) > 1:
-        # ONE base-granularity counting pass; every coarser tier is a hist
-        # reduction of it (the exchange merge, run in-task) -- no re-scan of
-        # the raw values per tier
-        base_t = tiers[1]
-        bucket = seq // base_t.width
-        starts = group_boundaries(bucket)
-        ends = np.append(starts[1:], n)
-        G = len(starts)
-        b_cnt = (ends - starts).astype(np.int64)
-        b_sum = np.add.reduceat(n_tok, starts)
-        b_min = np.minimum.reduceat(n_tok, starts)
-        b_max = np.maximum.reduceat(n_tok, starts)
-        seg_starts = row_offs[starts]
-        seg_ends = np.append(row_offs[starts[1:]], row_offs[-1])
-        b_tcnt = (seg_ends - seg_starts).astype(np.int64)
-        b_tsum = np.add.reduceat(flat64, seg_starts)
-        b_tmin = np.minimum.reduceat(flat, seg_starts).astype(np.int64)
-        b_tmax = np.maximum.reduceat(flat, seg_starts).astype(np.int64)
-        gid_rows = np.repeat(np.arange(G, dtype=np.int64), ends - starts)
-        nh = np.bincount(
-            gid_rows * NTOK_BINS + n_tok, minlength=G * NTOK_BINS
-        ).reshape(G, NTOK_BINS)
-        gid_toks = np.repeat(np.arange(G, dtype=np.int64), seg_ends - seg_starts)
-        th = np.bincount(
-            gid_toks * VOCAB_SIZE + flat64, minlength=G * VOCAB_SIZE
-        ).reshape(G, VOCAB_SIZE)
-        b_bkt = bucket[starts]
-        for ti, tier in enumerate(tiers[1:], start=1):
-            factor = tier.width // base_t.width
-            nb = b_bkt // factor
-            s2 = np.flatnonzero(np.concatenate(([True], nb[1:] != nb[:-1])))
-            g2 = len(s2)
-            cnt = np.add.reduceat(b_cnt, s2)
-            sm = np.add.reduceat(b_sum, s2)
-            mn = np.minimum.reduceat(b_min, s2)
-            mx = np.maximum.reduceat(b_max, s2)
-            tcnt = np.add.reduceat(b_tcnt, s2)
-            tsum = np.add.reduceat(b_tsum, s2)
-            tmn = np.minimum.reduceat(b_tmin, s2)
-            tmx = np.maximum.reduceat(b_tmax, s2)
-            nh2 = np.add.reduceat(nh, s2, axis=0)
-            th2 = np.add.reduceat(th, s2, axis=0)
+    # ---- finest tier: always complete inside the group (planner contract) ----
+    bucket = seq // fine.width
+    starts = group_boundaries(bucket)
+    ends = np.append(starts[1:], n)
+    G = len(starts)
+    counts = (ends - starts).astype(np.int64)
+    sum_n = np.add.reduceat(n_tok, starts)
+    seg_starts = row_offs[starts]
+    seg_ends = np.append(row_offs[starts[1:]], row_offs[-1])
+    tok_count = (seg_ends - seg_starts).astype(np.int64)
+    tok_sum = np.add.reduceat(flat64, seg_starts)
+    mean = sum_n.astype(np.float64) / counts.astype(np.float64)
+    tok_mean = tok_sum.astype(np.float64) / tok_count.astype(np.float64)
+    # small buckets: per-group sorts beat histogramming
+    p50 = np.empty(G)
+    p99 = np.empty(G)
+    tp50 = np.empty(G)
+    tp99 = np.empty(G)
+    from ..functions.numutil import percentile_from_sorted
+
+    for i in range(G):
+        nv = np.sort(n_tok[starts[i] : ends[i]])
+        p50[i] = percentile_from_sorted(nv, Q_LOW)
+        p99[i] = percentile_from_sorted(nv, Q_HIGH)
+        # sort the int32 view, not the int64 copy: half the traffic
+        tvv = np.sort(flat[seg_starts[i] : seg_ends[i]])
+        tp50[i] = percentile_from_sorted(tvv, Q_LOW)
+        tp99[i] = percentile_from_sorted(tvv, Q_HIGH)
+    cols = base_cols(
+        0, 0, bucket[starts], counts, sum_n,
+        np.minimum.reduceat(n_tok, starts), np.maximum.reduceat(n_tok, starts),
+        tok_count, tok_sum,
+        np.minimum.reduceat(flat, seg_starts), np.maximum.reduceat(flat, seg_starts),
+    )
+    out_tables.append(
+        assemble(
+            cols,
+            pa.array(mean, pa.float64()),
+            pa.array(tok_mean, pa.float64()),
+            pa.array(p50, pa.float64()),
+            pa.array(p99, pa.float64()),
+            pa.array(tp50, pa.float64()),
+            pa.array(tp99, pa.float64()),
+            None,
+            None,
+        )
+    )
+
+    if len(tiers) < 2:
+        return pa.concat_tables(out_tables)
+
+    # ---- coarse tiers: one streaming pass at base granularity ----
+    base_t = tiers[1]
+    bucket = seq // base_t.width
+    starts = group_boundaries(bucket)
+    ends = np.append(starts[1:], n)
+    G = len(starts)
+    b_cnt = (ends - starts).astype(np.int64)
+    b_sum = np.add.reduceat(n_tok, starts)
+    b_min = np.minimum.reduceat(n_tok, starts)
+    b_max = np.maximum.reduceat(n_tok, starts)
+    seg_starts = row_offs[starts]
+    seg_ends = np.append(row_offs[starts[1:]], row_offs[-1])
+    b_tcnt = (seg_ends - seg_starts).astype(np.int64)
+    b_tsum = np.add.reduceat(flat64, seg_starts)
+    b_tmin = np.minimum.reduceat(flat, seg_starts).astype(np.int64)
+    b_tmax = np.maximum.reduceat(flat, seg_starts).astype(np.int64)
+    b_bkt = bucket[starts]
+
+    sub = tiers[1:]
+    tier_nb = [b_bkt // (tt.width // base_t.width) for tt in sub]
+    tier_s2 = [
+        np.flatnonzero(np.concatenate(([True], nbv[1:] != nbv[:-1])))
+        for nbv in tier_nb
+    ]
+    # completeness of each tier bucket inside the group's effective coverage
+    tier_comp = []
+    for ti, tt in enumerate(sub):
+        bkts = tier_nb[ti][tier_s2[ti]]
+        comp = np.ones(len(bkts), bool)
+        if not src_start:
+            comp &= bkts * tt.width >= lo
+        if not src_end:
+            comp &= (bkts + 1) * tt.width <= hi
+        tier_comp.append(comp)
+
+    pcts = [np.full((4, len(s2)), np.nan) for s2 in tier_s2]
+    part_nh = [[] for _ in sub]  # dense hists of the (<=2) boundary buckets
+    part_th = [[] for _ in sub]
+    acc_nh = [np.zeros(NTOK_BINS, np.int64) for _ in sub]
+    acc_th = [np.zeros(VOCAB_SIZE, np.int64) for _ in sub]
+    out_i = [0] * len(sub)
+    for g in range(G):
+        nh_g = np.bincount(n_tok[starts[g] : ends[g]], minlength=NTOK_BINS)
+        th_g = np.bincount(flat[seg_starts[g] : seg_ends[g]], minlength=VOCAB_SIZE)
+        for ti in range(len(sub)):
+            acc_nh[ti] += nh_g
+            acc_th[ti] += th_g
+            if g == G - 1 or tier_nb[ti][g + 1] != tier_nb[ti][g]:
+                i = out_i[ti]
+                if tier_comp[ti][i]:
+                    pcts[ti][0, i] = percentile_from_dense(acc_nh[ti], Q_LOW)
+                    pcts[ti][1, i] = percentile_from_dense(acc_nh[ti], Q_HIGH)
+                    pcts[ti][2, i] = percentile_from_dense(acc_th[ti], Q_LOW)
+                    pcts[ti][3, i] = percentile_from_dense(acc_th[ti], Q_HIGH)
+                else:
+                    part_nh[ti].append(acc_nh[ti].astype(np.int32))
+                    part_th[ti].append(acc_th[ti].astype(np.int32))
+                acc_nh[ti][:] = 0
+                acc_th[ti][:] = 0
+                out_i[ti] = i + 1
+
+    for ti, tier in enumerate(tiers[1:], start=1):
+        s2 = tier_s2[ti - 1]
+        nb = tier_nb[ti - 1][s2]
+        comp = tier_comp[ti - 1]
+        cnt = np.add.reduceat(b_cnt, s2)
+        sm = np.add.reduceat(b_sum, s2)
+        mn = np.minimum.reduceat(b_min, s2)
+        mx = np.maximum.reduceat(b_max, s2)
+        tcnt = np.add.reduceat(b_tcnt, s2)
+        tsum = np.add.reduceat(b_tsum, s2)
+        tmn = np.minimum.reduceat(b_tmin, s2)
+        tmx = np.maximum.reduceat(b_tmax, s2)
+        p = pcts[ti - 1]
+        if comp.any():
+            c = comp
+            cols = base_cols(ti, 0, nb[c], cnt[c], sm[c], mn[c], mx[c],
+                             tcnt[c], tsum[c], tmn[c], tmx[c])
             out_tables.append(
-                pa.table(
-                    {
-                        "kind": pa.array(np.zeros(g2, np.int8), pa.int8()),
-                        "tier_id": pa.array(np.full(g2, ti, np.int8), pa.int8()),
-                        "source": pa.array([src] * g2, pa.string()),
-                        "bucket": pa.array(nb[s2], pa.int64()),
-                        "count": pa.array(cnt, pa.int64()),
-                        "sum": pa.array(sm, pa.int64()),
-                        "mean": pa.array(sm / cnt.astype(np.float64), pa.float64()),
-                        "min": pa.array(mn.astype(np.int32), pa.int32()),
-                        "max": pa.array(mx.astype(np.int32), pa.int32()),
-                        "p50": pa.array(_percentiles_dense_rows(nh2, Q_LOW), pa.float64()),
-                        "p99": pa.array(_percentiles_dense_rows(nh2, Q_HIGH), pa.float64()),
-                        "tok_count": pa.array(tcnt, pa.int64()),
-                        "tok_sum": pa.array(tsum, pa.int64()),
-                        "tok_mean": pa.array(
-                            tsum / tcnt.astype(np.float64), pa.float64()
-                        ),
-                        "tok_min": pa.array(tmn.astype(np.int32), pa.int32()),
-                        "tok_max": pa.array(tmx.astype(np.int32), pa.int32()),
-                        "tok_p50": pa.array(_percentiles_dense_rows(th2, Q_LOW), pa.float64()),
-                        "tok_p99": pa.array(_percentiles_dense_rows(th2, Q_HIGH), pa.float64()),
-                        "ntok_hist": pa.array([None] * g2, pa.list_(pa.int32())),
-                        "tok_hist": pa.array([None] * g2, pa.list_(pa.int32())),
-                    }
+                assemble(
+                    cols,
+                    pa.array(sm[c] / cnt[c].astype(np.float64), pa.float64()),
+                    pa.array(tsum[c] / tcnt[c].astype(np.float64), pa.float64()),
+                    pa.array(p[0][c], pa.float64()),
+                    pa.array(p[1][c], pa.float64()),
+                    pa.array(p[2][c], pa.float64()),
+                    pa.array(p[3][c], pa.float64()),
+                    None,
+                    None,
+                )
+            )
+        if (~comp).any():
+            c = ~comp
+            nh_flat = (
+                np.concatenate(part_nh[ti - 1])
+                if part_nh[ti - 1]
+                else np.empty(0, np.int32)
+            )
+            th_flat = (
+                np.concatenate(part_th[ti - 1])
+                if part_th[ti - 1]
+                else np.empty(0, np.int32)
+            )
+            gp = int(c.sum())
+            cols = base_cols(-ti, 1, nb[c], cnt[c], sm[c], mn[c], mx[c],
+                             tcnt[c], tsum[c], tmn[c], tmx[c])
+            out_tables.append(
+                assemble(
+                    cols,
+                    None, None, None, None, None, None,
+                    _list_arr(
+                        np.arange(gp + 1, dtype=np.int64) * NTOK_BINS,
+                        nh_flat, pa.int32(),
+                    ),
+                    _list_arr(
+                        np.arange(gp + 1, dtype=np.int64) * VOCAB_SIZE,
+                        th_flat, pa.int32(),
+                    ),
                 )
             )
     return pa.concat_tables(out_tables)
@@ -453,15 +541,18 @@ def aligned_rollup_cascade(
     merge_partitions: int = 16,
 ) -> dict:
     """The aligned plan: one map pass over bucket-aligned file groups emits
-    finalized finest-tier rows + dense coarse partials; coarse tiers are
-    small dense-hist merges.  Returns {tier_name: Dataset}."""
+    finalized rows for every tier bucket complete inside the group, plus
+    dense partials for the (<=2 per tier per group) boundary buckets; ONE
+    small exchange merges the boundary partials per tier.  Returns
+    {tier_name: Dataset}."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from .rollup import with_partition_col
 
-    # tiers must nest exactly (like rollup_cascade): rekey_dense re-buckets
-    # with integer division, so a non-multiple width would silently emit a
-    # tier labeled w_k that is actually bucketed at the previous width.
+    # tiers must nest exactly: bucket re-keying divides by the width ratio,
+    # so a non-multiple width would silently emit a tier labeled w_k that is
+    # actually bucketed at the previous width.
     for prev, cur_t in zip(tiers, tiers[1:]):
         if cur_t.width % prev.width != 0 or cur_t.width <= prev.width:
             raise ValueError(
@@ -469,11 +560,18 @@ def aligned_rollup_cascade(
                 f"{cur_t.width} is not a proper multiple of {prev.width}"
             )
     fine = tiers[0]
-    coarse = tiers[1] if len(tiers) > 1 else tiers[0]
-    groups, complete = plan_aligned_groups_ex(shard_dirs, chunk_rows, fine.width)
+    groups, complete, g_start, g_end = plan_aligned_groups_ex(
+        shard_dirs,
+        chunk_rows,
+        fine.width,
+        coarse_width=tiers[1].width if len(tiers) > 1 else None,
+    )
     any_partial = not all(complete)
     gds = rd.from_items(
-        [{"files": g, "complete": c} for g, c in zip(groups, complete)]
+        [
+            {"files": g, "start": s, "end": e}
+            for g, s, e in zip(groups, g_start, g_end)
+        ]
     )
 
     def run_group(batch: pa.Table) -> pa.Table:
@@ -481,18 +579,22 @@ def aligned_rollup_cascade(
             process_aligned_group(
                 list(files),
                 fine,
-                coarse,
                 chunk_rows=chunk_rows,
                 tiers=tiers,
-                source_complete=bool(c),
+                src_start=bool(s),
+                src_end=bool(e),
             )
-            for files, c in zip(
-                batch["files"].to_pylist(), batch["complete"].to_pylist()
+            for files, s, e in zip(
+                batch["files"].to_pylist(),
+                batch["start"].to_pylist(),
+                batch["end"].to_pylist(),
             )
         ]
         return pa.concat_tables(tables)
 
-    union = gds.map_batches(run_group, batch_size=1, batch_format="pyarrow").materialize()
+    union = gds.map_batches(
+        run_group, batch_size=None, batch_format="pyarrow"
+    ).materialize()
 
     drop_final = ["kind", "tier_id", "ntok_hist", "tok_hist"]
     out = {}
@@ -503,32 +605,53 @@ def aligned_rollup_cascade(
     merged = None
     if any_partial:
         # ONE exchange serves every coarse tier: partition by (source,
-        # COARSEST bucket) -- nesting widths mean a partition holds complete
-        # groups for all of them, so each tier is a plain in-partition merge
-        # of the same shuffled partials.  Only OVER-SIZED sources (several
-        # aligned groups) reach this exchange; planner-complete sources were
-        # finalized inside their map task.
-        partials = union.filter(expr="tier_id == -1").drop_columns(
+        # COARSEST bucket) -- nesting widths mean a partition holds every
+        # partial of each (tier, bucket) it owns.  Only BOUNDARY buckets
+        # (cut by a non-terminal group edge) reach this exchange; interior
+        # buckets were finalized inside their map task, so the exchange
+        # moves O(groups x tiers) dense hists, not O(coarse buckets).
+        partials = union.filter(expr="kind == 1").drop_columns(
             ["kind", "mean", "p50", "p99", "tok_mean", "tok_p50", "tok_p99"]
         )
         coarsest = tiers[-1]
+        widths = np.zeros(len(tiers) + 1, np.int64)
+        for i, tt in enumerate(tiers):
+            widths[i] = tt.width
 
         def add_prt_coarsest(t: pa.Table) -> pa.Table:
-            rk = rekey_dense(t, coarsest.width // coarse.width)
-            keyed = with_partition_col(rk, merge_partitions, False)
+            t = t.combine_chunks()
+            if t.num_rows == 0:
+                return t.append_column("prt", pa.array([], pa.int64()))
+            tid = -t["tier_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cb = b // (coarsest.width // widths[tid])
+            keyed = with_partition_col(
+                t.set_column(
+                    t.schema.get_field_index("bucket"), "bucket",
+                    pa.array(cb, pa.int64()),
+                ),
+                merge_partitions,
+                False,
+            )
             return t.append_column("prt", keyed["prt"])
 
         def merge_all_tiers(g: pa.Table) -> pa.Table:
-            g = g.drop_columns(["tier_id"])
+            g = g.combine_chunks()
+            tid = g["tier_id"].to_numpy(zero_copy_only=False)
             tabs = []
-            for i, tier in enumerate(tiers[1:], start=1):
-                m = merge_dense_partials(rekey_dense(g, tier.width // coarse.width))
-                tabs.append(
-                    m.append_column(
-                        "tier_id",
-                        pa.array(np.full(m.num_rows, i, np.int64), pa.int64()),
+            for ti in range(1, len(tiers)):
+                sub = g.filter(pa.array(tid == -ti)).drop_columns(["tier_id"])
+                if sub.num_rows:
+                    m = merge_dense_partials(sub)
+                    tabs.append(
+                        m.append_column(
+                            "tier_id",
+                            pa.array(np.full(m.num_rows, ti, np.int64), pa.int64()),
+                        )
                     )
-                )
+            if not tabs:
+                sch = ROLLUP_SCHEMA.append(pa.field("tier_id", pa.int64()))
+                return pa.Table.from_pylist([], schema=sch)
             return pa.concat_tables(tabs)
 
         merged = (
@@ -539,7 +662,7 @@ def aligned_rollup_cascade(
             .repartition(merge_partitions)
             .groupby("prt")
             .map_groups(merge_all_tiers, batch_format="pyarrow")
-        ).materialize()  # rollup-sized: all coarse tiers, one pass
+        ).materialize()  # boundary-bucket-sized: all coarse tiers, one pass
 
     for i, tier in enumerate(tiers[1:], start=1):
         finalized = union.filter(expr=f"tier_id == {i}").drop_columns(drop_final)

@@ -76,18 +76,21 @@ def test_plan_groups_alignment():
         assert len(srcs) == 1
 
 
-def test_aligned_mixed_complete_and_multigroup_sources(ray_session):
+def test_aligned_mixed_complete_and_multigroup_sources(ray_session, monkeypatch):
     """Sources that fit one aligned group finalize every tier in-task;
     over-sized sources go through the coarse exchange -- BOTH paths must be
     bitwise-exact and their union complete (no duplicate or missing
-    (source, bucket) rows)."""
+    (source, bucket) rows).  Pins the group target to the alignment quantum
+    so this fixture exercises the exchange path (default sizing would make
+    every source complete)."""
+    monkeypatch.setenv("GRAFT_GROUP_TARGET_ROWS", str(3 * synth.CHUNK_ROWS))
     spec = synth.SynthSpec(total_rows=200_000, num_sources=3, num_shards=1)
     d = synth.generate(spec, synth.default_cache_dir(spec))
     tbl = synth.read_all(d)
     shard_dirs = sorted(glob.glob(os.path.join(d, "shard=*")))
     from crossai_ts_ray.stages.aligned import plan_aligned_groups_ex
 
-    _, flags = plan_aligned_groups_ex(shard_dirs, synth.CHUNK_ROWS, 60)
+    _, flags, _, _ = plan_aligned_groups_ex(shard_dirs, synth.CHUNK_ROWS, 60)
     assert any(flags) and not all(flags), f"fixture not mixed: {flags}"
     big = (Tier("t60", 60), Tier("t3600", 3600), Tier("t43200", 43200))
     out = aligned_rollup_cascade(shard_dirs, big, chunk_rows=synth.CHUNK_ROWS)
