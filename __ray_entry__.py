@@ -347,6 +347,12 @@ FROM m GROUP BY user_id
 """
 
 
+def _user_value_stats_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.events_pipeline import user_value_stats
+
+    return user_value_stats(sf_dir)
+
+
 def _asof_q(sf_dir: str):
     from crossai_ts_ray.pipelines.events_pipeline import asof_last_event_value
 
@@ -375,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gapfill_linear": _events_gapfill("linear"),
         "events_sliding_3h": _events_sliding,
         "events_user_sessions": _sessions_q,
+        "user_value_stats": _user_value_stats_q,
         "asof_last_event_value": _asof_q,
         # windowing family (reference sliding_window semantics)
         "window_counts_w16_o8": _window_counts_q,
@@ -392,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _text("dedup_exact"),
         "dedup_minhash_pairs": _text("dedup_minhash_pairs"),
         "simhash_fingerprints": _text("simhash_fingerprints"),
+        "lang_len_corr": _text("lang_len_corr"),
         "lang_quality": _text("lang_quality"),  # heuristic lang-ID + quality
         # score (rows-only: stopword-table heuristics aren't SQL)
         "dedup_jaccard_verified": _text("dedup_jaccard_verified"),
@@ -432,6 +440,12 @@ def _spectral_features_q(sf_dir: str):
     return doc_spectral_features(sf_dir, window=64, overlap=32)
 
 
+def _events_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import events_pipeline
+
+    return getattr(events_pipeline, name)
+
+
 def relational_sql(name: str) -> str:
     from crossai_ts_ray.pipelines import relational
 
@@ -460,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill_linear": _EVENTS_LINEAR_SQL,
         "events_sliding_3h": _EVENTS_SLIDING_SQL,
         "events_user_sessions": _SESSIONS_SQL,
+        "user_value_stats": _events_sql("USER_VALUE_STATS_SQL"),
         "asof_last_event_value": _ASOF_SQL,
         "window_counts_w16_o8": _WINDOW_COUNTS_SQL,
         "window_agg_tumbling_w16": _window_agg_sql(16, 0),
@@ -472,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
+        "lang_len_corr": text_sql("LANG_LEN_CORR_SQL"),
         "ann_cosine_topk": ann_sql("COSINE_TOPK_SQL"),
         "outlier_filter_zscore": _OUTLIER_SQL,
         # dedup_minhash_pairs / simhash_fingerprints / ann_lsh_topk /

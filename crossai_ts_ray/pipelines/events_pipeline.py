@@ -328,3 +328,183 @@ _SLIDE_SCHEMA = pa.schema(
         ("val_sum", pa.float64()),
     ]
 )
+
+
+def user_value_stats(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+    """``signal_stats``-bundle per user over the ts-ordered event-value
+    series: n, mean, population std/var, min/max, rms, energy, crest factor,
+    G1 sample skewness, excess kurtosis, and zero-crossing rate of the
+    demeaned series (reference kernels caits/fe/_statistical.py:13-458; the
+    per-signal bundle is signal_stats, _statistical.py:472 -- here the
+    "signal" is each user's event stream, the engine-native shape).
+
+    Scale shape: identical to user_sessions -- ONE keyed exchange
+    (hash-partition by user), then one vectorized segment pass per partition
+    (lexsort + reduceat) computes every user's full bundle; group size is
+    bounded by per-user event counts, group count grows with data.
+
+    Rounding bridges float64 summation-order differences vs the DuckDB
+    oracle: O(1) shape stats at 4-6 dp, energy (a raw sum of squares) at 2.
+    """
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    from ..stages.joins import hash_prt
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "v": pa.array(v, pa.float64()),
+                "prt": pa.array(hash_prt(u, buckets), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n", pa.int64()),
+            ("mean", pa.float64()),
+            ("std", pa.float64()),
+            ("var", pa.float64()),
+            ("vmin", pa.float64()),
+            ("vmax", pa.float64()),
+            ("rms", pa.float64()),
+            ("energy", pa.float64()),
+            ("crest", pa.float64()),
+            ("skew", pa.float64()),
+            ("kurt", pa.float64()),
+            ("zcr", pa.float64()),
+        ]
+    )
+
+    def stats_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        # order by (user, ts, v): the v tiebreak makes same-timestamp order
+        # deterministic on both sides of the oracle comparison
+        order = np.lexsort((v, ts, u))
+        u_s, v_s = u[order], v[order]
+        new_user = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        starts = np.flatnonzero(new_user)
+        n = np.diff(np.append(starts, len(u_s)))
+        nf = n.astype(np.float64)
+        mu = np.add.reduceat(v_s, starts) / nf
+        dv = v_s - np.repeat(mu, n)
+        m2 = np.add.reduceat(dv * dv, starts) / nf
+        m3 = np.add.reduceat(dv**3, starts) / nf
+        m4 = np.add.reduceat(dv**4, starts) / nf
+        sq = np.add.reduceat(v_s * v_s, starts)
+        rms = np.sqrt(sq / nf)
+        vmin = np.minimum.reduceat(v_s, starts)
+        vmax = np.maximum.reduceat(v_s, starts)
+        peak = np.maximum.reduceat(np.abs(v_s), starts)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            crest = peak / rms
+            g1 = m3 / m2**1.5
+            skew = np.sqrt(nf * (nf - 1.0)) / (nf - 2.0) * g1
+            kurt = m4 / m2**2 - 3.0
+        # zero crossings of the demeaned series: adjacent-product sign test
+        # within each user's run (caits/fe/_statistical.py:324 semantics)
+        neg = (dv[:-1] * dv[1:] < 0) & (u_s[1:] == u_s[:-1])
+        csum = np.concatenate(([0], np.cumsum(neg)))
+        ends = np.append(starts[1:], len(u_s))
+        ncross = (csum[ends - 1] - csum[starts]).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            zcr = ncross / (nf - 1.0)
+
+        def col(x, dec, valid=None):
+            # epsilon-biased rounding, mirrored in the SQL oracle: means of
+            # 2-decimal inputs land EXACTLY on 1e-6 rounding ties (rational
+            # sums), where float summation-order noise flips the direction;
+            # a bias of grid*1e-3 (>> accumulation error, << one grid step)
+            # makes both sides decide ties identically
+            arr = np.round(x + 10.0 ** (-dec) * 1e-3, dec)
+            mask = ~np.isfinite(arr) if valid is None else ~(valid & np.isfinite(arr))
+            return pa.array(np.where(mask, np.nan, arr), pa.float64(),
+                            mask=mask)
+
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "mean": col(mu, 6),
+                "std": col(np.sqrt(m2), 6),
+                "var": col(m2, 4),
+                "vmin": col(vmin, 6),
+                "vmax": col(vmax, 6),
+                "rms": col(rms, 6),
+                "energy": col(sq, 2),
+                "crest": col(crest, 6, m2 > 0),
+                "skew": col(skew, 6, (n >= 3) & (m2 > 0)),
+                "kurt": col(kurt, 6, m2 > 0),
+                "zcr": col(zcr, 6, n >= 2),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: stats_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_VALUE_STATS_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t, value AS v FROM events
+),
+c AS (
+  SELECT user_id, t, v,
+         avg(v) OVER (PARTITION BY user_id) AS mu
+  FROM e
+),
+d AS (
+  SELECT user_id, t, v, v - mu AS dv, mu,
+         CASE WHEN (v - mu) * lag(v - mu)
+                   OVER (PARTITION BY user_id ORDER BY t, v) < 0
+              THEN 1 ELSE 0 END AS crossed
+  FROM c
+),
+a AS (
+  SELECT user_id,
+         count(*)::BIGINT AS n,
+         avg(v) AS mu,
+         avg(dv * dv) AS m2,
+         avg(dv * dv * dv) AS m3,
+         avg(dv * dv * dv * dv) AS m4,
+         min(v) AS vmin,
+         max(v) AS vmax,
+         sqrt(avg(v * v)) AS rms,
+         sum(v * v) AS energy,
+         max(abs(v)) AS peak,
+         sum(crossed)::DOUBLE AS ncross
+  FROM d GROUP BY user_id
+)
+SELECT user_id,
+       n,
+       round(mu + 1e-9, 6) AS "mean",
+       round(sqrt(m2) + 1e-9, 6) AS "std",
+       round(m2 + 1e-7, 4) AS "var",
+       round(vmin + 1e-9, 6) AS vmin,
+       round(vmax + 1e-9, 6) AS vmax,
+       round(rms + 1e-9, 6) AS rms,
+       round(energy + 1e-5, 2) AS energy,
+       CASE WHEN m2 > 0 THEN round(peak / rms + 1e-9, 6) END AS crest,
+       CASE WHEN n >= 3 AND m2 > 0
+            THEN round(sqrt(n * (n - 1.0)) / (n - 2.0) * m3 / m2 ** 1.5 + 1e-9, 6)
+       END AS skew,
+       CASE WHEN m2 > 0 THEN round(m4 / m2 ** 2 - 3.0 + 1e-9, 6) END AS kurt,
+       CASE WHEN n >= 2 THEN round(ncross / (n - 1.0) + 1e-9, 6) END AS zcr
+FROM a
+"""

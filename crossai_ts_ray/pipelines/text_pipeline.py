@@ -185,9 +185,10 @@ class MinHashSignatures:
     per-row dict building, and the signature ships ONCE per doc, never
     duplicated into band rows."""
 
-    def __init__(self, num_hashes: int = 64, ngram: int = 5):
+    def __init__(self, num_hashes: int = 64, ngram: int = 5, keep_text: bool = False):
         self.num_hashes = num_hashes
         self.ngram = ngram
+        self.keep_text = keep_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mh = _minhasher(self.num_hashes, self.ngram)
@@ -199,10 +200,10 @@ class MinHashSignatures:
             sig_m[i] = mh.signature(s)
         offs = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
         sigs = pa.ListArray.from_arrays(offs, pa.array(sig_m.reshape(-1).view(np.int64), pa.int64()))
-        return pa.table(
-            {"doc_id": t["doc_id"].cast(pa.int64()), "sig": sigs},
-            schema=_SIG_SCHEMA,
-        )
+        cols = {"doc_id": t["doc_id"].cast(pa.int64()), "sig": sigs}
+        if self.keep_text:
+            cols["text"] = t["text"]
+        return pa.table(cols)
 
 
 _SIG_SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.list_(pa.int64()))])
@@ -274,12 +275,18 @@ def _pairs_in_runs(starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np
     return ia, ib
 
 
-def _bucket_candidate_pairs(keyed_ds, key_cols: list[str], P: int = 32):
+def _bucket_candidate_pairs(
+    keyed_ds, key_cols: list[str], P: int = 32, global_dedup: bool = True
+):
     """Candidate pairs from an LSH-style (doc_id, *key_cols) table: hash-
     partition on the key tuple, sort each partition, enumerate pairs within
     each key run (runs are LSH buckets -- small by construction; a hot bucket
     means a hot shingle pattern and can be salted by the caller), dedup pair
-    rows within the partition.  Output: (doc_a, doc_b) with doc_a < doc_b."""
+    rows within the partition.  Output: (doc_a, doc_b) with doc_a < doc_b.
+
+    ``global_dedup=False`` skips the cross-partition dedup exchange for
+    callers whose next stage is itself a pair-keyed groupby that collapses
+    duplicates (the fused verify path)."""
 
     def add_prt(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -331,6 +338,8 @@ def _bucket_candidate_pairs(keyed_ds, key_cols: list[str], P: int = 32):
             lambda g: pairs_partition(g.drop_columns(["prt"])), batch_format="pyarrow"
         )
     )
+    if not global_dedup:
+        return cand
     return dedup_rows(cand, ["doc_a", "doc_b"])
 
 
@@ -408,35 +417,43 @@ def simhash_fingerprints(sf_dir: str):
 def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
                            verify_threshold: float = 0.5):
     """The full near-dup pipeline: MinHash-LSH candidates -> EXACT n-gram
-    Jaccard verification.
+    Jaccard verification, fused to THREE exchanges total.
 
-    Scale shape: candidate pair texts arrive via TWO partitioned hash joins
-    of the pair list against the documents table (stages/joins.py) -- the
-    corpus text moves through one keyed shuffle per side, is never read on
-    the driver, and is never ray.put as a dict.  Verification is per-batch
-    over the joined pairs (shingle-set ops per pair; pair-bounded work)."""
-    from ..stages.joins import keyed_equijoin
+    Scale shape: (1) band-bucket groupby enumerates candidate (doc_a, doc_b)
+    pairs (partition-local dedup only -- the global dedup folds into the
+    final pair groupby); (2) ONE partitioned hash join attaches (text, sig)
+    to both pair halves (pairs exploded by role first, so the corpus moves
+    through a single keyed shuffle and is never read on the driver or
+    ray.put); (3) a pair-key groupby pairs the halves, dedups cross-partition
+    duplicates, computes the signature-estimated Jaccard vectorized, and runs
+    exact shingle-set verification only on pairs passing the candidate
+    threshold.  The corpus is re-scanned (not materialized) for the join
+    side: recompute is the streaming-safe choice at raw scale."""
+    from ..stages.joins import hash_prt, keyed_equijoin
 
-    from ..stages.joins import hash_prt
+    sigs = minhash_signatures(sf_dir)
+    bands = sigs.map_batches(band_table, batch_format="pyarrow")
+    cand = _bucket_candidate_pairs(
+        bands, ["band_id", "band_key"], global_dedup=False
+    )
 
-    pairs = dedup_minhash_pairs(sf_dir, threshold=candidate_threshold)
-    docs = _read_docs(sf_dir)
-    docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    corpus = _read_docs(sf_dir).map_batches(
+        MinHashSignatures(keep_text=True), batch_format="pyarrow", batch_size=512
+    )
+    corpus_schema = pa.schema(
+        [("doc_id", pa.int64()), ("sig", pa.list_(pa.int64())), ("text", pa.string())]
+    )
 
     # PROBE side: each pair twice, keyed by doc_a (role 0) and doc_b (role 1)
-    # -- the corpus text then moves through ONE keyed shuffle total, and the
-    # second shuffle only carries pair-bounded half rows.
     def explode(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         a = t["doc_a"].to_numpy(zero_copy_only=False)
         b = t["doc_b"].to_numpy(zero_copy_only=False)
-        est = t["est_jaccard"].to_numpy(zero_copy_only=False)
         n = len(a)
         return pa.table(
             {
                 "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
                 "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
-                "est_jaccard": pa.array(np.concatenate([est, est]), pa.float64()),
                 "probe": pa.array(np.concatenate([a, b]), pa.int64()),
                 "role": pa.array(
                     np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
@@ -449,17 +466,16 @@ def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
         [
             ("doc_a", pa.int64()),
             ("doc_b", pa.int64()),
-            ("est_jaccard", pa.float64()),
             ("probe", pa.int64()),
             ("role", pa.int8()),
         ]
     )
     halves = keyed_equijoin(
-        pairs.map_batches(explode, batch_format="pyarrow"),
-        docs,
+        cand.map_batches(explode, batch_format="pyarrow"),
+        corpus,
         on=("probe", "doc_id"),
-        schemas=(probe_schema, docs_schema),
-    )  # + text (for the probe side)
+        schemas=(probe_schema, corpus_schema),
+    )  # + sig + text
 
     def add_pair_prt(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -477,23 +493,49 @@ def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
         b = t["doc_b"].to_numpy(zero_copy_only=False)
         role = t["role"].to_numpy(zero_copy_only=False)
         order = np.lexsort((role, b, a))
-        # consecutive (a, b) rows: role 0 then role 1
         a_s, b_s, r_s = a[order], b[order], role[order]
-        texts = t["text"].take(pa.array(order)).to_pylist()
-        est = t["est_jaccard"].to_numpy(zero_copy_only=False)[order]
-        first = np.flatnonzero(
-            np.concatenate(([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])))
+        # first role-0 and first role-1 row of each (a, b) run: duplicate
+        # pairs from different band partitions collapse here
+        new_pair = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
         )
+        pair_id = np.cumsum(new_pair) - 1
+        key = pair_id * 2 + r_s  # (pair, role) -> unique slot
+        slot_first = np.concatenate(([True], key[1:] != key[:-1]))
+        sel = np.flatnonzero(slot_first)
+        key_sel = key[sel]
+        # keep pairs owning BOTH roles (inner-join halves always do, but a
+        # duplicate-free guard keeps the kernel total)
+        is0 = key_sel % 2 == 0
+        p0 = key_sel[is0] // 2
+        p1 = key_sel[~is0] // 2
+        common = np.intersect1d(p0, p1)
+        if not len(common):
+            return pa.Table.from_pylist([], schema=_VPAIR_SCHEMA)
+        sel0 = sel[is0][np.searchsorted(p0, common)]
+        sel1 = sel[~is0][np.searchsorted(p1, common)]
+        take0 = pa.array(order[sel0])
+        take1 = pa.array(order[sel1])
+        t0 = t.take(take0)
+        t1 = t.take(take1)
+        sa = _sig_matrix(t0, "sig")
+        sb = _sig_matrix(t1, "sig")
+        est = (sa == sb).mean(axis=1)
+        keep = est >= candidate_threshold
+        if not keep.any():
+            return pa.Table.from_pylist([], schema=_VPAIR_SCHEMA)
+        texts_a = t0["text"].filter(pa.array(keep)).to_pylist()
+        texts_b = t1["text"].filter(pa.array(keep)).to_pylist()
+        aa = a_s[sel0][keep]
+        bb = b_s[sel0][keep]
+        ee = np.round(est[keep], 6)
         rows_a, rows_b, rows_e, rows_j = [], [], [], []
-        n = len(a_s)
-        for s in first:
-            if s + 1 >= n or r_s[s] != 0 or r_s[s + 1] != 1:
-                continue  # half missing (doc absent) -- drop like an inner join
-            ja = jaccard(char_ngrams(texts[s]), char_ngrams(texts[s + 1]))
+        for i in range(len(aa)):
+            ja = jaccard(char_ngrams(texts_a[i]), char_ngrams(texts_b[i]))
             if ja >= verify_threshold:
-                rows_a.append(a_s[s])
-                rows_b.append(b_s[s])
-                rows_e.append(est[s])
+                rows_a.append(aa[i])
+                rows_b.append(bb[i])
+                rows_e.append(ee[i])
                 rows_j.append(round(ja, 6))
         return pa.table(
             {
@@ -934,3 +976,79 @@ def ngram_jaccard_verify(sf_dir: str, pairs: list[tuple[int, int]]) -> list[dict
         ja = jaccard(char_ngrams(texts[a]), char_ngrams(texts[b]))
         out.append({"doc_a": a, "doc_b": b, "jaccard": round(ja, 6)})
     return out
+
+
+def lang_len_corr(sf_dir: str) -> rd.Dataset:
+    """Per-language Pearson correlation between document length in chars and
+    in tokens (the reference's corr-based EDA, caits/eda/correlation.py via
+    functions/eda.corr_matrix -- here as a distributed grouped correlation).
+
+    Scale shape: the moment sums (n, Sx, Sy, Sxx, Syy, Sxy) are distributive,
+    so each batch emits one partial row per lang seen (combiner inside
+    map_batches) and the only exchange is a groupby over #langs rows.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        t = t.combine_chunks()
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = pc.list_value_length(
+            pc.split_pattern(t["text"], " ")
+        ).to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame(
+            {
+                "lang": t["lang"].to_pylist(),
+                "n": 1,
+                "sx": x,
+                "sy": y,
+                "sxx": x * x,
+                "syy": y * y,
+                "sxy": x * y,
+            }
+        )
+        return df.groupby("lang", as_index=False).sum()
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        n = float(g["n"].sum())
+        sx, sy = g["sx"].sum(), g["sy"].sum()
+        sxx, syy, sxy = g["sxx"].sum(), g["syy"].sum(), g["sxy"].sum()
+        mx, my = sx / n, sy / n
+        vx, vy = sxx / n - mx * mx, syy / n - my * my
+        cov = sxy / n - mx * my
+        corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else None
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": np.array([n], np.int64),
+                "corr_chars_tokens": [None if corr is None else round(corr, 6)],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+LANG_LEN_CORR_SQL = """
+WITH d AS (
+  SELECT lang, n_chars::DOUBLE AS x,
+         len(string_split(text, ' '))::DOUBLE AS y
+  FROM documents
+),
+a AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         avg(x) AS mx, avg(y) AS my,
+         avg(x * x) AS sxx, avg(y * y) AS syy, avg(x * y) AS sxy
+  FROM d GROUP BY lang
+)
+SELECT lang, n_docs,
+       CASE WHEN sxx - mx * mx > 0 AND syy - my * my > 0
+            THEN round((sxy - mx * my)
+                       / sqrt((sxx - mx * mx) * (syy - my * my)), 6)
+       END AS corr_chars_tokens
+FROM a
+"""
