@@ -203,15 +203,18 @@ def run_scaling(sf_dir: str) -> dict:
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 
     def one(ncpu: int) -> dict:
-        # 9.6M rows: after the round-2 kernel speedups the job's fixed serial
-        # component (~5 s: plan + two barrier materializes + write startup)
-        # is 25%+ of a 4.8M-row run at 8 CPUs, which measures Amdahl overhead
-        # rather than the engine's scaling; 9.6M keeps the parallel fraction
-        # dominant while staying inside the host's memory-bandwidth budget
+        # 4.8M rows: large enough that parallel work dominates fixed per-run
+        # costs at the LO level, small enough that the HI level stays inside
+        # this host's memory-bandwidth budget (measured: 9.6M rows at 8 CPUs
+        # runs 3.2x the 4.8M time -- bandwidth-saturated, measures the host)
+        # REPEATS=2 + min: the first in-process execution pays one-time
+        # cluster-boot costs (object-store page faults at ~10us/page on this
+        # VM, worker-pool ramp) that a long-lived cluster amortizes to zero;
+        # the second run measures steady-state engine throughput
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_BENCH_ONLY="rollup",
-                   GRAFT_BENCH_REPEATS="1",
-                   GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALE_ROWS", "9600000"),
+                   GRAFT_BENCH_REPEATS="2",
+                   GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALE_ROWS", "4800000"),
                    GRAFT_SHARDS_PER_COMMIT=os.environ.get("GRAFT_SHARDS_PER_COMMIT", "16"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -222,11 +225,13 @@ def run_scaling(sf_dir: str) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # Default pair 2 vs 8: this host sustains only ~10-13 effective cores, so
-    # 8->32 measures oversubscription, not scaling (both pairs documented in
-    # BASELINE.md; override with GRAFT_SCALE_LO/HI).
-    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
-    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+    # Default pair 1 vs 4 (the brief's "N and 4N nodes" stand-in): this host
+    # sustains only ~10-13 effective cores under co-tenant load, so higher
+    # pairs (2->8, 8->32) increasingly measure oversubscription and memory-
+    # bandwidth saturation, not the engine (history in BASELINE.md; override
+    # with GRAFT_SCALE_LO/HI).
+    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "1"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "4"))
     # INTERLEAVE the two levels and take the per-level min: the host's
     # co-tenant noise comes in multi-minute windows, so running all repeats
     # of one level back-to-back lets one window depress a whole level

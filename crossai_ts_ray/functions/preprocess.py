@@ -169,6 +169,40 @@ def _resample_fourier(x: np.ndarray, num: int) -> np.ndarray:
     return np.fft.irfft(Y, num) * (float(num) / float(n))
 
 
+def _kaiser_sinc_filter(up: int, down: int, half_len_mult: int = 10,
+                        beta: float = 5.0) -> np.ndarray:
+    """Kaiser-windowed-sinc lowpass for polyphase resampling (the
+    scipy.signal.resample_poly default design: cutoff 1/max(up,down) in
+    Nyquist units, half-length 10*max(up,down), ('kaiser', 5.0) window,
+    unity DC gain)."""
+    max_rate = max(up, down)
+    half_len = half_len_mult * max_rate
+    n = np.arange(2 * half_len + 1) - half_len
+    # sinc lowpass at normalized cutoff f_c = 1/max_rate (cycles/sample of
+    # the UPSAMPLED stream), windowed; normalize to unity DC gain
+    f_c = 1.0 / max_rate
+    h = f_c * np.sinc(f_c * n) * np.kaiser(2 * half_len + 1, beta)
+    return h / np.sum(h)
+
+
+def _resample_polyphase(x: np.ndarray, up: int, down: int) -> np.ndarray:
+    """Polyphase rational resampling (zero-stuff by ``up``, Kaiser-sinc FIR,
+    decimate by ``down``) with the filter's group delay compensated so
+    output sample k sits at input time k*down/up. Pure NumPy rendition of
+    the scipy ``resample_poly``/``upfirdn`` semantics the reference reaches
+    through librosa's 'polyphase' res_type (caits/core/_core_resample.py)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    h = _kaiser_sinc_filter(up, down) * up  # *up restores amplitude lost to zero-stuffing
+    n_out = int(np.ceil(n * up / down))
+    xs = np.zeros(n * up + len(h) - 1)
+    xs[: n * up : up] = x
+    y = np.convolve(xs, h)[: n * up + len(h) - 1]
+    delay = (len(h) - 1) // 2
+    idx = delay + down * np.arange(n_out)
+    return y[idx]
+
+
 def resample(y: np.ndarray, orig_sr: float, target_sr: float,
              res_type: str = "linear", scale: bool = False) -> np.ndarray:
     """librosa-style resample dispatch (caits/core/_core_resample.py:14):
@@ -187,11 +221,19 @@ def resample(y: np.ndarray, orig_sr: float, target_sr: float,
         out = np.interp(t_out, t_in, y)
     elif res_type == "fft":
         out = _resample_fourier(y, n_out)
-    elif res_type in ("soxr_hq", "soxr_vhq", "soxr_mq", "soxr_lq", "polyphase",
+    elif res_type == "polyphase":
+        import math
+
+        up, down = int(target_sr), int(orig_sr)
+        if up != target_sr or down != orig_sr:
+            raise ValueError("polyphase resampling requires integer rates")
+        g = math.gcd(up, down)
+        out = _resample_polyphase(y, up // g, down // g)
+    elif res_type in ("soxr_hq", "soxr_vhq", "soxr_mq", "soxr_lq",
                       "kaiser_best", "kaiser_fast"):
         raise NotImplementedError(
-            f"res_type={res_type!r} needs soxr/resampy/scipy (absent in this "
-            "container); use 'linear' or 'fft'"
+            f"res_type={res_type!r} needs soxr/resampy (absent in this "
+            "container); use 'linear', 'fft' or 'polyphase'"
         )
     else:
         raise ValueError(f"unknown res_type {res_type!r}")

@@ -539,12 +539,21 @@ def aligned_rollup_cascade(
     tiers,
     chunk_rows: int,
     merge_partitions: int = 16,
+    as_single: bool = False,
 ) -> dict:
     """The aligned plan: one map pass over bucket-aligned file groups emits
     finalized rows for every tier bucket complete inside the group, plus
     dense partials for the (<=2 per tier per group) boundary buckets; ONE
     small exchange merges the boundary partials per tier.  Returns
-    {tier_name: Dataset}."""
+    {tier_name: Dataset}.
+
+    ``as_single=True`` instead returns ONE Dataset tagged with a ``tier``
+    string column, letting the caller consume every tier in a single
+    streaming execution (``write_parquet(partition_cols=["tier"])``).  This
+    exists because per-Dataset-execution startup is a fixed serial cost
+    (~0.3 s at 32 CPUs, seconds at 1-2 CPUs): the dict form pays it once per
+    tier plus once for the boundary merge, the single form exactly twice
+    (the group-pass materialize and the consumer)."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -599,11 +608,11 @@ def aligned_rollup_cascade(
     drop_final = ["kind", "tier_id", "ntok_hist", "tok_hist"]
     out = {}
     out[fine.name] = union.filter(expr="tier_id == 0").drop_columns(drop_final)
-    if len(tiers) < 2:
+    if len(tiers) < 2 and not as_single:
         return out
 
     merged = None
-    if any_partial:
+    if any_partial and len(tiers) > 1:
         # ONE exchange serves every coarse tier: partition by (source,
         # COARSEST bucket) -- nesting widths mean a partition holds every
         # partial of each (tier, bucket) it owns.  Only BOUNDARY buckets
@@ -654,16 +663,56 @@ def aligned_rollup_cascade(
                 return pa.Table.from_pylist([], schema=sch)
             return pa.concat_tables(tabs)
 
-        merged = (
-            partials.map_batches(add_prt_coarsest, batch_format="pyarrow")
-            # coalesce the (small) partials: without this the sort inherits
-            # one block per input group and the merge pays per-task
-            # scheduling latency on ~100 mostly-empty tasks
-            .repartition(merge_partitions)
-            .groupby("prt")
-            .map_groups(merge_all_tiers, batch_format="pyarrow")
-        ).materialize()  # boundary-bucket-sized: all coarse tiers, one pass
+        # size the exchange from the PLAN, not the data: each incomplete
+        # group contributes <= 2 boundary buckets per coarse tier, so the
+        # partial-row count is known before any execution.  Below ~64k rows
+        # a keyed sort-groupby is pure stage latency (measured: 4-8 s for 8
+        # rows at 4 CPUs) -- coalesce to ONE block and merge in one task
+        # (merge_dense_partials groups by (source, bucket) internally).
+        # Past that, the groupby IS the scale path: partial volume grows
+        # with group count at 10^12 rows and must merge keyed.
+        n_incomplete = sum(1 for c in complete if not c)
+        max_partial_rows = 2 * (len(tiers) - 1) * max(1, n_incomplete)
+        if max_partial_rows <= 65536:
+            merged = partials.repartition(1).map_batches(
+                merge_all_tiers, batch_size=None, batch_format="pyarrow"
+            )
+        else:
+            merged = (
+                partials.map_batches(add_prt_coarsest, batch_format="pyarrow")
+                # coalesce the (small) partials: without this the sort
+                # inherits one block per input group and the merge pays
+                # per-task scheduling latency on ~100 mostly-empty tasks
+                .repartition(merge_partitions)
+                .groupby("prt")
+                .map_groups(merge_all_tiers, batch_format="pyarrow")
+            )  # boundary-bucket-sized: all coarse tiers, one pass
 
+    if as_single:
+        cols = [f.name for f in ROLLUP_SCHEMA] + ["tier_id"]
+        full = union.filter(expr="kind == 0").select_columns(cols)
+        if merged is not None:
+            # merged stays LAZY: it is consumed exactly once by the single
+            # downstream execution, so materializing it would only add an
+            # execution barrier
+            full = full.union(merged.select_columns(cols))
+        names = np.array([t.name for t in tiers])
+
+        def _tag_tier(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            if t.num_rows == 0:
+                return t.drop_columns(["tier_id"]).append_column(
+                    "tier", pa.array([], pa.string())
+                )
+            tid = t["tier_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.drop_columns(["tier_id"]).append_column(
+                "tier", pa.array(names[tid], pa.string())
+            )
+
+        return full.map_batches(_tag_tier, batch_format="pyarrow")
+
+    if merged is not None:
+        merged = merged.materialize()  # reused by every coarse tier's filter
     for i, tier in enumerate(tiers[1:], start=1):
         finalized = union.filter(expr=f"tier_id == {i}").drop_columns(drop_final)
         if merged is not None:

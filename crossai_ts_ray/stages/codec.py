@@ -342,9 +342,22 @@ def decode_segment_column(row: dict, col: str, is_float: bool) -> np.ndarray:
 
 
 def compress_rollup(rollup_ds, concurrency: int = 4, batch_size: int = 8192):
-    """Tier rollup Dataset -> compressed segment Dataset (actor pool)."""
+    """Tier rollup Dataset -> compressed segment Dataset (actor pool).
+
+    On a cluster with fewer than 2 CPUs the actor pool is replaced by a task
+    pool: an actor pins its CPU for the pipeline's lifetime, so on a 1-CPU
+    cluster the upstream read tasks can never schedule and the pipeline
+    deadlocks.  Stateless-task mode re-pays CodecStage construction per task,
+    which is negligible (LUTs + a column list) next to the deadlock."""
     int_cols = ["bucket", "count", "sum", "min", "max", "tok_count", "tok_sum", "tok_min", "tok_max"]
     float_cols = ["mean", "p50", "p99", "tok_mean", "tok_p50", "tok_p99"]
+    import ray as _ray
+
+    if int(_ray.cluster_resources().get("CPU", 2)) < 2:
+        stage = CodecStage(int_cols=int_cols, float_cols=float_cols)
+        return rollup_ds.map_batches(
+            stage, batch_format="pyarrow", batch_size=batch_size
+        )
     return rollup_ds.map_batches(
         CodecStage,
         fn_constructor_kwargs={"int_cols": int_cols, "float_cols": float_cols},

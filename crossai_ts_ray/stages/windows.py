@@ -84,6 +84,48 @@ def expand_windows(batch: pa.Table, window: int, overlap: int) -> pa.Table:
     )
 
 
+def rolling_windows(x: np.ndarray, ws: int, step: int,
+                    w_center: bool = True) -> np.ndarray:
+    """pandas-``.rolling(window=ws, step=step, min_periods=ws,
+    center=w_center)`` iteration semantics, vectorized: windows anchored at
+    positions 0, step, 2*step, ... where the anchor is the window's LAST row
+    (w_center=False) or its center, row ``anchor - ws//2`` through
+    ``anchor + ws - ws//2 - 1`` (w_center=True); only complete windows
+    returned, as an (n_windows, ws) view-backed array.
+
+    This is the reference's ``rolling_window_df``
+    (/root/reference/caits/windowing.py:8) reduced to its array core — note
+    the reference passes its ``overlap`` argument as the pandas ``step``, and
+    pandas ignores ``win_type`` when iterating raw windows (it only weights
+    ``.mean()``-style aggregations), so no taper is applied here either."""
+    x = np.asarray(x)
+    n = len(x)
+    if ws <= 0 or step <= 0:
+        raise ValueError("ws and step must be positive")
+    anchors = np.arange(0, n, step, dtype=np.int64)
+    starts = anchors - (ws // 2 if w_center else ws - 1)
+    starts = starts[(starts >= 0) & (starts + ws <= n)]
+    if len(starts) == 0:
+        return np.empty((0, ws), dtype=x.dtype)
+    return np.lib.stride_tricks.sliding_window_view(x, ws)[starts]
+
+
+def rolling_window_df(df, ws: int = 500, overlap: int = 250,
+                      w_type: str = "hann", w_center: bool = True) -> list:
+    """API-parity wrapper over :func:`rolling_windows` returning a list of
+    DataFrames like the reference (/root/reference/caits/windowing.py:8).
+    Exists for single-machine parity; inside the engine use
+    ``rolling_windows`` per batch — returning Python lists of DataFrames
+    does not belong in a ``map_batches`` hot path."""
+    import pandas as pd
+
+    n = len(df)
+    anchors = np.arange(0, n, overlap, dtype=np.int64)
+    starts = anchors - (ws // 2 if w_center else ws - 1)
+    starts = starts[(starts >= 0) & (starts + ws <= n)]
+    return [df.iloc[s : s + ws] for s in starts]
+
+
 def _empty_windows() -> pa.Table:
     return pa.Table.from_pylist(
         [],

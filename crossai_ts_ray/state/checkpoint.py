@@ -157,7 +157,7 @@ def run_rollup_job(
             from ..synth import CHUNK_ROWS
 
             cascaded = aligned_rollup_cascade(
-                shard_dirs, tiers, chunk_rows=CHUNK_ROWS
+                shard_dirs, tiers, chunk_rows=CHUNK_ROWS, as_single=True
             )
         else:
             import ray as _ray_r
@@ -175,30 +175,54 @@ def run_rollup_job(
         watermark = -1
         tier_rows: dict[str, int] = {}
 
-        def write_tier(tier):
-            final_dir = os.path.join(out_dir, f"tier={tier.name}", f"part={pid}")
-            tmp_dir = os.path.join(out_dir, f".tmp-{tier.name}-{pid}")
-            if os.path.exists(tmp_dir):
-                shutil.rmtree(tmp_dir)
-            if os.path.exists(final_dir):
-                shutil.rmtree(final_dir)  # uncommitted leftovers from a kill
-            cascaded[tier.name].write_parquet(tmp_dir)
-            os.makedirs(os.path.dirname(final_dir), exist_ok=True)
-            os.rename(tmp_dir, final_dir)
-            return tier.name, _dir_stats(final_dir)
+        if not isinstance(cascaded, dict):
+            # single-execution commit: all tiers stream through ONE
+            # write_parquet partitioned by the tier tag, then each
+            # tier=NAME subdir renames into its committed location --
+            # same atomic layout, one Dataset-execution startup instead
+            # of one per tier
+            tmp_root = os.path.join(out_dir, f".tmp-part-{pid}")
+            if os.path.exists(tmp_root):
+                shutil.rmtree(tmp_root)
+            cascaded.write_parquet(tmp_root, partition_cols=["tier"])
+            results = {}
+            for tier in tiers:
+                src = os.path.join(tmp_root, f"tier={tier.name}")
+                final_dir = os.path.join(
+                    out_dir, f"tier={tier.name}", f"part={pid}"
+                )
+                if os.path.exists(final_dir):
+                    shutil.rmtree(final_dir)  # uncommitted leftovers
+                os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+                if not os.path.isdir(src):
+                    os.makedirs(src)  # a tier with zero rows this partition
+                os.rename(src, final_dir)
+                results[tier.name] = _dir_stats(final_dir)
+            shutil.rmtree(tmp_root, ignore_errors=True)
+        else:
 
-        # tier writes are independent given the materialized partials --
-        # overlap them so per-pipeline latency isn't paid 3x serially
-        # (only when there are CPUs to overlap on)
-        import ray as _ray
-        from concurrent.futures import ThreadPoolExecutor as _TPE
+            def write_tier(tier):
+                final_dir = os.path.join(out_dir, f"tier={tier.name}", f"part={pid}")
+                tmp_dir = os.path.join(out_dir, f".tmp-{tier.name}-{pid}")
+                if os.path.exists(tmp_dir):
+                    shutil.rmtree(tmp_dir)
+                if os.path.exists(final_dir):
+                    shutil.rmtree(final_dir)  # uncommitted leftovers from a kill
+                cascaded[tier.name].write_parquet(tmp_dir)
+                os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+                os.rename(tmp_dir, final_dir)
+                return tier.name, _dir_stats(final_dir)
 
-        n_cpus = int(_ray.cluster_resources().get("CPU", 4))
-        writers = len(tiers) if n_cpus >= 8 else 1
-        with _TPE(max_workers=writers) as tex:
-            results = dict(
-                (name, st) for name, st in tex.map(write_tier, tiers)
-            )
+            # tier writes are independent given the materialized partials --
+            # overlap them: the work per write is tiny (rollup-sized
+            # filters), so what overlapping hides is per-Dataset-execution
+            # startup latency
+            from concurrent.futures import ThreadPoolExecutor as _TPE
+
+            with _TPE(max_workers=len(tiers)) as tex:
+                results = dict(
+                    (name, st) for name, st in tex.map(write_tier, tiers)
+                )
         for tier in tiers:
             r, b, mb = results[tier.name]
             part_rows += r

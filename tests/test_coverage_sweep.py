@@ -309,6 +309,30 @@ def test_resample_fft_mode():
     assert np.abs((sc**2).sum() - (x**2).sum()) / (x**2).sum() < 0.05
 
 
+def test_resample_polyphase_mode():
+    from crossai_ts_ray.functions.preprocess import resample
+
+    fs = 100
+    t = np.arange(2000) / fs
+    x = np.sin(2 * np.pi * 5 * t)
+    # rational upsample 100 -> 150: tone reproduced (interior, past filter edges)
+    up = resample(x, fs, 150, res_type="polyphase")
+    assert len(up) == int(np.ceil(2000 * 150 / 100))
+    t2 = np.arange(len(up)) / 150
+    ref = np.sin(2 * np.pi * 5 * t2)
+    assert np.abs(up[100:-100] - ref[100:-100]).max() < 5e-3
+    # antialiasing: 40 Hz tone downsampled past its Nyquist must vanish,
+    # unlike linear interp which would alias it to 10 Hz at ~full amplitude
+    alias = resample(np.sin(2 * np.pi * 40 * t), fs, 50, res_type="polyphase")
+    assert np.sqrt(np.mean(alias[100:-100] ** 2)) < 1e-2
+    # DC gain exactly-ish unity, and equal rates pass through
+    dc = resample(np.ones(1000), 4, 3, res_type="polyphase")
+    assert np.abs(dc[50:-50] - 1.0).max() < 1e-3
+    assert np.allclose(resample(x[:500], 7, 7, res_type="polyphase"), x[:500])
+    with pytest.raises(ValueError):
+        resample(x, 100.5, 150, res_type="polyphase")
+
+
 # -- evaluation path ---------------------------------------------------------
 
 

@@ -143,3 +143,32 @@ def test_window_counts_hypothesis():
         assert got == want
 
     check()
+
+
+def test_rolling_windows_matches_pandas():
+    """rolling_windows == iterating pandas .rolling(step=, center=) exactly
+    (the reference rolling_window_df's engine, windowing.py:8)."""
+    import pandas as pd
+
+    from crossai_ts_ray.stages.windows import rolling_window_df, rolling_windows
+
+    rng = np.random.default_rng(7)
+    for n in (12, 50, 501):
+        for ws, step in ((4, 3), (5, 2), (16, 8), (7, 7), (10, 3)):
+            for center in (False, True):
+                x = rng.normal(size=n)
+                df = pd.DataFrame({"a": x})
+                ref = [
+                    w["a"].to_numpy()
+                    for w in df.rolling(window=ws, step=step, min_periods=ws,
+                                        center=center)
+                    if w["a"].count() >= ws
+                ]
+                got = rolling_windows(x, ws, step, w_center=center)
+                assert len(got) == len(ref)
+                assert all(np.array_equal(r, g) for r, g in zip(ref, got))
+                dfs = rolling_window_df(df, ws=ws, overlap=step, w_center=center)
+                assert len(dfs) == len(ref)
+                assert all(
+                    np.array_equal(r, g["a"].to_numpy()) for r, g in zip(ref, dfs)
+                )
