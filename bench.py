@@ -203,10 +203,9 @@ def run_scaling(sf_dir: str) -> dict:
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
 
     def one(ncpu: int) -> dict:
-        # 4.8M rows: large enough that parallel work dominates fixed per-run
-        # costs at the LO level, small enough that the HI level stays inside
-        # this host's memory-bandwidth budget (measured: 9.6M rows at 8 CPUs
-        # runs 3.2x the 4.8M time -- bandwidth-saturated, measures the host)
+        # 9.6M rows: large enough that parallel work dominates the job's
+        # ~1-2 s fixed serial component at both levels (at 4.8M the LO/HI
+        # ratio still carries ~3% of Amdahl overhead).
         # REPEATS=2 + min: the first in-process execution pays one-time
         # cluster-boot costs (object-store page faults at ~10us/page on this
         # VM, worker-pool ramp) that a long-lived cluster amortizes to zero;
@@ -214,7 +213,7 @@ def run_scaling(sf_dir: str) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
                    GRAFT_BENCH_ONLY="rollup",
                    GRAFT_BENCH_REPEATS="2",
-                   GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALE_ROWS", "4800000"),
+                   GRAFT_BENCH_ROWS=os.environ.get("GRAFT_SCALE_ROWS", "9600000"),
                    GRAFT_SHARDS_PER_COMMIT=os.environ.get("GRAFT_SHARDS_PER_COMMIT", "16"))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

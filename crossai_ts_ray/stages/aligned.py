@@ -534,26 +534,207 @@ def rekey_dense(batch: pa.Table, factor: int) -> pa.Table:
     )
 
 
+# partial rows drop the finalized-only float columns before any exchange
+_PARTIAL_DROP = ["kind", "mean", "p50", "p99", "tok_mean", "tok_p50", "tok_p99"]
+
+
+def _add_prt_coarsest(t: pa.Table, tiers, merge_partitions: int) -> pa.Table:
+    """Key partial rows by (source, COARSEST bucket) hash partition: nesting
+    tier widths mean one partition then owns every partial of each
+    (tier, bucket) it touches."""
+    from .rollup import with_partition_col
+
+    coarsest = tiers[-1]
+    widths = np.zeros(len(tiers) + 1, np.int64)
+    for i, tt in enumerate(tiers):
+        widths[i] = tt.width
+    t = t.combine_chunks()
+    if t.num_rows == 0:
+        return t.append_column("prt", pa.array([], pa.int64()))
+    tid = -t["tier_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = b // (coarsest.width // widths[tid])
+    keyed = with_partition_col(
+        t.set_column(
+            t.schema.get_field_index("bucket"), "bucket", pa.array(cb, pa.int64())
+        ),
+        merge_partitions,
+        False,
+    )
+    return t.append_column("prt", keyed["prt"])
+
+
+def _merge_all_tiers(g: pa.Table, tiers) -> pa.Table:
+    """Merge co-located partial rows of EVERY coarse tier in one pass:
+    filter by (negative) tier id, counter-reduce + dense-hist add, finalize
+    percentiles; emits ROLLUP rows tagged with the positive tier id."""
+    g = g.combine_chunks()
+    tid = g["tier_id"].to_numpy(zero_copy_only=False)
+    tabs = []
+    for ti in range(1, len(tiers)):
+        sub = g.filter(pa.array(tid == -ti)).drop_columns(["tier_id"])
+        if sub.num_rows:
+            m = merge_dense_partials(sub)
+            tabs.append(
+                m.append_column(
+                    "tier_id",
+                    pa.array(np.full(m.num_rows, ti, np.int64), pa.int64()),
+                )
+            )
+    if not tabs:
+        sch = ROLLUP_SCHEMA.append(pa.field("tier_id", pa.int64()))
+        return pa.Table.from_pylist([], schema=sch)
+    return pa.concat_tables(tabs)
+
+
+def _tag_tier_names(t: pa.Table, names: np.ndarray) -> pa.Table:
+    """tier_id int column -> tier string column (hive partition key)."""
+    t = t.combine_chunks()
+    if t.num_rows == 0:
+        return t.drop_columns(["tier_id"]).append_column(
+            "tier", pa.array([], pa.string())
+        )
+    tid = t["tier_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return t.drop_columns(["tier_id"]).append_column(
+        "tier", pa.array(names[tid], pa.string())
+    )
+
+
+def aligned_rollup_stream(
+    shard_dirs: list[str],
+    tiers,
+    chunk_rows: int,
+    spill_dir: str,
+):
+    """Fully-STREAMING aligned cascade: one task-pool pass reads each
+    bucket-aligned file group, finalizes every tier bucket complete inside
+    the group, tags rows with the tier name, and side-writes the (<=2 per
+    coarse tier per cut group) boundary partials to ``spill_dir`` as
+    map-side shuffle files -- parquet, one file per group, deterministic
+    name, written via atomic rename so a retried task is idempotent.
+
+    Returns ``(finalized_ds, n_incomplete)``.  The caller consumes
+    ``finalized_ds`` with a single ``write_parquet(partition_cols=["tier"])``
+    (NO materialize barrier anywhere: blocks stream from read to write), then
+    merges the spill with :func:`merge_spilled_partials`.  ``spill_dir`` must
+    be on storage all workers reach -- here the job's own output directory,
+    the same assumption every map-side shuffle file design makes."""
+    import ray.data as rd
+
+    for prev, cur_t in zip(tiers, tiers[1:]):
+        if cur_t.width % prev.width != 0 or cur_t.width <= prev.width:
+            raise ValueError(
+                f"aligned cascade requires strictly-nesting tier widths; "
+                f"{cur_t.width} is not a proper multiple of {prev.width}"
+            )
+    fine = tiers[0]
+    groups, complete, g_start, g_end = plan_aligned_groups_ex(
+        shard_dirs,
+        chunk_rows,
+        fine.width,
+        coarse_width=tiers[1].width if len(tiers) > 1 else None,
+    )
+    os.makedirs(spill_dir, exist_ok=True)
+    names = np.array([t.name for t in tiers])
+    cols = [f.name for f in ROLLUP_SCHEMA] + ["tier_id"]
+    # LPT order: heaviest groups dispatch first (see aligned_rollup_cascade)
+    order = sorted(
+        range(len(groups)),
+        key=lambda i: -sum(os.path.getsize(f) for f in groups[i]),
+    )
+    gds = rd.from_items(
+        [
+            {"files": groups[i], "start": g_start[i], "end": g_end[i], "gid": i}
+            for i in order
+        ]
+    )
+
+    def run_group_spill(batch: pa.Table) -> pa.Table:
+        outs = []
+        for files, s, e, gid in zip(
+            batch["files"].to_pylist(),
+            batch["start"].to_pylist(),
+            batch["end"].to_pylist(),
+            batch["gid"].to_pylist(),
+        ):
+            t = process_aligned_group(
+                list(files),
+                fine,
+                chunk_rows=chunk_rows,
+                tiers=tiers,
+                src_start=bool(s),
+                src_end=bool(e),
+            )
+            kind = t["kind"].to_numpy(zero_copy_only=False)
+            if (kind == 1).any():
+                part = t.filter(pa.array(kind == 1)).drop_columns(_PARTIAL_DROP)
+                tmp = os.path.join(spill_dir, f".g{gid}.tmp")
+                pq.write_table(part, tmp)
+                os.replace(tmp, os.path.join(spill_dir, f"g{gid}.parquet"))
+            fin = t.filter(pa.array(kind == 0)).select(cols)
+            outs.append(_tag_tier_names(fin, names))
+        return pa.concat_tables(outs)
+
+    finalized = gds.map_batches(
+        run_group_spill, batch_size=None, batch_format="pyarrow"
+    )
+    return finalized, sum(1 for c in complete if not c)
+
+
+def merge_spilled_partials(
+    spill_dir: str, tiers, n_incomplete: int, merge_partitions: int = 16
+):
+    """Boundary-partial merge over the map-side spill files: a Dataset of
+    finalized ROLLUP rows tagged with tier names, or None when no group
+    spilled.  Same adaptive shape as the cascade: one-task coalesce while the
+    plan proves the partial count small, keyed groupby past that."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    files = sorted(_glob.glob(os.path.join(spill_dir, "g*.parquet")))
+    if not files:
+        return None
+    ds = rd.read_parquet(files)
+    max_partial_rows = 2 * (len(tiers) - 1) * max(1, n_incomplete)
+    if max_partial_rows <= 65536:
+        merged = ds.repartition(1).map_batches(
+            lambda g: _merge_all_tiers(g, tiers),
+            batch_size=None,
+            batch_format="pyarrow",
+        )
+    else:
+        merged = (
+            ds.map_batches(
+                lambda t: _add_prt_coarsest(t, tiers, merge_partitions),
+                batch_format="pyarrow",
+            )
+            .repartition(merge_partitions)
+            .groupby("prt")
+            .map_groups(
+                lambda g: _merge_all_tiers(g, tiers), batch_format="pyarrow"
+            )
+        )
+    names = np.array([t.name for t in tiers])
+    cols = [f.name for f in ROLLUP_SCHEMA] + ["tier_id"]
+    return merged.map_batches(
+        lambda t: _tag_tier_names(t.select(cols), names), batch_format="pyarrow"
+    )
+
+
 def aligned_rollup_cascade(
     shard_dirs: list[str],
     tiers,
     chunk_rows: int,
     merge_partitions: int = 16,
-    as_single: bool = False,
 ) -> dict:
     """The aligned plan: one map pass over bucket-aligned file groups emits
     finalized rows for every tier bucket complete inside the group, plus
     dense partials for the (<=2 per tier per group) boundary buckets; ONE
     small exchange merges the boundary partials per tier.  Returns
-    {tier_name: Dataset}.
-
-    ``as_single=True`` instead returns ONE Dataset tagged with a ``tier``
-    string column, letting the caller consume every tier in a single
-    streaming execution (``write_parquet(partition_cols=["tier"])``).  This
-    exists because per-Dataset-execution startup is a fixed serial cost
-    (~0.3 s at 32 CPUs, seconds at 1-2 CPUs): the dict form pays it once per
-    tier plus once for the boundary merge, the single form exactly twice
-    (the group-pass materialize and the consumer)."""
+    {tier_name: Dataset}.  For a single fully-streaming consumer (the
+    checkpointed job), use :func:`aligned_rollup_stream` instead -- it
+    avoids this form's materialize barrier and per-tier executions."""
     import pyarrow.compute as pc
     import ray.data as rd
 
@@ -576,10 +757,20 @@ def aligned_rollup_cascade(
         coarse_width=tiers[1].width if len(tiers) > 1 else None,
     )
     any_partial = not all(complete)
+    # LPT order: schedule the heaviest groups FIRST.  Group sizes are
+    # Zipf-skewed (hot sources), and tasks dispatch in block order, so a
+    # heavy group landing in the last wave sets the stage makespan; putting
+    # the rocks first lets the small groups pack around them.  Pure
+    # reordering -- rollup outputs are keyed by (source, bucket) and
+    # order-independent.
+    order = sorted(
+        range(len(groups)),
+        key=lambda i: -sum(os.path.getsize(f) for f in groups[i]),
+    )
     gds = rd.from_items(
         [
-            {"files": g, "start": s, "end": e}
-            for g, s, e in zip(groups, g_start, g_end)
+            {"files": groups[i], "start": g_start[i], "end": g_end[i]}
+            for i in order
         ]
     )
 
@@ -608,7 +799,7 @@ def aligned_rollup_cascade(
     drop_final = ["kind", "tier_id", "ntok_hist", "tok_hist"]
     out = {}
     out[fine.name] = union.filter(expr="tier_id == 0").drop_columns(drop_final)
-    if len(tiers) < 2 and not as_single:
+    if len(tiers) < 2:
         return out
 
     merged = None
@@ -619,49 +810,13 @@ def aligned_rollup_cascade(
         # (cut by a non-terminal group edge) reach this exchange; interior
         # buckets were finalized inside their map task, so the exchange
         # moves O(groups x tiers) dense hists, not O(coarse buckets).
-        partials = union.filter(expr="kind == 1").drop_columns(
-            ["kind", "mean", "p50", "p99", "tok_mean", "tok_p50", "tok_p99"]
-        )
-        coarsest = tiers[-1]
-        widths = np.zeros(len(tiers) + 1, np.int64)
-        for i, tt in enumerate(tiers):
-            widths[i] = tt.width
+        partials = union.filter(expr="kind == 1").drop_columns(_PARTIAL_DROP)
 
         def add_prt_coarsest(t: pa.Table) -> pa.Table:
-            t = t.combine_chunks()
-            if t.num_rows == 0:
-                return t.append_column("prt", pa.array([], pa.int64()))
-            tid = -t["tier_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-            cb = b // (coarsest.width // widths[tid])
-            keyed = with_partition_col(
-                t.set_column(
-                    t.schema.get_field_index("bucket"), "bucket",
-                    pa.array(cb, pa.int64()),
-                ),
-                merge_partitions,
-                False,
-            )
-            return t.append_column("prt", keyed["prt"])
+            return _add_prt_coarsest(t, tiers, merge_partitions)
 
         def merge_all_tiers(g: pa.Table) -> pa.Table:
-            g = g.combine_chunks()
-            tid = g["tier_id"].to_numpy(zero_copy_only=False)
-            tabs = []
-            for ti in range(1, len(tiers)):
-                sub = g.filter(pa.array(tid == -ti)).drop_columns(["tier_id"])
-                if sub.num_rows:
-                    m = merge_dense_partials(sub)
-                    tabs.append(
-                        m.append_column(
-                            "tier_id",
-                            pa.array(np.full(m.num_rows, ti, np.int64), pa.int64()),
-                        )
-                    )
-            if not tabs:
-                sch = ROLLUP_SCHEMA.append(pa.field("tier_id", pa.int64()))
-                return pa.Table.from_pylist([], schema=sch)
-            return pa.concat_tables(tabs)
+            return _merge_all_tiers(g, tiers)
 
         # size the exchange from the PLAN, not the data: each incomplete
         # group contributes <= 2 boundary buckets per coarse tier, so the
@@ -687,29 +842,6 @@ def aligned_rollup_cascade(
                 .groupby("prt")
                 .map_groups(merge_all_tiers, batch_format="pyarrow")
             )  # boundary-bucket-sized: all coarse tiers, one pass
-
-    if as_single:
-        cols = [f.name for f in ROLLUP_SCHEMA] + ["tier_id"]
-        full = union.filter(expr="kind == 0").select_columns(cols)
-        if merged is not None:
-            # merged stays LAZY: it is consumed exactly once by the single
-            # downstream execution, so materializing it would only add an
-            # execution barrier
-            full = full.union(merged.select_columns(cols))
-        names = np.array([t.name for t in tiers])
-
-        def _tag_tier(t: pa.Table) -> pa.Table:
-            t = t.combine_chunks()
-            if t.num_rows == 0:
-                return t.drop_columns(["tier_id"]).append_column(
-                    "tier", pa.array([], pa.string())
-                )
-            tid = t["tier_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return t.drop_columns(["tier_id"]).append_column(
-                "tier", pa.array(names[tid], pa.string())
-            )
-
-        return full.map_batches(_tag_tier, batch_format="pyarrow")
 
     if merged is not None:
         merged = merged.materialize()  # reused by every coarse tier's filter

@@ -150,14 +150,19 @@ def run_rollup_job(
             f for sd in shard_dirs for f in glob.glob(os.path.join(sd, "*.parquet"))
         )
         fragments = [os.path.basename(f) for f in frag_paths]
+        spill_dir = n_incomplete = None
         if aligned:
             # no-raw-shuffle fast path: input files are seq-aligned per
-            # source (stages/aligned.py states the contract)
-            from ..stages.aligned import aligned_rollup_cascade
+            # source (stages/aligned.py states the contract); fully
+            # streaming -- boundary partials leave the map tasks as
+            # spill files, finalized rows stream straight into the write
+            from ..stages.aligned import aligned_rollup_stream
             from ..synth import CHUNK_ROWS
 
-            cascaded = aligned_rollup_cascade(
-                shard_dirs, tiers, chunk_rows=CHUNK_ROWS, as_single=True
+            spill_dir = os.path.join(out_dir, f".spill-{pid}")
+            shutil.rmtree(spill_dir, ignore_errors=True)
+            cascaded, n_incomplete = aligned_rollup_stream(
+                shard_dirs, tiers, chunk_rows=CHUNK_ROWS, spill_dir=spill_dir
             )
         else:
             import ray as _ray_r
@@ -185,6 +190,31 @@ def run_rollup_job(
             if os.path.exists(tmp_root):
                 shutil.rmtree(tmp_root)
             cascaded.write_parquet(tmp_root, partition_cols=["tier"])
+            if spill_dir is not None:
+                # second (tiny) execution: merge the map-side boundary
+                # partials and drop the finalized rows into the same
+                # pre-commit tree
+                from ..stages.aligned import merge_spilled_partials
+
+                merged = merge_spilled_partials(spill_dir, tiers, n_incomplete)
+                if merged is not None:
+                    tmp_m = os.path.join(out_dir, f".tmp-merge-{pid}")
+                    if os.path.exists(tmp_m):
+                        shutil.rmtree(tmp_m)
+                    merged.write_parquet(tmp_m, partition_cols=["tier"])
+                    for tier in tiers:
+                        msrc = os.path.join(tmp_m, f"tier={tier.name}")
+                        if not os.path.isdir(msrc):
+                            continue
+                        dst = os.path.join(tmp_root, f"tier={tier.name}")
+                        os.makedirs(dst, exist_ok=True)
+                        for f in os.listdir(msrc):
+                            os.rename(
+                                os.path.join(msrc, f),
+                                os.path.join(dst, f"m-{f}"),
+                            )
+                    shutil.rmtree(tmp_m, ignore_errors=True)
+                shutil.rmtree(spill_dir, ignore_errors=True)
             results = {}
             for tier in tiers:
                 src = os.path.join(tmp_root, f"tier={tier.name}")
