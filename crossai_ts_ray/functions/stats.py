@@ -207,9 +207,11 @@ def dominant_frequency(x, fs: float = 1.0, nperseg: int = 256) -> float:
 
 def signal_stats(x, fs: float = 1.0) -> dict:
     """The canonical windowed aggregate bundle
-    (caits/fe/_statistical.py:597 ``signal_stats``), minus the
-    Butterworth-banded EEPD and MFCC means (SciPy/audio-lib dependent --
-    EEPD available via functions.filters.butterworth_bandpass)."""
+    (caits/fe/_statistical.py:597 ``signal_stats``).  The audio-band members
+    (Butterworth-banded EEPD peak counts, per-coefficient MFCC means)
+    auto-enable when ``fs`` supports the EEPD band grid / an STFT frame
+    fits, so token-rate signals stay lean while audio-rate parity is
+    complete."""
     x = np.asarray(x, dtype=np.float64)
     out = {
         "mean": float(mean_value(x)),
