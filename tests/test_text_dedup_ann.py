@@ -163,15 +163,21 @@ def test_simhash_banded_pairs_match_bruteforce(ray_session):
 
 
 def test_lsh_topk_recall(ray_session):
+    from crossai_ts_ray.pipelines import ann_pipeline
     from crossai_ts_ray.pipelines.ann_pipeline import cosine_topk, lsh_topk
     from crossai_ts_ray.util import dataset_to_table
 
     exact = dataset_to_table(cosine_topk(SF, k=10))
-    approx = dataset_to_table(lsh_topk(SF, k=10, radius=6))
+    approx = dataset_to_table(lsh_topk(SF, k=10))
     e = set(exact["vec_id"].to_pylist())
     a = set(approx["vec_id"].to_pylist())
+    assert len(a) == 10  # cross-band candidates deduped, k distinct ids
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # the probe must be partial: only the multi-probe ball's partitions read
+    stats = ann_pipeline.LAST_PROBE_STATS
+    assert 0 < stats["partitions_probed"] < stats["partitions_total"]
+    assert stats["row_fraction_bound"] < 0.5
     # every approx hit's sim matches the exact score for that id
     exact_sims = dict(zip(exact["vec_id"].to_pylist(), exact["sim"].to_pylist()))
     for vid, sim in zip(approx["vec_id"].to_pylist(), approx["sim"].to_pylist()):
