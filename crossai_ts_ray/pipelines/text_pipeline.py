@@ -201,9 +201,13 @@ class MinHashSignatures:
         offs = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
         sigs = pa.ListArray.from_arrays(offs, pa.array(sig_m.reshape(-1).view(np.int64), pa.int64()))
         cols = {"doc_id": t["doc_id"].cast(pa.int64()), "sig": sigs}
+        schema = _SIG_SCHEMA
         if self.keep_text:
-            cols["text"] = t["text"]
-        return pa.table(cols)
+            cols["text"] = t["text"].cast(pa.string())
+            schema = schema.append(pa.field("text", pa.string()))
+        # pin the schema: an all-null/empty text edge must not infer a
+        # different list/string type than downstream band_table/_sig_matrix
+        return pa.table(cols, schema=schema)
 
 
 _SIG_SCHEMA = pa.schema([("doc_id", pa.int64()), ("sig", pa.list_(pa.int64()))])
@@ -216,6 +220,34 @@ def minhash_signatures(sf_dir: str, num_hashes: int = 64):
         batch_format="pyarrow",
         batch_size=512,
     )
+
+
+_SIG_TABLE_DIRS: dict[tuple[str, int], str] = {}
+
+
+def persisted_minhash_signatures(sf_dir: str, num_hashes: int = 64) -> str:
+    """Write the per-doc signature table ONCE per process to Parquet and
+    return its directory: the persisted-index pattern (same as the ANN
+    ``build_lsh_index``).  Consumers with multiple readers (band derivation
+    + both sides of the pair join) re-read from disk -- no object-store
+    materialization of a per-doc table, so driver/cluster state stays
+    bounded at 10^12-doc scale."""
+    import os
+    import shutil
+    import tempfile
+
+    key = (sf_dir, num_hashes)
+    hit = _SIG_TABLE_DIRS.get(key)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    root = tempfile.mkdtemp(prefix="crossai_minhash_sigs_")
+    try:
+        minhash_signatures(sf_dir, num_hashes).write_parquet(root)
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    _SIG_TABLE_DIRS[key] = root
+    return root
 
 
 def _sig_matrix(t: pa.Table, col: str = "sig") -> np.ndarray:
@@ -354,22 +386,29 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est >= threshold."""
     from ..stages.joins import keyed_equijoin
 
-    # Materialize the signature table once: it has THREE consumers (band
-    # derivation + both sides of the pair join) and is derived metadata --
-    # 64 x 8 B per doc, ~2 orders smaller than the text it summarizes (the
-    # persisted-index pattern; at production scale write it to Parquet).
-    sigs = minhash_signatures(sf_dir).materialize()
-    bands = sigs.map_batches(band_table, batch_format="pyarrow")
+    # Persist the signature table once to Parquet: it has THREE consumers
+    # (band derivation + both sides of the pair join) and is derived
+    # metadata -- 64 x 8 B per doc.  Each consumer streams its own read;
+    # nothing per-doc is pinned in the object store.
+    sig_dir = persisted_minhash_signatures(sf_dir)
+    bands = rd.read_parquet(sig_dir).map_batches(band_table, batch_format="pyarrow")
     cand = _bucket_candidate_pairs(bands, ["band_id", "band_key"])
     cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     j = keyed_equijoin(
-        cand, sigs, on=("doc_a", "doc_id"), schemas=(cand_schema, _SIG_SCHEMA)
+        cand,
+        rd.read_parquet(sig_dir),
+        on=("doc_a", "doc_id"),
+        schemas=(cand_schema, _SIG_SCHEMA),
     )  # + sig
     j1_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sig", pa.list_(pa.int64()))]
     )
     j = keyed_equijoin(
-        j, sigs, on=("doc_b", "doc_id"), suffix="_b", schemas=(j1_schema, _SIG_SCHEMA)
+        j,
+        rd.read_parquet(sig_dir),
+        on=("doc_b", "doc_id"),
+        suffix="_b",
+        schemas=(j1_schema, _SIG_SCHEMA),
     )  # + sig_b
 
     def estimate(t: pa.Table) -> pa.Table:
@@ -962,20 +1001,6 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
         )
 
     return recon.map_batches(finalize, batch_format="pyarrow")
-
-
-def ngram_jaccard_verify(sf_dir: str, pairs: list[tuple[int, int]]) -> list[dict]:
-    """Driver-side exact n-gram Jaccard for a (small) candidate pair list --
-    the verification step after LSH blocking."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-    out = []
-    for a, b in pairs:
-        ja = jaccard(char_ngrams(texts[a]), char_ngrams(texts[b]))
-        out.append({"doc_a": a, "doc_b": b, "jaccard": round(ja, 6)})
-    return out
 
 
 def lang_len_corr(sf_dir: str) -> rd.Dataset:
