@@ -100,14 +100,23 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     # --- headline: full rollup job (cascade + atomic tier writes + lineage) ---
     out_dir = f"/tmp/bench_rollup_out_{os.getpid()}"
     rep = None
+    rollup_repeat_secs: list[float] = []
     timings["rollup_job"] = float("inf")
     for _ in range(repeats):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        rep = run_rollup_job(token_dir, out_dir, tiers, salt_mod=0, batch_size=65536,
+        this_rep = run_rollup_job(token_dir, out_dir, tiers, salt_mod=0, batch_size=65536,
                          shards_per_commit=int(os.environ.get('GRAFT_SHARDS_PER_COMMIT', '4')),
                          max_concurrent=max(1, ncpu // 8))
-        timings["rollup_job"] = min(timings["rollup_job"], time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        rollup_repeat_secs.append(round(dt, 3))
+        # keep the report from the BEST-timed run so throughput = its rows /
+        # its time (repeats over the same input always agree, but a resume
+        # path or retry could differ -- never mix runs)
+        if dt <= timings["rollup_job"]:
+            timings["rollup_job"] = dt
+            rep = this_rep
+    extra["rollup_repeat_secs"] = rollup_repeat_secs
     total_points = sum(rep.rows_per_tier.values())
     # input token volume from parquet footers (cheap, excluded cost is tiny)
     import pyarrow.parquet as pq
@@ -237,8 +246,12 @@ def run_scaling(sf_dir: str) -> dict:
     # (observed: same binary 31s..66s at 2 CPUs) -- alternating exposes both
     # levels to the same windows
     lo = hi = None
+    raw_lo: list = []
+    raw_hi: list = []
     for _ in range(repeats):
         r_lo, r_hi = one(n_lo), one(n_hi)
+        raw_lo.append(r_lo["extra"].get("rollup_repeat_secs", [r_lo["queries"]["rollup_job"]]))
+        raw_hi.append(r_hi["extra"].get("rollup_repeat_secs", [r_hi["queries"]["rollup_job"]]))
         if lo is None or r_lo["queries"]["rollup_job"] < lo["queries"]["rollup_job"]:
             lo = r_lo
         if hi is None or r_hi["queries"]["rollup_job"] < hi["queries"]["rollup_job"]:
@@ -255,6 +268,10 @@ def run_scaling(sf_dir: str) -> dict:
         f"sec_{n_hi}": t_hi,
         f"points_per_sec_{n_lo}": lo["extra"]["points_per_sec"],
         f"points_per_sec_{n_hi}": hi["extra"]["points_per_sec"],
+        # raw per-process, per-in-process-repeat wall times for auditability
+        # (outer list = interleaved protocol repeats, inner = in-process runs)
+        f"raw_secs_{n_lo}": raw_lo,
+        f"raw_secs_{n_hi}": raw_hi,
     }
 
 

@@ -234,23 +234,33 @@ def signal_stats(x, fs: float = 1.0) -> dict:
     hop = max(1, frame // 2)
     rr = rolling_rms(x, frame, hop)
     rz = rolling_zcr(x, frame, hop)
+    # STABLE KEY SET: every member is always present (NaN/None when gated
+    # off) so consumers tabulating dicts across mixed-length / mixed-rate
+    # windows never see ragged schemas
     if len(rr):
         out.update(
             rms_min=float(rr.min()), rms_mean=float(rr.mean()), rms_max=float(rr.max()),
             zcr_min=float(rz.min()), zcr_mean=float(rz.mean()), zcr_max=float(rz.max()),
         )
+    else:
+        out.update(
+            rms_min=float("nan"), rms_mean=float("nan"), rms_max=float("nan"),
+            zcr_min=float("nan"), zcr_mean=float("nan"), zcr_max=float("nan"),
+        )
     mom = central_moments(x)
     out.update({k: float(v) for k, v in mom.items()})
     # the reference bundle also carries EEPD peak counts and per-coefficient
     # MFCC means (caits/fe/_statistical.py:642-644); they only make sense for
-    # audio-rate signals, so they auto-enable when fs supports the EEPD band
-    # grid / an STFT frame fits
+    # audio-rate signals, so their VALUES auto-enable when fs supports the
+    # EEPD band grid / an STFT frame fits -- the keys are always emitted
+    out["eepd"] = None
+    out["mfcc_mean"] = None
     if fs / 2.0 > 1000:
         from .filters import envelope_energy_peak_detection
 
         out["eepd"] = envelope_energy_peak_detection(x, fs)
-    if len(x) >= 2048:
-        from .spectral import mfcc_mean
+        if len(x) >= 2048:
+            from .spectral import mfcc_mean
 
-        out["mfcc_mean"] = mfcc_mean(x, sr=fs)
+            out["mfcc_mean"] = mfcc_mean(x, sr=fs)
     return out

@@ -71,12 +71,11 @@ def _percentiles_dense_rows(hists: np.ndarray, q: float) -> np.ndarray:
     h = (q / 100.0) * (n - 1)
     lo = np.floor(h).astype(np.int64)
     hi = np.ceil(h).astype(np.int64)
-    G = hists.shape[0]
-    a = np.empty(G)
-    b = np.empty(G)
-    for i in range(G):  # searchsorted per row (rows are few: rollup groups)
-        a[i] = np.searchsorted(cum[i], lo[i], side="right")
-        b[i] = np.searchsorted(cum[i], hi[i], side="right")
+    # right-bisect of a scalar into its own nondescending row == count of
+    # row entries <= the scalar: one vectorized compare over the matrix
+    # (micro-bench: ~4x vs the per-row searchsorted loop at G=4096)
+    a = (cum <= lo[:, None]).sum(axis=1).astype(np.float64)
+    b = (cum <= hi[:, None]).sum(axis=1).astype(np.float64)
     t = h - lo
     diff = b - a
     return np.where(t >= 0.5, b - diff * (1 - t), a + diff * t)
@@ -687,12 +686,26 @@ def merge_spilled_partials(
     """Boundary-partial merge over the map-side spill files: a Dataset of
     finalized ROLLUP rows tagged with tier names, or None when no group
     spilled.  Same adaptive shape as the cascade: one-task coalesce while the
-    plan proves the partial count small, keyed groupby past that."""
+    plan proves the partial count small, keyed groupby past that.
+
+    Every boundary-incomplete group writes exactly one spill file, so the
+    plan's ``n_incomplete`` is an exact expected file count: a shortfall
+    means ``spill_dir`` is not storage every worker reaches (or a file was
+    lost), and silently merging the remainder would drop boundary-bucket
+    aggregates -- fail loudly instead of returning wrong totals."""
     import glob as _glob
 
     import ray.data as rd
 
     files = sorted(_glob.glob(os.path.join(spill_dir, "g*.parquet")))
+    # single-tier jobs have no coarse boundary buckets and never spill
+    if len(tiers) > 1 and len(files) < n_incomplete:
+        raise RuntimeError(
+            f"aligned rollup spill merge: plan expected {n_incomplete} "
+            f"boundary-partial spill files in {spill_dir!r} but found "
+            f"{len(files)}; spill_dir must be on storage all workers reach "
+            "(shared filesystem on a multi-node cluster)"
+        )
     if not files:
         return None
     ds = rd.read_parquet(files)

@@ -190,3 +190,17 @@ def test_aligned_rejects_striped_layout(ray_session):
     with pytest.raises(Exception, match="unaligned input|seq-sorted"):
         out = aligned_rollup_cascade(shard_dirs, TIERS, chunk_rows=synth.CHUNK_ROWS)
         dataset_to_table(out[TIERS[0].name])
+
+
+def test_spill_merge_fails_loudly_on_missing_files(tmp_path):
+    """Plan says n_incomplete groups spilled boundary partials; an empty
+    spill_dir means workers wrote to storage the merger can't see (or files
+    were lost) -- merging silently would drop aggregates, so it must raise."""
+    from crossai_ts_ray.stages.aligned import merge_spilled_partials
+
+    with pytest.raises(RuntimeError, match="spill"):
+        merge_spilled_partials(str(tmp_path), TIERS, n_incomplete=3)
+    # single-tier jobs never spill: an empty dir is the expected no-op
+    assert merge_spilled_partials(str(tmp_path), TIERS[:1], n_incomplete=3) is None
+    # and zero incomplete groups is a clean no-op at any tier depth
+    assert merge_spilled_partials(str(tmp_path), TIERS, n_incomplete=0) is None

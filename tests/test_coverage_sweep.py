@@ -281,9 +281,15 @@ def test_signal_stats_audio_extras():
     s = signal_stats(x, fs=8000)
     assert "eepd" in s and len(s["eepd"]) == (1000 - 50) // 50
     assert "mfcc_mean" in s and s["mfcc_mean"].shape == (20,)
-    # token-rate signals stay lean (no audio-band features at fs=1)
+    # the key set is STABLE: token-rate signals carry the audio-band keys
+    # with None values (gated on fs), so tabulating mixed-rate windows never
+    # yields ragged schemas
     s2 = signal_stats(x[:512], fs=1.0)
-    assert "eepd" not in s2 and "mfcc_mean" not in s2
+    assert s2["eepd"] is None and s2["mfcc_mean"] is None
+    assert set(s2) == set(s)
+    # rolling rms/zcr keys survive even degenerate two-sample signals
+    s3 = signal_stats(x[:2], fs=1.0)
+    assert set(s3) == set(s)
 
 
 def test_resample_fft_mode():
