@@ -28,9 +28,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..sources.readers import read_parquet_sized
+
 
 def _read_emb(sf_dir: str):
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return read_parquet_sized(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _emb_matrix(t: pa.Table, col_name: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
@@ -226,7 +228,7 @@ def lsh_topk(
         probe_files = [root]
 
     q_ref = ray.put(qn)
-    ds = rd.read_parquet(probe_files, columns=["vec_id", "embedding"])
+    ds = read_parquet_sized(probe_files, columns=["vec_id", "embedding"])
 
     def score(t: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)

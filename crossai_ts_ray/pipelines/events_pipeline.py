@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
+from ..sources.readers import read_parquet_sized
+
 from ..functions.numutil import group_boundaries
 from ..stages.gapfill import gapfill
 
@@ -86,7 +88,7 @@ _MERGED_SCHEMA = _PARTIAL_SCHEMA
 
 def hourly_rollup(sf_dir: str, width: int = HOUR) -> rd.Dataset:
     """Per (event_type, epoch-hour) count + rounded value sum."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
     parts = ev.map_batches(
         lambda b: _partial_hourly(b, width), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -151,7 +153,7 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, buckets: int = 32) -> rd.Datas
     vectorized pass per partition computes every user's session count with
     segment ops (lexsort + reduceat) -- no per-user Python call, no
     single-user 1-row map_groups tasks."""
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     from ..stages.joins import hash_prt
 
     def add_prt(t: pa.Table) -> pa.Table:
@@ -217,8 +219,8 @@ def asof_last_event_value(sf_dir: str, buckets: int = 32) -> rd.Dataset:
     sort + one linear merge."""
     import pandas as pd
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
-    orders = rd.read_parquet(
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
     )
 
@@ -346,7 +348,7 @@ def user_value_stats(sf_dir: str, buckets: int = 32) -> rd.Dataset:
     Rounding bridges float64 summation-order differences vs the DuckDB
     oracle: O(1) shape stats at 4-6 dp, energy (a raw sum of squares) at 2.
     """
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     from ..stages.joins import hash_prt
 
     def add_prt(t: pa.Table) -> pa.Table:

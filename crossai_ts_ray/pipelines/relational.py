@@ -20,6 +20,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from ..sources.readers import read_parquet_sized
+
 MICRO = 1_000_000.0
 
 
@@ -29,7 +31,7 @@ def _micros(x: np.ndarray) -> np.ndarray:
 
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape over lineitem (groupby aggregate, no join)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -127,7 +129,7 @@ def top_customers(sf_dir: str, k: int = 10):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
-    orders = rd.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -214,7 +216,7 @@ def revenue_by_nation(sf_dir: str):
     n_names = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
     max_nat = int(nation["n_nationkey"].max()) + 1
     ref = ray.put((ck_sorted, nat_of_cust))
-    orders = rd.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -277,10 +279,10 @@ def order_lineitem_join(sf_dir: str, buckets: int = 16):
     for when no side fits in memory (SURVEY.md §2.6 / ray guide pattern;
     skew handling = salt hot keys into sub-buckets, not needed for
     orderkeys which are unique on the build side)."""
-    orders = rd.read_parquet(
+    orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
-    items = rd.read_parquet(
+    items = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -385,7 +387,7 @@ GROUP BY o.o_orderkey
 
 def brand_type_distinct(sf_dir: str):
     """Distinct counting: per p_type, count of distinct brands + parts."""
-    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_type", "p_brand"])
+    ds = read_parquet_sized(f"{sf_dir}/part.parquet", columns=["p_type", "p_brand"])
 
     def pairs(t: pa.Table) -> pa.Table:
         # Arrow-native hash aggregate (C++): (type, brand) partial counts

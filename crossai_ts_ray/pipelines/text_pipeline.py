@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..sources.readers import read_parquet_sized
+
 from ..functions.dedup import MinHasher, simhash64
 from ..functions.text import (
     char_ngrams,
@@ -27,7 +29,7 @@ from ..functions.text import (
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 class TextStats:
@@ -87,7 +89,7 @@ def lang_quality(sf_dir: str):
 
 def lang_distribution(sf_dir: str):
     """Distribution of the table's own lang labels (groupby count)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame({"lang": t["lang"].to_pylist()})
@@ -1047,7 +1049,7 @@ def lang_len_corr(sf_dir: str) -> rd.Dataset:
     so each batch emits one partial row per lang seen (combiner inside
     map_batches) and the only exchange is a groupby over #langs rows.
     """
-    ds = rd.read_parquet(
+    ds = read_parquet_sized(
         f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"]
     )
 
