@@ -421,8 +421,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped outlier filter + the full checkpointed job
         "outlier_filter_zscore": _outlier_filter_q,
         "synth_rollup_job": _synth_job_q,
+        # fitted-model scoring: distributed IRLS logistic fit + actor-pool
+        # predict_proba (rows-only -- an iterative fit has no SQL oracle;
+        # the IRLS path is pytest-verified against a NumPy reference fit)
+        "model_scoring": _model_scoring_q,
     }
     return q
+
+
+def _model_scoring_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.scoring import score_events
+
+    return score_events(sf_dir)
 
 
 def _dedup_clusters_q(sf_dir: str):
