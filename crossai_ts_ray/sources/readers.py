@@ -127,23 +127,50 @@ def _fragment_source_stats(path: str, rg: int) -> pa.Table:
     )
 
 
-def _plan_seq_offsets(path: str) -> dict[tuple[int, str], int]:
-    """Per-(row-group, source) seq start offsets by prefix sum over row-group
-    order (SURVEY.md section 7.5).  Validates that each source's doc_ids are
-    non-overlapping and increasing across row groups -- the layout contract
-    that makes rank-within-fragment + offset equal the global
-    ``row_number() OVER (PARTITION BY source ORDER BY doc_id)``.
-    Driver state is metadata-sized: O(row_groups x sources)."""
+def _document_fragments(path: str) -> list[tuple[str, int]]:
+    """(file, row_group) fragments of a documents input in scan order: a
+    single file's row groups, or -- the realistic ingest layout -- every
+    ``*.parquet`` under a sharded directory in lexicographic path order,
+    each file contributing its row groups in order."""
+    import glob as _glob
+    import os
+
     import pyarrow.parquet as pq
 
-    nrg = pq.ParquetFile(path).metadata.num_row_groups
-    stats_ds = rd.from_items([{"path": path, "rg": i} for i in range(nrg)])
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path!r}")
+    else:
+        files = [path]
+    frags: list[tuple[str, int]] = []
+    for f in files:
+        frags += [(f, i) for i in range(pq.ParquetFile(f).metadata.num_row_groups)]
+    return frags
+
+
+def _plan_seq_offsets(path: str) -> dict[tuple[str, int, str], int]:
+    """Per-(file, row-group, source) seq start offsets by prefix sum over
+    fragment scan order (SURVEY.md section 7.5).  Handles both a single
+    documents file and a sharded directory.  Validates that each source's
+    doc_ids are non-overlapping and increasing across fragments -- the
+    layout contract that makes rank-within-fragment + offset equal the
+    global ``row_number() OVER (PARTITION BY source ORDER BY doc_id)``.
+    Driver state is metadata-sized: O(fragments x sources)."""
+    frags = _document_fragments(path)
+    frag_idx = {fr: i for i, fr in enumerate(frags)}
+    stats_ds = rd.from_items(
+        [{"path": p, "rg": rg} for p, rg in frags]
+    )
 
     def stats_batch(t: pa.Table) -> pa.Table:
-        tabs = [
-            _fragment_source_stats(p, r)
-            for p, r in zip(t["path"].to_pylist(), t["rg"].to_pylist())
-        ]
+        tabs = []
+        for p, r in zip(t["path"].to_pylist(), t["rg"].to_pylist()):
+            st = _fragment_source_stats(p, r)
+            st = st.append_column(
+                "path", pa.array([p] * st.num_rows, pa.string())
+            )
+            tabs.append(st)
         return pa.concat_tables(tabs)
 
     stats = pa.concat_tables(
@@ -154,11 +181,19 @@ def _plan_seq_offsets(path: str) -> dict[tuple[int, str], int]:
             ).iter_batches(batch_format="pyarrow")
         ]
     )
-    offsets: dict[tuple[int, str], int] = {}
+    offsets: dict[tuple[str, int, str], int] = {}
     running: dict[str, int] = {}
     last_max: dict[str, int] = {}
-    order = np.argsort(stats["rg"].to_numpy(zero_copy_only=False), kind="stable")
+    keys = [
+        frag_idx[(p, int(r))]
+        for p, r in zip(
+            stats["path"].to_pylist(),
+            stats["rg"].to_numpy(zero_copy_only=False),
+        )
+    ]
+    order = np.argsort(np.array(keys), kind="stable")
     for i in order:
+        p = stats["path"][int(i)].as_py()
         rg = int(stats["rg"][int(i)].as_py())
         src = stats["source"][int(i)].as_py()
         cnt = int(stats["count"][int(i)].as_py())
@@ -167,11 +202,11 @@ def _plan_seq_offsets(path: str) -> dict[tuple[int, str], int]:
         if src in last_max and dmin <= last_max[src]:
             raise ValueError(
                 f"documents layout violates per-source doc_id ordering across "
-                f"row groups (source {src!r}, rg {rg}): fragment prefix-sum "
-                "seq assignment needs sorted non-overlapping ranges"
+                f"fragments (source {src!r}, file {p!r}, rg {rg}): fragment "
+                "prefix-sum seq assignment needs sorted non-overlapping ranges"
             )
         last_max[src] = dmax
-        offsets[(rg, src)] = running.get(src, 0)
+        offsets[(p, rg, src)] = running.get(src, 0)
         running[src] = running.get(src, 0) + cnt
     return offsets
 
@@ -194,13 +229,18 @@ def tokens_from_documents(sf_dir: str) -> rd.Dataset:
     hit = _DERIVED_CACHE.get(sf_dir)
     if hit is not None:
         return hit
+    import os
+
     import pyarrow.parquet as pq
     import ray
 
+    # single file or -- the realistic ingest layout -- a sharded directory
     path = f"{sf_dir}/documents.parquet"
+    if not os.path.exists(path) and os.path.isdir(f"{sf_dir}/documents"):
+        path = f"{sf_dir}/documents"
     offsets = _plan_seq_offsets(path)
     off_ref = ray.put(offsets)
-    nrg = pq.ParquetFile(path).metadata.num_row_groups
+    frag_list = _document_fragments(path)
 
     def process_fragment(t: pa.Table) -> pa.Table:
         import ray as _ray
@@ -229,7 +269,7 @@ def tokens_from_documents(sf_dir: str) -> rd.Dataset:
             rank[order] = rank_sorted
             src_list = d.dictionary.to_pylist()
             base = np.array(
-                [offs.get((rg, s), 0) for s in src_list], dtype=np.int64
+                [offs.get((p, rg, s), 0) for s in src_list], dtype=np.int64
             )[codes]
             seq = base + rank
             out.append(
@@ -237,7 +277,7 @@ def tokens_from_documents(sf_dir: str) -> rd.Dataset:
             )
         return pa.concat_tables(out)
 
-    frags = rd.from_items([{"path": path, "rg": i} for i in range(nrg)])
+    frags = rd.from_items([{"path": p, "rg": i} for p, i in frag_list])
     ds = frags.map_batches(process_fragment, batch_size=None, batch_format="pyarrow")
     _DERIVED_CACHE[sf_dir] = ds
     return ds
