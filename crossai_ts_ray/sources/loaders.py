@@ -32,12 +32,54 @@ def _source_from_path(path: str) -> str:
     return os.path.basename(os.path.dirname(path))
 
 
-def load_csv_corpus(root: str, **read_kwargs) -> rd.Dataset:
-    """Recursive CSV corpus: one `source` label per parent dir."""
-    import glob
+def resolve_filesystem(root: str, filesystem=None):
+    """(filesystem, path) for a corpus root: local paths untouched; URI
+    roots (``s3://...``) resolved via ``pyarrow.fs.FileSystem.from_uri``
+    (the S3 loader path, /root/reference/caits/loading/_s3_csv_read.py:8 --
+    no boto pagination logic: Ray ships the filesystem to read tasks); an
+    explicit ``filesystem`` (pyarrow or fsspec) is honored as-is, which is
+    also the mocked-filesystem test seam."""
+    if filesystem is not None:
+        try:
+            import fsspec
+            from pyarrow.fs import FSSpecHandler, PyFileSystem
 
-    files = sorted(glob.glob(os.path.join(root, "**", "*.csv"), recursive=True))
-    ds = rd.read_csv(files, include_paths=True, **read_kwargs)
+            if isinstance(filesystem, fsspec.AbstractFileSystem):
+                filesystem = PyFileSystem(FSSpecHandler(filesystem))
+        except ImportError:
+            pass
+        return filesystem, root
+    if "://" in root:
+        from pyarrow.fs import FileSystem
+
+        fs, path = FileSystem.from_uri(root)
+        return fs, path
+    return None, root
+
+
+def _glob_suffix(root: str, suffix: str, filesystem=None) -> list[str]:
+    """Recursive file listing filtered by suffix, on any filesystem."""
+    if filesystem is None:
+        import glob
+
+        return sorted(
+            glob.glob(os.path.join(root, "**", f"*{suffix}"), recursive=True)
+        )
+    from pyarrow.fs import FileSelector, FileType
+
+    infos = filesystem.get_file_info(FileSelector(root, recursive=True))
+    return sorted(
+        i.path for i in infos if i.type == FileType.File and i.path.endswith(suffix)
+    )
+
+
+def load_csv_corpus(root: str, filesystem=None, **read_kwargs) -> rd.Dataset:
+    """Recursive CSV corpus: one `source` label per parent dir.  ``root``
+    may be a local path or a filesystem URI (``s3://bucket/corpus``);
+    ``filesystem`` overrides resolution (pyarrow or fsspec instance)."""
+    fs, root = resolve_filesystem(root, filesystem)
+    files = _glob_suffix(root, ".csv", fs)
+    ds = rd.read_csv(files, filesystem=fs, include_paths=True, **read_kwargs)
 
     def add_source(t: pa.Table) -> pa.Table:
         paths = t["path"].to_pylist()

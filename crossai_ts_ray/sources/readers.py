@@ -21,14 +21,23 @@ def read_token_table(
     path: str | list[str],
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
+    filesystem=None,
 ) -> rd.Dataset:
     """Read the token-sequence table; prune to the columns the pipeline needs
     (a rollup that only needs (n_tok, source, seq) must not ship token lists).
     ``override_num_blocks`` caps read tasks -- many tiny read tasks are
-    scheduling-bound on small clusters."""
+    scheduling-bound on small clusters.  ``path`` may be a non-local URI
+    (``s3://...``) or paired with an explicit pyarrow/fsspec ``filesystem``."""
     kw = {}
     if override_num_blocks:
         kw["override_num_blocks"] = override_num_blocks
+    if filesystem is not None or (isinstance(path, str) and "://" in path):
+        from .loaders import resolve_filesystem
+
+        fs, path = resolve_filesystem(path, filesystem) if isinstance(
+            path, str
+        ) else (resolve_filesystem("", filesystem)[0], path)
+        kw["filesystem"] = fs
     return rd.read_parquet(path, columns=columns or TOKEN_COLUMNS, **kw)
 
 

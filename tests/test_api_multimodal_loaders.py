@@ -223,3 +223,52 @@ def test_column_route_stage(ray_session):
     for r in rows:
         if r["doc_id"] in orig:
             assert r["seq"] == orig[r["doc_id"]]["seq"] + 1
+
+
+def test_loaders_accept_non_local_filesystem(ray_session, tmp_path):
+    """The S3-loader claim, exercised against a mocked non-local filesystem:
+    an fsspec DirFileSystem (picklable, visible from Ray read tasks) stands
+    in for S3 -- proving load_csv_corpus and read_token_table route listing
+    AND reads through the passed filesystem, never os-specific code."""
+    import fsspec
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.sources.loaders import load_csv_corpus
+    from crossai_ts_ray.sources.readers import read_token_table
+
+    # corpus layout under the mocked root
+    os.makedirs(tmp_path / "corpus" / "labelA")
+    os.makedirs(tmp_path / "corpus" / "labelB")
+    (tmp_path / "corpus" / "labelA" / "a.csv").write_text("x,y\n1,2\n3,4\n")
+    (tmp_path / "corpus" / "labelB" / "b.csv").write_text("x,y\n5,6\n")
+    fs = fsspec.filesystem("dir", path=str(tmp_path))
+
+    ds = load_csv_corpus("corpus", filesystem=fs)
+    t = dataset_to_table(ds)
+    assert t.num_rows == 3
+    assert sorted(set(t["source"].to_pylist())) == ["labelA", "labelB"]
+
+    # token table through the same seam
+    tok = pa.table(
+        {
+            "doc_id": pa.array(["d0", "d1"], pa.string()),
+            "tokens": pa.array([[1, 2], [3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([2, 1], pa.int32()),
+            "source": pa.array(["s0", "s0"], pa.string()),
+            "seq": pa.array([0, 1], pa.int64()),
+        }
+    )
+    os.makedirs(tmp_path / "tokens")
+    pq.write_table(tok, tmp_path / "tokens" / "part-0.parquet")
+    got = dataset_to_table(read_token_table("tokens", filesystem=fs))
+    assert got.num_rows == 2
+    assert got.column_names == ["doc_id", "tokens", "n_tok", "source", "seq"]
+
+
+def test_loaders_reject_missing_uri_scheme_gracefully():
+    """URI roots resolve through pyarrow FileSystem.from_uri; a bogus scheme
+    raises at resolution time, not deep inside a read task."""
+    from crossai_ts_ray.sources.loaders import resolve_filesystem
+
+    with pytest.raises(Exception):
+        resolve_filesystem("notascheme://bucket/x")
