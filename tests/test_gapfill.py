@@ -41,3 +41,30 @@ def test_gapfill_bitwise(ray_session, gapped_dir, mode):
     filled = got["filled"].to_numpy(zero_copy_only=False)
     assert filled.any(), "fixture produced no gap rows"
     assert not filled.all()
+
+
+@pytest.mark.parametrize("mode", ["locf", "linear"])
+@pytest.mark.parametrize("span", [4, 7, 64])
+def test_gapfill_chunked_bitwise_equal_single_chunk(
+    ray_session, gapped_dir, mode, span
+):
+    """max_group_rows forces bucket-range chunking with carried boundary
+    points; output must be bitwise identical to the single-chunk kernel on
+    leading/interior/trailing gaps (span=7 exercises misaligned chunk
+    boundaries, span=64 covers series smaller than a chunk)."""
+    ds = read_token_table(gapped_dir)
+    roll = rollup_cascade(ds, (TIER,), salt_mod=0, batch_size=256)[TIER.name]
+    base = dataset_to_table(
+        gapfill(roll, oracle.GAPFILL_STAT_COLS, mode, grid_mode="zero")
+    )
+    roll2 = rollup_cascade(ds, (TIER,), salt_mod=0, batch_size=256)[TIER.name]
+    chunked = dataset_to_table(
+        gapfill(
+            roll2, oracle.GAPFILL_STAT_COLS, mode, grid_mode="zero",
+            max_group_rows=span,
+        )
+    )
+    key = [("source", "ascending"), ("bucket", "ascending")]
+    base_s = base.sort_by(key)
+    chunked_s = chunked.select(base.schema.names).sort_by(key)
+    assert_tables_bitwise_equal(base_s, chunked_s, f"gapfill-chunked-{mode}-{span}")
