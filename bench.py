@@ -148,7 +148,8 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
 
     timings["gapfill_locf"] = float("inf")
     for _ in range(repeats):
-        roll = rd.read_parquet(os.path.join(out_dir, "tier=1m"))
+        from crossai_ts_ray.sources.readers import read_parquet_sized
+        roll = read_parquet_sized(os.path.join(out_dir, "tier=1m"))
         t0 = time.perf_counter()
         gf = gapfill(
             roll,
@@ -162,7 +163,7 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
 
     timings["codec_compress"] = float("inf")
     for _ in range(repeats):
-        roll2 = rd.read_parquet(os.path.join(out_dir, "tier=1m"))
+        roll2 = read_parquet_sized(os.path.join(out_dir, "tier=1m"))
         t0 = time.perf_counter()
         segs = compress_rollup(roll2, concurrency=max(1, min(ncpu - 1, ncpu // 4)), batch_size=16384)
         stats = segs.map_batches(
