@@ -190,6 +190,12 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
                 res.to_pandas() if not hasattr(res, "count") else res.count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = best
+        if name == "ann_lsh_topk":
+            # index-probe selectivity: proves the query reads only the
+            # partitions in its Hamming ball, never the full index
+            from crossai_ts_ray.pipelines.ann_pipeline import LAST_PROBE_STATS
+
+            extra["ann_lsh_probe"] = dict(LAST_PROBE_STATS)
 
     shutil.rmtree(out_dir, ignore_errors=True)
     total = sum(timings.values())

@@ -69,7 +69,15 @@ def text_stats(sf_dir: str):
 
 class LangQuality:
     """Heuristic language ID + quality score (stopword tables are module
-    state, loaded once per worker process; stateless task pool)."""
+    state, loaded once per worker process; stateless task pool).
+
+    Deliberately per-row: an Arrow-kernel rewrite of quality_score
+    (utf8_length + split/reduceat + an RE2 ``[\\p{L} ]`` count for the
+    alpha ratio) was measured 1.4x SLOWER than this loop on the ~300-char
+    synthetic docs -- RE2 per-char class counting costs more than Python's
+    isalpha over short strings -- and lang-ID is set-intersection logic
+    that has no Arrow kernel.  Both heuristics are O(bytes) per doc either
+    way; the task pool is the scaling axis."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = batch.combine_chunks()
