@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool decode / feature stages.
 
-The image/audio codec libraries are NOT in this container, so the byte-level
-decode is STUBBED: ``decode=\"fake\"`` produces a deterministic pseudo-decode
-from the bytes (so the full Ray plumbing -- schema, batch size, actor
-signature, output layout -- is real and tested); ``decode=\"real\"`` raises
-``NotImplementedError`` pointing at the import seam where PIL/soundfile slot
-in.  Reference analogue: the WAV/audio loaders
+AUDIO decode is REAL: ``decode=\"real\"`` on the audio stage parses
+PCM/IEEE-float WAV payloads with the pure-NumPy RIFF decoder
+(functions/wavcodec.py) -- no codec library needed; compressed codecs
+(mp3/flac) raise inside the decoder, the declared seam.  Image/video codec
+libraries are NOT in this container, so their byte-level decode is STUBBED:
+``decode=\"fake\"`` produces a deterministic pseudo-decode from the bytes
+(so the full Ray plumbing -- schema, batch size, actor signature, output
+layout -- is real and tested); ``decode=\"real\"`` on the image stage raises
+``NotImplementedError`` pointing at the import seam where PIL slots in.
+Reference analogue: the WAV/audio loaders
 (/root/reference/caits/loading/_audio.py:16-135) which decode bytes into
 channel arrays + metadata."""
 
@@ -157,12 +161,38 @@ class AudioDecodeFeatures:
         n = sub.num_rows
         if n == 0:
             return pa.table({f.name: pa.nulls(0, f.type) for f in schema}, schema=schema)
-        if self.decode == "real":
-            raise NotImplementedError(
-                "real audio decode requires soundfile (not in this "
-                "container); plug in here: bytes -> (pcm, sr)"
-            )
         pay = sub["payload"]
+        if self.decode == "real":
+            # REAL decode: pure-NumPy RIFF/PCM WAV parser
+            # (functions/wavcodec.py -- the _audio.py:16-135 soundfile
+            # semantics without the codec dependency).  Ragged clips force
+            # per-clip decode; the feature math stays a couple of numpy
+            # reductions per clip.  Non-PCM codecs raise inside the decoder
+            # (the declared compressed-codec seam).
+            from ..functions.wavcodec import decode_wav_bytes
+
+            rms = np.empty(n)
+            zcr = np.empty(n)
+            dur = np.empty(n)
+            for i in range(n):
+                audio, sr_i = decode_wav_bytes(bytes(pay[i].as_buffer()))
+                mono = audio.mean(axis=1)
+                rms[i] = np.sqrt((mono**2).mean()) if len(mono) else 0.0
+                zcr[i] = (
+                    np.sum(mono[:-1] * mono[1:] < 0) / (len(mono) - 1)
+                    if len(mono) > 1
+                    else 0.0
+                )
+                dur[i] = len(mono) / sr_i
+            return pa.table(
+                {
+                    "media_id": sub["media_id"],
+                    "rms": pa.array(rms, pa.float64()),
+                    "zcr": pa.array(zcr, pa.float64()),
+                    "duration_s": pa.array(dur, pa.float64()),
+                },
+                schema=schema,
+            )
         # fixed-length fake decode -> one (n, L) matrix; rms/zcr vectorized
         # across the whole batch (axis=1), no per-clip kernel calls
         pcm = np.stack([_fake_pcm(pay[i].as_buffer()) for i in range(n)])

@@ -129,6 +129,27 @@ def load_dir(root: str, fmt: str | None = None) -> rd.Dataset:
     raise ValueError(fmt)
 
 
+def wav_loader(
+    file_path: str,
+    target_sr: int | None = None,
+    dtype: str = "float64",
+) -> tuple:
+    """Load a mono/multichannel WAV file -> ``(audio (frames, channels),
+    sample_rate)``, optionally resampled per channel -- the reference
+    ``wav_loader`` semantics (/root/reference/caits/loading/_audio.py:16:
+    soundfile ``always_2d=True`` normalization) on the pure-NumPy RIFF
+    decoder (functions/wavcodec.py)."""
+    from ..functions.preprocess import resample_2d
+    from ..functions.wavcodec import decode_wav_bytes
+
+    with open(file_path, "rb") as f:
+        audio, sr = decode_wav_bytes(f.read(), dtype=dtype)
+    if target_sr is not None and target_sr != sr:
+        audio = resample_2d(audio, sr, target_sr)
+        sr = target_sr
+    return audio, sr
+
+
 def wav_specs_check(wav_file_path: str, print_base: bool = False) -> dict:
     """WAV header specs via the stdlib ``wave`` module
     (caits/loading/_audio.py:137): sample rate, channels, frame count, etc.
