@@ -1,0 +1,204 @@
+"""Pure-NumPy image decoders: REAL byte-level decode for PNG, BMP and
+PGM/PPM payloads with no codec library (zlib is stdlib).
+
+Closes the image half of the multimodal decode seam the way
+functions/wavcodec.py closes the audio half: the formats whose bitstreams
+are tractable without a codec dependency decode for real; JPEG/WebP/GIF
+remain behind the declared NotImplementedError seam (they need a real codec
+library).  Output convention: ``(height, width)`` float64 grayscale in
+[0, 1] (color inputs are luma-averaged) -- the shape the feature stages
+consume.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filters (spec 9.2): per-row filter byte, then
+    None/Sub/Up/Average/Paeth.  Rows are sequential by construction; the
+    per-row math is vectorized where the filter allows (Up/None fully,
+    Sub/Paeth carry a left-neighbor dependency along the row)."""
+    stride = w * ch
+    raw = raw.reshape(h, stride + 1)
+    ftypes = raw[:, 0]
+    data = raw[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        row = data[y].copy()
+        if f == 0:  # None
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) & 0xFF
+        elif f == 1:  # Sub
+            cur = row
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif f == 3:  # Average
+            cur = row
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = row
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def decode_png_bytes(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (gray, gray+alpha, RGB, RGBA) -> (h, w)
+    float64 grayscale in [0, 1] (channel mean over color, alpha dropped)."""
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    bit_depth = color_type = None
+    idat = b""
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack_from(">I", data, pos)
+        cid = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if bit_depth != 8:
+                raise NotImplementedError(f"PNG bit depth {bit_depth} (8 only)")
+            if interlace:
+                raise NotImplementedError("interlaced PNG")
+        elif cid == b"IDAT":
+            idat += body
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # len + type + crc
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if ch is None:
+        raise NotImplementedError(f"PNG color type {color_type} (palette needs a codec)")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    px = _png_unfilter(raw, h, w, ch).astype(np.float64)
+    if color_type == 0:
+        g = px[:, :, 0]
+    elif color_type == 2:
+        g = px.mean(axis=2)
+    elif color_type == 4:
+        g = px[:, :, 0]
+    else:  # RGBA
+        g = px[:, :, :3].mean(axis=2)
+    return g / 255.0
+
+
+def decode_bmp_bytes(data: bytes) -> np.ndarray:
+    """Uncompressed 8/24/32-bit BMP -> (h, w) float64 grayscale in [0, 1]."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (off,) = struct.unpack_from("<I", data, 10)
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise NotImplementedError("compressed BMP")
+    flip = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"BMP bpp {bpp}")
+    stride = (w * nch + 3) & ~3  # rows pad to 4 bytes
+    px = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    px = px.reshape(h, stride)[:, : w * nch].reshape(h, w, nch).astype(np.float64)
+    g = px[:, :, 0] if nch == 1 else px[:, :, : min(nch, 3)].mean(axis=2)
+    if flip:  # BMP rows are bottom-up when height is positive
+        g = g[::-1]
+    return g / 255.0
+
+
+def decode_pnm_bytes(data: bytes) -> np.ndarray:
+    """Binary PGM (P5) / PPM (P6), 8-bit -> (h, w) float64 grayscale."""
+    if data[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    nch = 1 if data[:2] == b"P5" else 3
+    # header: magic, whitespace/comment-separated width height maxval
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * nch, offset=pos)
+    px = px.reshape(h, w, nch).astype(np.float64)
+    g = px[:, :, 0] if nch == 1 else px.mean(axis=2)
+    return g / maxval
+
+
+def decode_image_bytes(data: bytes) -> np.ndarray:
+    """Magic-byte dispatch -> (h, w) float64 grayscale in [0, 1].
+    JPEG/WebP/GIF raise: the declared compressed-codec seam."""
+    if data.startswith(_PNG_MAGIC):
+        return decode_png_bytes(data)
+    if data[:2] == b"BM":
+        return decode_bmp_bytes(data)
+    if data[:2] in (b"P5", b"P6"):
+        return decode_pnm_bytes(data)
+    if data[:3] == b"\xff\xd8\xff" or data[:4] == b"RIFF" or data[:3] == b"GIF":
+        raise NotImplementedError(
+            "JPEG/WebP/GIF decode needs a real codec library (declared seam)"
+        )
+    raise ValueError("unrecognized image payload")
+
+
+def encode_png_gray(img: np.ndarray) -> bytes:
+    """Minimal 8-bit grayscale PNG encoder (test fixture / round-trip
+    utility); img: (h, w) float in [0, 1]."""
+    a = np.clip(np.round(np.asarray(img, dtype=np.float64) * 255), 0, 255).astype(
+        np.uint8
+    )
+    h, w = a.shape
+    raw = np.concatenate(
+        [np.concatenate(([0], row)).astype(np.uint8) for row in a]
+    ).tobytes()
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

@@ -1,15 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool decode / feature stages.
 
-AUDIO decode is REAL: ``decode=\"real\"`` on the audio stage parses
-PCM/IEEE-float WAV payloads with the pure-NumPy RIFF decoder
-(functions/wavcodec.py) -- no codec library needed; compressed codecs
-(mp3/flac) raise inside the decoder, the declared seam.  Image/video codec
-libraries are NOT in this container, so their byte-level decode is STUBBED:
-``decode=\"fake\"`` produces a deterministic pseudo-decode from the bytes
-(so the full Ray plumbing -- schema, batch size, actor signature, output
-layout -- is real and tested); ``decode=\"real\"`` on the image stage raises
-``NotImplementedError`` pointing at the import seam where PIL slots in.
+AUDIO and IMAGE decode are REAL for the codec-free formats:
+``decode=\"real\"`` on the audio stage parses PCM/IEEE-float WAV payloads
+with the pure-NumPy RIFF decoder (functions/wavcodec.py) and on the image
+stage parses PNG/BMP/PGM/PPM with the pure-NumPy parsers
+(functions/imagecodec.py).  Compressed codecs (mp3/flac, JPEG/WebP/GIF)
+raise inside the decoders -- the declared seam where a codec library slots
+in.  VIDEO frame decode stays stubbed (``decode=\"fake\"`` produces a
+deterministic pseudo-decode so the full Ray plumbing -- schema, batch
+size, actor signature, output layout -- is real and tested).
 Reference analogue: the WAV/audio loaders
 (/root/reference/caits/loading/_audio.py:16-135) which decode bytes into
 channel arrays + metadata."""
@@ -79,10 +79,12 @@ class ImageDecodeResize:
 
     def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if self.decode == "real":
-            raise NotImplementedError(
-                "real image decode requires PIL/opencv (not in this container); "
-                "plug in here: bytes -> np.ndarray(h, w[, c])"
-            )
+            # REAL decode: pure-NumPy PNG/BMP/PGM/PPM parsers
+            # (functions/imagecodec.py); JPEG/WebP/GIF raise inside the
+            # decoder -- the declared compressed-codec seam
+            from ..functions.imagecodec import decode_image_bytes
+
+            return decode_image_bytes(bytes(payload))
         return _fake_pixels(payload, w, h)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

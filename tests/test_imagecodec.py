@@ -1,0 +1,173 @@
+"""Real image decode: pure-NumPy PNG (all five filter types), BMP and
+PGM/PPM parsers, plus the actor-pool image stage with decode="real"."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from crossai_ts_ray.functions.imagecodec import (
+    _PNG_MAGIC,
+    decode_bmp_bytes,
+    decode_image_bytes,
+    decode_png_bytes,
+    decode_pnm_bytes,
+    encode_png_gray,
+)
+
+
+def _png_chunk(cid: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + cid
+        + body
+        + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+    )
+
+
+def _build_png(px: np.ndarray, color_type: int, filters: list[int]) -> bytes:
+    """Forward-filter known pixels per the PNG spec, one filter per row --
+    the decoder must invert every type exactly."""
+    h, w, ch = px.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int64)
+        f = filters[y % len(filters)]
+        enc = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        raw.append(f)
+        raw += enc.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("color_type,ch", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_all_filters_all_color_types(color_type, ch):
+    rng = np.random.default_rng(color_type)
+    px = rng.integers(0, 256, size=(7, 5, ch), dtype=np.int64)
+    payload = _build_png(px, color_type, filters=[0, 1, 2, 3, 4])
+    got = decode_png_bytes(payload)
+    f = px.astype(np.float64)
+    if color_type == 0 or color_type == 4:
+        exp = f[:, :, 0]
+    elif color_type == 2:
+        exp = f.mean(axis=2)
+    else:
+        exp = f[:, :, :3].mean(axis=2)
+    assert np.array_equal(got, exp / 255.0)
+
+
+def test_png_roundtrip_own_encoder():
+    rng = np.random.default_rng(1)
+    img = rng.random((11, 13))
+    got = decode_png_bytes(encode_png_gray(img))
+    assert got.shape == (11, 13)
+    assert np.max(np.abs(got - img)) <= 0.5 / 255
+
+
+def test_bmp_24bit_bottom_up_with_padding():
+    # 3x2 BMP, 24bpp: stride pads 9 bytes -> 12
+    w, h = 3, 2
+    rows = np.array(
+        [[[10, 20, 30], [40, 50, 60], [70, 80, 90]],
+         [[0, 0, 0], [255, 255, 255], [1, 2, 3]]],
+        dtype=np.uint8,
+    )
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        r = rows[y].reshape(-1).tobytes()
+        body += r + b"\x00" * (stride - len(r))
+    off = 54
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    got = decode_bmp_bytes(bytes(hdr + body))
+    assert np.array_equal(got, rows.astype(np.float64).mean(axis=2) / 255.0)
+
+
+def test_pnm_pgm_and_ppm_with_comment():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    pgm = b"P5\n# a comment\n4 3\n255\n" + img.tobytes()
+    assert np.array_equal(decode_pnm_bytes(pgm), img.astype(np.float64) / 255.0)
+    rgb = np.stack([img, img * 2, img * 3], axis=2).astype(np.uint8)
+    ppm = b"P6 4 3 255\n" + rgb.tobytes()
+    assert np.array_equal(
+        decode_pnm_bytes(ppm), rgb.astype(np.float64).mean(axis=2) / 255.0
+    )
+
+
+def test_dispatch_and_declared_seams():
+    with pytest.raises(ValueError):
+        decode_image_bytes(b"garbage!")
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(b"\xff\xd8\xff\xe0JFIF rest")  # JPEG
+    with pytest.raises(NotImplementedError):
+        decode_image_bytes(b"GIF89a....")
+
+
+def test_image_stage_real_decode_end_to_end(ray_session):
+    import ray.data as rd
+
+    from crossai_ts_ray.pipelines.multimodal import MEDIA_SCHEMA, ImageDecodeResize
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(4):
+        img = rng.random((24, 24))
+        rows.append(
+            {
+                "media_id": f"i{i}",
+                "kind": "image",
+                "payload": encode_png_gray(img),
+                "width": 24,
+                "height": 24,
+                "sample_rate": 0,
+                "n_frames": 0,
+            }
+        )
+        rows.append(
+            {
+                "media_id": f"x{i}", "kind": "audio", "payload": b"\x00" * 64,
+                "width": 0, "height": 0, "sample_rate": 8000, "n_frames": 0,
+            }
+        )
+    ds = rd.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA))
+    out = (
+        ds.map_batches(
+            ImageDecodeResize(out_size=8, decode="real"),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert len(out) == 4  # audio rows filtered out by the image stage
+    assert all(len(p) == 64 for p in out["pixels"])
+    assert out["mean_intensity"].between(0.3, 0.7).all()  # uniform noise
