@@ -425,8 +425,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # predict_proba (rows-only -- an iterative fit has no SQL oracle;
         # the IRLS path is pytest-verified against a NumPy reference fit)
         "model_scoring": _model_scoring_q,
+        # multimodal REAL-decode features (rows-only: byte-level codecs have
+        # no SQL oracle; decoder exactness is pytest-verified vs spec
+        # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
+        "media_features": _media_features_q,
     }
     return q
+
+
+def _media_features_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.multimodal import media_features
+
+    return media_features(sf_dir)
 
 
 def _model_scoring_q(sf_dir: str):

@@ -248,6 +248,96 @@ class VideoFrameSample:
         )
 
 
+def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
+    """Deterministic media corpus with REAL payloads: PCM16 WAV clips
+    (functions/wavcodec.encode_wav_pcm16) and grayscale PNGs
+    (functions/imagecodec.encode_png_gray), so the decode='real' path runs
+    end to end with no external data."""
+    from ..functions.imagecodec import encode_png_gray
+    from ..functions.wavcodec import encode_wav_pcm16
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            sr = 8000
+            t = np.arange(sr // 10) / sr
+            amp = 0.2 + 0.6 * rng.random()
+            x = amp * np.sin(2 * np.pi * (100 + 50 * (i % 7)) * t)
+            rows.append(
+                {
+                    "media_id": f"m{i:05d}", "kind": "audio",
+                    "payload": encode_wav_pcm16(x, sr),
+                    "width": 0, "height": 0, "sample_rate": sr, "n_frames": 0,
+                }
+            )
+        else:
+            w = h = 16 + 8 * (i % 3)
+            img = rng.random((h, w))
+            rows.append(
+                {
+                    "media_id": f"m{i:05d}", "kind": "image",
+                    "payload": encode_png_gray(img),
+                    "width": w, "height": h, "sample_rate": 0, "n_frames": 0,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+def media_features(sf_dir: str, n: int = 96) -> pa.Table:
+    """Driver query: REAL decode end to end over the deterministic synthetic
+    media corpus -- WAV clips through the RIFF decoder, PNGs through the PNG
+    unfilter -- via the actor-pool stages, unioned into one feature table
+    (media_id, modality, f1, f2).  Rows-only: byte-level codecs have no SQL
+    oracle; decoder exactness is pytest-verified against spec fixtures."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(synth_real_media_table(n))
+    aud = ds.map_batches(
+        AudioDecodeFeatures(decode="real"),
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    )
+    img = ds.map_batches(
+        ImageDecodeResize(out_size=8, decode="real"),
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("media_id", pa.string()),
+            ("modality", pa.string()),
+            ("f1", pa.float64()),
+            ("f2", pa.float64()),
+        ]
+    )
+
+    def shape_aud(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "modality": pa.array(["audio"] * t.num_rows, pa.string()),
+                "f1": t["rms"],
+                "f2": t["zcr"],
+            },
+            schema=out_schema,
+        )
+
+    def shape_img(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "modality": pa.array(["image"] * t.num_rows, pa.string()),
+                "f1": t["mean_intensity"],
+                "f2": t["std_intensity"],
+            },
+            schema=out_schema,
+        )
+
+    return aud.map_batches(shape_aud, batch_format="pyarrow").union(
+        img.map_batches(shape_img, batch_format="pyarrow")
+    )
+
+
 def media_pipeline(media_ds, out_size: int = 16):
     """Compose the three modality stages as actor pools over one mixed
     corpus; large binary payloads -> small batch_size (memory-aware)."""

@@ -98,9 +98,11 @@ def test_multimodal_plumbing(ray_session):
     a = it.sort_by("media_id")
     b = it2.sort_by("media_id")
     assert a.equals(b)
-    # the real-decode seam is explicit
+    # real decode now parses PNG/BMP/PNM for real (tests/test_imagecodec.py);
+    # the synthetic random payloads here are not a recognized format, and
+    # the failure is a loud ValueError, never a silent wrong decode
     stage = ImageDecodeResize(decode="real")
-    with pytest.raises(NotImplementedError, match="image decode"):
+    with pytest.raises(ValueError, match="unrecognized image payload"):
         stage(t.slice(0, 3))
 
 
