@@ -80,3 +80,34 @@ def test_sharded_rejects_out_of_order_shards(ray_session, tmp_path):
     pq.write_table(t.slice(0, mid), ddir / "part-001.parquet")
     with pytest.raises(ValueError, match="ordering"):
         _plan_seq_offsets(str(ddir))
+
+
+def test_read_parquet_sized_block_planning(ray_session, tmp_path):
+    """Small tables read at byte-derived block counts (>= 1 MB per block,
+    floor 8) instead of Ray's ~2x-CPU heuristic; the explicit
+    override_num_blocks kwarg is honored untouched."""
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.sources.readers import read_parquet_sized
+
+    t = pa.table({"a": pa.array(np.arange(50_000, dtype=np.int64))})
+    p = tmp_path / "small.parquet"
+    pq.write_table(t, p)  # ~400 KB -> floor of 8 blocks
+    ds = read_parquet_sized(str(p))
+    assert ds.materialize().num_blocks() == 8
+    ds2 = read_parquet_sized(str(p), override_num_blocks=3)
+    assert ds2.materialize().num_blocks() == 3
+
+
+def test_read_persisted_one_block_per_file(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.text_pipeline import read_persisted
+
+    for i in range(4):
+        pq.write_table(
+            pa.table({"x": pa.array(np.arange(100) + i * 100)}),
+            tmp_path / f"f{i}.parquet",
+        )
+    ds = read_persisted(str(tmp_path))
+    assert ds.materialize().num_blocks() == 4
