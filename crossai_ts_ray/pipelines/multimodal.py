@@ -1,18 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by actor-pool decode / feature stages.
 
-AUDIO and IMAGE decode are REAL for the codec-free formats:
-``decode=\"real\"`` on the audio stage parses PCM/IEEE-float WAV payloads
-with the pure-NumPy RIFF decoder (functions/wavcodec.py) and on the image
-stage parses PNG/BMP/PGM/PPM with the pure-NumPy parsers
-(functions/imagecodec.py).  Compressed codecs (mp3/flac, JPEG/WebP/GIF)
-raise inside the decoders -- the declared seam where a codec library slots
-in.  VIDEO frame decode stays stubbed (``decode=\"fake\"`` produces a
-deterministic pseudo-decode so the full Ray plumbing -- schema, batch
-size, actor signature, output layout -- is real and tested).
-Reference analogue: the WAV/audio loaders
-(/root/reference/caits/loading/_audio.py:16-135) which decode bytes into
-channel arrays + metadata."""
+All three modalities decode REAL codec-free bitstreams with
+``decode=\"real\"``: audio parses PCM/IEEE-float WAV (pure-NumPy RIFF,
+functions/wavcodec.py), images parse PNG/BMP/PGM/PPM
+(functions/imagecodec.py), video parses uncompressed YUV4MPEG2
+(functions/videocodec.py).  Compressed codecs (mp3/flac, JPEG/WebP/GIF,
+mp4/h264) raise inside the decoders -- the declared seam where a codec
+library slots in.  ``decode=\"fake\"`` keeps a deterministic pseudo-decode
+so the Ray plumbing (schema, batch size, actor signature, output layout)
+is testable without any bitstream.  Reference analogue: the WAV/audio
+loaders (/root/reference/caits/loading/_audio.py:16-135) which decode
+bytes into channel arrays + metadata."""
 
 from __future__ import annotations
 
@@ -213,14 +212,22 @@ class AudioDecodeFeatures:
 
 
 class VideoFrameSample:
-    """Actor: sample every k-th frame id (metadata-level; decode stubbed)."""
+    """Actor: sample every k-th frame.  ``decode="real"`` parses YUV4MPEG2
+    payloads with the pure-NumPy decoder (functions/videocodec.py) and emits
+    per-sampled-frame mean intensities alongside the frame ids; compressed
+    containers raise inside the decoder -- the declared seam.  The default
+    metadata-level mode samples ids from ``n_frames`` without touching
+    bytes (the plan-only path)."""
 
-    def __init__(self, every: int = 10):
+    def __init__(self, every: int = 10, decode: str = "fake"):
         self.every = every
+        self.decode = decode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if self.decode == "real":
+            return self._real(batch)
         schema = pa.schema(
             [("media_id", pa.string()), ("sampled_frames", pa.list_(pa.int32()))]
         )
@@ -247,19 +254,69 @@ class VideoFrameSample:
             schema=schema,
         )
 
+    def _real(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.videocodec import decode_y4m_bytes
+
+        schema = pa.schema(
+            [
+                ("media_id", pa.string()),
+                ("sampled_frames", pa.list_(pa.int32())),
+                ("frame_means", pa.list_(pa.float64())),
+                ("fps", pa.float64()),
+            ]
+        )
+        t = batch.combine_chunks()
+        sub = t.filter(pc.equal(t["kind"], "video")).combine_chunks()
+        n = sub.num_rows
+        if n == 0:
+            return pa.table({f.name: pa.nulls(0, f.type) for f in schema}, schema=schema)
+        pay = sub["payload"]
+        ids_out, means_out, fps_out, counts = [], [], np.empty(n), []
+        for i in range(n):
+            frames, fps = decode_y4m_bytes(bytes(pay[i].as_buffer()))
+            sel = np.arange(0, len(frames), self.every, dtype=np.int32)
+            ids_out.append(sel)
+            # per-frame luma mean over ALL sampled frames, one reduction
+            means_out.append(frames[sel].mean(axis=(1, 2)))
+            fps_out[i] = fps
+            counts.append(len(sel))
+        offs = pa.array(
+            np.concatenate(([0], np.cumsum(counts))).astype(np.int32), pa.int32()
+        )
+        return pa.table(
+            {
+                "media_id": sub["media_id"],
+                "sampled_frames": pa.ListArray.from_arrays(
+                    offs, pa.array(np.concatenate(ids_out), pa.int32())
+                ),
+                "frame_means": pa.ListArray.from_arrays(
+                    offs,
+                    pa.array(
+                        np.round(np.concatenate(means_out), 6), pa.float64()
+                    ),
+                ),
+                "fps": pa.array(fps_out, pa.float64()),
+            },
+            schema=schema,
+        )
+
 
 def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
     """Deterministic media corpus with REAL payloads: PCM16 WAV clips
-    (functions/wavcodec.encode_wav_pcm16) and grayscale PNGs
-    (functions/imagecodec.encode_png_gray), so the decode='real' path runs
-    end to end with no external data."""
+    (functions/wavcodec.encode_wav_pcm16), grayscale PNGs
+    (functions/imagecodec.encode_png_gray) and Y4M video clips
+    (functions/videocodec.encode_y4m_gray), so the decode='real' path runs
+    end to end for all three modalities with no external data."""
     from ..functions.imagecodec import encode_png_gray
+    from ..functions.videocodec import encode_y4m_gray
     from ..functions.wavcodec import encode_wav_pcm16
 
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
-        if i % 2 == 0:
+        if i % 3 == 0:
             sr = 8000
             t = np.arange(sr // 10) / sr
             amp = 0.2 + 0.6 * rng.random()
@@ -271,7 +328,7 @@ def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
                     "width": 0, "height": 0, "sample_rate": sr, "n_frames": 0,
                 }
             )
-        else:
+        elif i % 3 == 1:
             w = h = 16 + 8 * (i % 3)
             img = rng.random((h, w))
             rows.append(
@@ -279,6 +336,16 @@ def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
                     "media_id": f"m{i:05d}", "kind": "image",
                     "payload": encode_png_gray(img),
                     "width": w, "height": h, "sample_rate": 0, "n_frames": 0,
+                }
+            )
+        else:
+            nf = 12 + (i % 5)
+            clip = rng.random((nf, 8, 8))
+            rows.append(
+                {
+                    "media_id": f"m{i:05d}", "kind": "video",
+                    "payload": encode_y4m_gray(clip, fps=10),
+                    "width": 8, "height": 8, "sample_rate": 0, "n_frames": nf,
                 }
             )
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
@@ -299,6 +366,10 @@ def media_features(sf_dir: str, n: int = 96) -> pa.Table:
     )
     img = ds.map_batches(
         ImageDecodeResize(out_size=8, decode="real"),
+        batch_format="pyarrow", batch_size=32, concurrency=2,
+    )
+    vid = ds.map_batches(
+        VideoFrameSample(every=4, decode="real"),
         batch_format="pyarrow", batch_size=32, concurrency=2,
     )
 
@@ -333,8 +404,34 @@ def media_features(sf_dir: str, n: int = 96) -> pa.Table:
             schema=out_schema,
         )
 
-    return aud.map_batches(shape_aud, batch_format="pyarrow").union(
-        img.map_batches(shape_img, batch_format="pyarrow")
+    def shape_vid(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        fm = t["frame_means"]
+        if isinstance(fm, pa.ChunkedArray):
+            fm = fm.combine_chunks()
+        flat = fm.flatten().to_numpy(zero_copy_only=False)
+        offs = fm.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        counts = np.maximum(offs[1:] - offs[:-1], 1)
+        sums = (
+            np.add.reduceat(flat, offs[:-1])
+            if len(flat)
+            else np.zeros(t.num_rows)
+        )
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "modality": pa.array(["video"] * t.num_rows, pa.string()),
+                "f1": pa.array(np.round(sums / counts, 6), pa.float64()),
+                "f2": pa.array(counts.astype(np.float64), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        aud.map_batches(shape_aud, batch_format="pyarrow")
+        .union(img.map_batches(shape_img, batch_format="pyarrow"))
+        .union(vid.map_batches(shape_vid, batch_format="pyarrow"))
     )
 
 
