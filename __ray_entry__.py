@@ -425,6 +425,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # predict_proba (rows-only -- an iterative fit has no SQL oracle;
         # the IRLS path is pytest-verified against a NumPy reference fit)
         "model_scoring": _model_scoring_q,
+        "q6_forecast_revenue": _rel("q6_forecast_revenue"),
+        "q3_shipping_priority": _rel("q3_shipping_priority"),
         # multimodal REAL-decode features (rows-only: byte-level codecs have
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
@@ -504,6 +506,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": relational_sql("TOP_CUSTOMERS_SQL"),
         "revenue_by_nation": relational_sql("REVENUE_BY_NATION_SQL"),
         "brand_type_distinct": relational_sql("BRAND_TYPE_SQL"),
+        "q6_forecast_revenue": relational_sql("Q6_SQL"),
+        "q3_shipping_priority": relational_sql("Q3_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),

@@ -411,3 +411,213 @@ BRAND_TYPE_SQL = """
 SELECT p_type, count(DISTINCT p_brand)::BIGINT AS brands, count(*)::BIGINT AS parts
 FROM part GROUP BY p_type
 """
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: predicate-heavy scan + one global sum -- the
+    pure filter-and-aggregate pipeline (no exchange at all: per-batch
+    partial sums, one metadata-sized reduce).  Exact int64 micro-unit
+    arithmetic matches the SQL oracle bitwise."""
+    from ..util import dataset_to_table
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = np.datetime64("1996-01-01T00:00:00.000000")
+    hi = np.datetime64("1997-01-01T00:00:00.000000")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        m = (
+            (ship >= lo)
+            & (ship < hi)
+            & (disc >= 0.03)
+            & (disc <= 0.07)
+            & (qty < 24.0)
+        )
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        rev = int(_micros(ep * disc[m]).sum())
+        return pa.table(
+            {
+                "rev_u": pa.array([rev], pa.int64()),
+                "n": pa.array([int(m.sum())], pa.int64()),
+            }
+        )
+
+    parts = dataset_to_table(ds.map_batches(partial, batch_format="pyarrow"))
+    rev_u = int(parts["rev_u"].to_numpy(zero_copy_only=False).sum())
+    n = int(parts["n"].to_numpy(zero_copy_only=False).sum())
+    return pa.table(
+        {
+            "revenue": pa.array([rev_u / MICRO], pa.float64()),
+            "n_items": pa.array([n], pa.int64()),
+        }
+    )
+
+
+Q6_SQL = """
+SELECT SUM(CAST(round(l_extendedprice * l_discount * 1000000, 0) AS BIGINT)) / 1000000.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10, buckets: int = 16):
+    """TPC-H Q3 shape: dimension-broadcast filter + large-large partitioned
+    hash join + grouped sum + top-k.
+
+    Scale shape: the customer SEGMENT KEY SET is the only broadcast (one
+    sorted int64 array via ray.put -- a dimension table); orders and
+    lineitem both stream with predicate + column pruning, bucket by
+    hash(orderkey), and meet in ONE keyed exchange; revenue per order sums
+    inside the bucket; each bucket pre-prunes to its own top-k with the
+    global tiebreak before the tiny global sort."""
+    import ray
+
+    from ..stages.joins import hash_prt
+
+    cutoff = np.datetime64("1998-06-01T00:00:00.000000")
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_keys = np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64)
+    )
+    seg_ref = ray.put(seg_keys)
+
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("odate", pa.int64()),
+            ("rev_u", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        keys = ray.get(seg_ref)
+        t = t.combine_chunks()
+        od = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        in_seg = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == ck)
+        m = (od < cutoff) & in_seg
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)[m]
+        n = len(ok)
+        return pa.table(
+            {
+                "key": pa.array(ok, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "odate": pa.array(od[m].astype("datetime64[us]").view(np.int64), pa.int64()),
+                "rev_u": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "prt": pa.array(hash_prt(ok, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def _sum_by_key(keys: np.ndarray, vals: np.ndarray):
+        order = np.argsort(keys, kind="stable")
+        ks = keys[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        return ks[starts], np.add.reduceat(vals[order], starts)
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = ship > cutoff
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[m]
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[m]
+        uk, sums = _sum_by_key(ok.astype(np.int64), _micros(ep * (1.0 - disc)))
+        n = len(uk)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "odate": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "rev_u": pa.array(sums, pa.int64()),
+                "prt": pa.array(hash_prt(uk, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    items = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(tag_items, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [
+            ("l_orderkey", pa.int64()),
+            ("revenue", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ]
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        lk = key[side == 0]
+        ld = t["odate"].to_numpy(zero_copy_only=False)[side == 0]
+        rk = key[side == 1]
+        rv = t["rev_u"].to_numpy(zero_copy_only=False)[side == 1]
+        if not len(lk) or not len(rk):
+            return pa.Table.from_pylist([], schema=out_schema)
+        # sum probe partials per key, then probe the build (unique orderkeys)
+        uk, sums = _sum_by_key(rk, rv)
+        order = np.argsort(lk, kind="stable")
+        lk_s, ld_s = lk[order], ld[order]
+        pos = np.searchsorted(lk_s, uk)
+        hit = (pos < len(lk_s)) & (lk_s[np.minimum(pos, len(lk_s) - 1)] == uk)
+        uk, sums = uk[hit], sums[hit]
+        dates = ld_s[pos[hit]]
+        # per-bucket top-k with the GLOBAL tiebreak (revenue desc, key asc)
+        if len(uk) > k:
+            idx = np.lexsort((uk, -sums))[:k]
+            uk, sums, dates = uk[idx], sums[idx], dates[idx]
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "revenue": pa.array(sums / MICRO, pa.float64()),
+                "o_orderdate": pa.array(dates.view("datetime64[us]")),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        orders.union(items)
+        .groupby("prt")
+        .map_groups(
+            lambda g: join_bucket(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+Q3_SQL = """
+SELECT l.l_orderkey::BIGINT AS l_orderkey,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0 AS revenue,
+       any_value(o.o_orderdate) AS o_orderdate
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey
+ORDER BY SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) DESC, l.l_orderkey
+LIMIT 10
+"""
