@@ -510,3 +510,66 @@ SELECT user_id,
        CASE WHEN n >= 2 THEN round(ncross / (n - 1.0) + 1e-9, 6) END AS zcr
 FROM a
 """
+
+
+def user_top_event(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+    """Grouped ARGMAX: each user's single highest-value event (ties broken
+    by earlier ts, then lower event_id -- a total order, so the result is
+    deterministic and SQL-oracle-checkable).
+
+    Scale shape: per-batch combiner keeps ONE candidate row per user seen in
+    the batch (lexsort + first-of-run), so the keyed exchange moves at most
+    batches x users_per_batch candidate rows, never raw events; the
+    per-partition merge repeats the same vectorized selection."""
+    from ..sources.readers import read_parquet_sized
+    from ..stages.joins import hash_prt
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def best_rows(t: pa.Table, with_prt: bool) -> pa.Table:
+        t = t.combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if isinstance(t["ts"], pa.ChunkedArray) else t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # argmax per user under (value desc, ts asc, event_id asc)
+        order = np.lexsort((eid, ts, -val, uid))
+        u_s = uid[order]
+        first = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
+        sel = order[first]
+        cols = {
+            "user_id": pa.array(uid[sel], pa.int64()),
+            "event_id": pa.array(eid[sel], pa.int64()),
+            "ts": pa.array(ts[sel].view("datetime64[us]")),
+            "value": pa.array(val[sel], pa.float64()),
+        }
+        if with_prt:
+            cols["prt"] = pa.array(hash_prt(uid[sel], buckets), pa.int64())
+        return pa.table(cols)
+
+    def combiner(t: pa.Table) -> pa.Table:
+        # ts arrives as timestamp; normalize through the same kernel
+        return best_rows(t, with_prt=True)
+
+    return (
+        ev.map_batches(combiner, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: best_rows(g.drop_columns(["prt"]), with_prt=False),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_TOP_EVENT_SQL = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       value::DOUBLE AS value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id ORDER BY value DESC, ts, event_id
+) = 1
+"""
