@@ -434,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "model_scoring": _model_scoring_q,
         "q6_forecast_revenue": _rel("q6_forecast_revenue"),
         "q3_shipping_priority": _rel("q3_shipping_priority"),
+        "parts_never_bulk_ordered": _rel("parts_never_bulk_ordered"),
         # multimodal REAL-decode features (rows-only: byte-level codecs have
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
@@ -516,6 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_type_distinct": relational_sql("BRAND_TYPE_SQL"),
         "q6_forecast_revenue": relational_sql("Q6_SQL"),
         "q3_shipping_priority": relational_sql("Q3_SQL"),
+        "parts_never_bulk_ordered": relational_sql("PARTS_NEVER_BULK_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),

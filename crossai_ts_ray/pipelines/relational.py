@@ -621,3 +621,107 @@ GROUP BY l.l_orderkey
 ORDER BY SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) DESC, l.l_orderkey
 LIMIT 10
 """
+
+
+def parts_never_bulk_ordered(sf_dir: str, qty_threshold: float = 45.0, buckets: int = 16):
+    """Partitioned ANTI-join: parts with NO lineitem above the quantity
+    threshold (NOT EXISTS).  Neither side broadcasts: the probe side
+    (lineitem) collapses to DISTINCT matching partkeys per batch
+    (combiner), both sides bucket by hash(partkey) in one keyed exchange,
+    and each bucket emits its left rows whose key is absent from the probe
+    set (sorted-array membership, vectorized)."""
+    from ..stages.joins import hash_prt
+
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("p_brand", pa.string()),
+            ("p_retailprice", pa.float64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def tag_parts(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "side": pa.array(np.zeros(len(k), np.int8), pa.int8()),
+                "p_brand": t["p_brand"].cast(pa.string()),
+                "p_retailprice": t["p_retailprice"].cast(pa.float64()),
+                "prt": pa.array(hash_prt(k, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)[qty > qty_threshold]
+        uk = np.unique(pk.astype(np.int64))  # combiner: distinct keys per batch
+        n = len(uk)
+        return pa.table(
+            {
+                "key": pa.array(uk, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "p_brand": pa.nulls(n, pa.string()),
+                "p_retailprice": pa.nulls(n, pa.float64()),
+                "prt": pa.array(hash_prt(uk, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    parts = read_parquet_sized(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_retailprice"]
+    ).map_batches(tag_parts, batch_format="pyarrow")
+    items = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    ).map_batches(tag_items, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [
+            ("p_partkey", pa.int64()),
+            ("p_brand", pa.string()),
+            ("p_retailprice", pa.float64()),
+        ]
+    )
+
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        probe = np.unique(key[side == 1])
+        left_idx = np.flatnonzero(side == 0)
+        lk = key[left_idx]
+        pos = np.searchsorted(probe, lk)
+        hit = (pos < len(probe)) & (probe[np.minimum(pos, len(probe) - 1)] == lk)
+        keep = left_idx[~hit]
+        sub = t.take(pa.array(keep))
+        return pa.table(
+            {
+                "p_partkey": sub["key"],
+                "p_brand": sub["p_brand"],
+                "p_retailprice": sub["p_retailprice"],
+            },
+            schema=out_schema,
+        )
+
+    return (
+        parts.union(items)
+        .groupby("prt")
+        .map_groups(
+            lambda g: anti_bucket(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )
+
+
+PARTS_NEVER_BULK_SQL = """
+SELECT p.p_partkey::BIGINT AS p_partkey, p.p_brand, p.p_retailprice::DOUBLE AS p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
+)
+"""
