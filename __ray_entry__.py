@@ -347,6 +347,12 @@ FROM m GROUP BY user_id
 """
 
 
+def _user_running_total_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.events_pipeline import user_running_total
+
+    return user_running_total(sf_dir)
+
+
 def _user_top_event_q(sf_dir: str):
     from crossai_ts_ray.pipelines.events_pipeline import user_top_event
 
@@ -389,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_sessions": _sessions_q,
         "user_value_stats": _user_value_stats_q,
         "user_top_event": _user_top_event_q,
+        "user_running_total": _user_running_total_q,
         "asof_last_event_value": _asof_q,
         # windowing family (reference sliding_window semantics)
         "window_counts_w16_o8": _window_counts_q,
@@ -506,6 +513,7 @@ def oracle_sql() -> dict[str, str]:
         "events_user_sessions": _SESSIONS_SQL,
         "user_value_stats": _events_sql("USER_VALUE_STATS_SQL"),
         "user_top_event": _events_sql("USER_TOP_EVENT_SQL"),
+        "user_running_total": _events_sql("USER_RUNNING_TOTAL_SQL"),
         "asof_last_event_value": _ASOF_SQL,
         "window_counts_w16_o8": _WINDOW_COUNTS_SQL,
         "window_agg_tumbling_w16": _window_agg_sql(16, 0),

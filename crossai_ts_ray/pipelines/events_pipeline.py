@@ -573,3 +573,86 @@ QUALIFY row_number() OVER (
   PARTITION BY user_id ORDER BY value DESC, ts, event_id
 ) = 1
 """
+
+
+def user_running_total(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+    """Order-sensitive per-user scan: cumulative value total over each
+    user's (ts, event_id)-ordered event stream -- the running-window
+    aggregate shape (SQL ``SUM() OVER (PARTITION BY ... ROWS UNBOUNDED
+    PRECEDING)``).
+
+    Scale shape: ONE keyed exchange (hash by user); each partition runs a
+    single vectorized segmented cumsum (lexsort + cumsum - per-segment
+    offset) over ALL its users at once.  Exactness: values accumulate as
+    int64 micro-units, so float association order cannot perturb a bit."""
+    from ..sources.readers import read_parquet_sized
+    from ..stages.joins import hash_prt
+
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("prt", pa.array(hash_prt(uid, buckets), pa.int64()))
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("running_total", pa.float64()),
+        ]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_col = t["ts"]
+        if isinstance(ts_col, pa.ChunkedArray):
+            ts_col = ts_col.combine_chunks()
+        ts = ts_col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        val_u = np.round(
+            t["value"].to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s = uid[order]
+        v_s = val_u[order]
+        cum = np.cumsum(v_s)
+        starts = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
+        # subtract the cumulative total up to each segment start
+        seg_base = np.concatenate(([0], cum[starts[1:] - 1]))
+        run = cum - np.repeat(seg_base, np.diff(np.append(starts, len(u_s))))
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "ts": pa.array(ts[order].view("datetime64[us]")),
+                "running_total": pa.array(run / 1_000_000.0, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_RUNNING_TOTAL_SQL = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       SUM(CAST(round(value * 1000000, 0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) / 1000000.0 AS running_total
+FROM events
+"""
