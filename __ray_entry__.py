@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": _rel("q6_forecast_revenue"),
         "q3_shipping_priority": _rel("q3_shipping_priority"),
         "parts_never_bulk_ordered": _rel("parts_never_bulk_ordered"),
+        "q5_local_supplier_revenue": _rel("q5_local_supplier_revenue"),
         # multimodal REAL-decode features (rows-only: byte-level codecs have
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
@@ -526,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "q6_forecast_revenue": relational_sql("Q6_SQL"),
         "q3_shipping_priority": relational_sql("Q3_SQL"),
         "parts_never_bulk_ordered": relational_sql("PARTS_NEVER_BULK_SQL"),
+        "q5_local_supplier_revenue": relational_sql("Q5_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),

@@ -725,3 +725,179 @@ WHERE NOT EXISTS (
   WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45
 )
 """
+
+
+def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA", buckets: int = 16):
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier share a nation inside one region -- the multi-dimension join.
+
+    Scale shape: region/nation/customer/supplier are DIMENSIONS -- they
+    fold into two broadcast int64 lookup arrays (custkey -> nationkey,
+    suppkey -> nationkey, both restricted to the region) shipped once via
+    ray.put.  The two FACT tables (orders, lineitem) meet in ONE
+    hash(orderkey) exchange: orders rows carry the customer's nationkey,
+    lineitem rows carry the supplier's nationkey + revenue, and the bucket
+    merge keeps matches with equal nationkeys, emitting per-nation partial
+    sums (combiner) into a #nations-row final groupby."""
+    import ray
+
+    from ..stages.joins import hash_prt
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    region_t = pd.read_parquet(f"{sf_dir}/region.parquet")
+    rkeys = set(
+        region_t.loc[region_t["r_name"] == region, "r_regionkey"].astype(int)
+    )
+    nat = nation[nation["n_regionkey"].astype(int).isin(rkeys)]
+    nat_keys = set(nat["n_nationkey"].astype(int))
+    nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    cust = cust[cust["c_nationkey"].astype(int).isin(nat_keys)]
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    order_c = np.argsort(ck, kind="stable")
+    ck_sorted, c_nat = ck[order_c], cust["c_nationkey"].to_numpy(np.int64)[order_c]
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    supp = supp[supp["s_nationkey"].astype(int).isin(nat_keys)]
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    order_s = np.argsort(sk, kind="stable")
+    sk_sorted, s_nat = sk[order_s], supp["s_nationkey"].to_numpy(np.int64)[order_s]
+
+    dims_ref = ray.put((ck_sorted, c_nat, sk_sorted, s_nat))
+
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("side", pa.int8()),
+            ("nat", pa.int64()),
+            ("rev_u", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def _lookup(sorted_keys, vals, probe):
+        pos = np.searchsorted(sorted_keys, probe)
+        ok = (pos < len(sorted_keys)) & (
+            sorted_keys[np.minimum(pos, len(sorted_keys) - 1)] == probe
+        )
+        return ok, vals[np.minimum(pos, len(vals) - 1)]
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        cks, cn, _, _ = ray.get(dims_ref)
+        t = t.combine_chunks()
+        ck_ = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok, natk = _lookup(cks, cn, ck_)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)[ok]
+        n = len(okey)
+        return pa.table(
+            {
+                "key": pa.array(okey, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "nat": pa.array(natk[ok], pa.int64()),
+                "rev_u": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "prt": pa.array(hash_prt(okey, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def tag_items(t: pa.Table) -> pa.Table:
+        _, _, sks, sn = ray.get(dims_ref)
+        t = t.combine_chunks()
+        sk_ = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok, natk = _lookup(sks, sn, sk_)
+        okey = t["l_orderkey"].to_numpy(zero_copy_only=False)[ok]
+        ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)[ok]
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)[ok]
+        n = len(okey)
+        return pa.table(
+            {
+                "key": pa.array(okey, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "nat": pa.array(natk[ok], pa.int64()),
+                "rev_u": pa.array(_micros(ep * (1.0 - disc)), pa.int64()),
+                "prt": pa.array(hash_prt(okey, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    items = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(tag_items, batch_format="pyarrow")
+
+    partial_schema = pa.schema([("nat", pa.int64()), ("rev_u", pa.int64())])
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        nat_col = t["nat"].to_numpy(zero_copy_only=False)
+        lm = side == 0
+        lk, lnat = key[lm], nat_col[lm]
+        order = np.argsort(lk, kind="stable")
+        lk_s, lnat_s = lk[order], lnat[order]
+        rm = ~lm
+        rk, rnat = key[rm], nat_col[rm]
+        rv = t["rev_u"].to_numpy(zero_copy_only=False)[rm]
+        pos = np.searchsorted(lk_s, rk)
+        hit = (pos < len(lk_s)) & (lk_s[np.minimum(pos, len(lk_s) - 1)] == rk)
+        same_nat = hit & (lnat_s[np.minimum(pos, len(lk_s) - 1)] == rnat)
+        natk = rnat[same_nat]
+        rev = rv[same_nat]
+        if not len(natk):
+            return pa.Table.from_pylist([], schema=partial_schema)
+        uk = np.unique(natk)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, np.searchsorted(uk, natk), rev)
+        return pa.table(
+            {"nat": pa.array(uk, pa.int64()), "rev_u": pa.array(sums, pa.int64())},
+            schema=partial_schema,
+        )
+
+    out_schema = pa.schema([("n_name", pa.string()), ("revenue", pa.float64())])
+    names_ref = ray.put(nat_names)
+
+    def final(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        t = t.combine_chunks()
+        natk = int(t["nat"][0].as_py())
+        rev = int(t["rev_u"].to_numpy(zero_copy_only=False).sum())
+        return pa.table(
+            {
+                "n_name": pa.array([names[natk]], pa.string()),
+                "revenue": pa.array([rev / MICRO], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        orders.union(items)
+        .groupby("prt")
+        .map_groups(
+            lambda g: join_bucket(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+        .groupby("nat")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+Q5_SQL = """
+SELECT n.n_name,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) / 1000000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
