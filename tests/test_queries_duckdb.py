@@ -23,6 +23,12 @@ SAMPLE = [
     "q1_pricing_summary",    # decimal-exact grouped aggregate
     "dedup_exact",           # hash-partition dedup
     "ann_cosine_topk",       # brute-force cosine top-k
+    "q3_shipping_priority",  # dimension-broadcast + large-large join + top-k
+    "q5_local_supplier_revenue",  # multi-dimension join, same-nation filter
+    "q6_forecast_revenue",   # zero-exchange filter + global sum
+    "parts_never_bulk_ordered",   # partitioned anti-join (NOT EXISTS)
+    "user_top_event",        # grouped argmax with per-batch combiner
+    "user_running_total",    # ordered scan, segmented cumulative sum
 ]
 
 
