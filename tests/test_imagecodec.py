@@ -171,3 +171,23 @@ def test_image_stage_real_decode_end_to_end(ray_session):
     assert len(out) == 4  # audio rows filtered out by the image stage
     assert all(len(p) == 64 for p in out["pixels"])
     assert out["mean_intensity"].between(0.3, 0.7).all()  # uniform noise
+
+
+def test_png_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=1, max_value=24),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def run(h, w, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.random((h, w))
+        got = decode_png_bytes(encode_png_gray(img))
+        assert got.shape == (h, w)
+        assert np.max(np.abs(got - img)) <= 0.5 / 255
+
+    run()

@@ -1,6 +1,6 @@
 """Self-contained driver-gate sample inside pytest: a representative query
 from each family run through Ray AND its oracle SQL through DuckDB at
-sf0.001, compared exactly (the full 26-query gate is
+sf0.001, compared exactly (the full multi-query gate is
 tools/verify_correctness.py; the external driver runs the same comparison at
 sf0.01)."""
 

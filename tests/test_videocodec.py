@@ -92,3 +92,24 @@ def test_video_stage_real_decode_end_to_end(ray_session):
     exp = np.round(np.round(np.array([0, 4, 8]) / 16.0 * 255) / 255, 6)
     assert np.allclose(np.array(list(out["frame_means"][0])), exp, atol=1e-6)
     assert (out["fps"] == 10.0).all()
+
+
+def test_y4m_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=6),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def run(n, h, w, seed):
+        rng = np.random.default_rng(seed)
+        frames = rng.random((n, h, w))
+        got, _ = decode_y4m_bytes(encode_y4m_gray(frames))
+        assert got.shape == (n, h, w)
+        assert np.max(np.abs(got - frames)) <= 0.5 / 255
+
+    run()

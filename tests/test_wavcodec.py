@@ -142,3 +142,30 @@ def test_audio_stage_real_decode_end_to_end(ray_session):
     exp = np.array([0.25, 0.5, 0.9]) / np.sqrt(2)
     assert np.allclose(out["rms"].to_numpy(), exp, atol=1e-3)
     assert np.allclose(out["duration_s"].to_numpy(), 0.1)
+
+
+def test_wav_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0 - 2**-15, width=64),
+            min_size=1, max_size=200,
+        ),
+        st.integers(min_value=1, max_value=4),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def run(vals, n_ch, sr):
+        x = np.array(vals, dtype=np.float64)
+        x = x[: (len(x) // n_ch) * n_ch]
+        if not len(x):
+            x = np.zeros(n_ch)
+        x = x.reshape(-1, n_ch)
+        audio, got_sr = decode_wav_bytes(encode_wav_pcm16(x, sr))
+        assert got_sr == sr
+        assert audio.shape == x.shape
+        assert np.max(np.abs(audio - x)) <= 1.0 / (1 << 15)
+
+    run()
