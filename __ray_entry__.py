@@ -413,6 +413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _text("dedup_exact"),
         "dedup_minhash_pairs": _text("dedup_minhash_pairs"),
         "simhash_fingerprints": _text("simhash_fingerprints"),
+        # order-sensitive rolling-hash doc fingerprints (rows-only:
+        # mod-2^64 polynomial hashing isn't SQL; kernel pytest-verified)
+        "doc_fingerprints": _text("doc_fingerprints"),
         "lang_len_corr": _text("lang_len_corr"),
         "lang_quality": _text("lang_quality"),  # heuristic lang-ID + quality
         # score (rows-only: stopword-table heuristics aren't SQL)

@@ -1122,3 +1122,40 @@ SELECT lang, n_docs,
        END AS corr_chars_tokens
 FROM a
 """
+
+
+def doc_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Order-sensitive document fingerprints: one polynomial rolling hash
+    per doc over its token-length sequence (functions/text.py
+    ``rolling_hash_fingerprint`` -- order-sensitive, unlike the md5 content
+    hash; reordered tokens change the fingerprint).  Stateless task-pool
+    map; per-doc work is one vectorized Horner pass.  Rows-only driver
+    query (mod-2^64 polynomial hashing is not SQL-expressible; the kernel's
+    order sensitivity + determinism are pytest-verified)."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import rolling_hash_fingerprint
+
+    def fp_batch(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, pattern=" ")
+        lens = pc.utf8_length(split.values).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        offs = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        fps = np.empty(t.num_rows, dtype=np.uint64)
+        for i in range(t.num_rows):  # ragged per-doc Horner kernel
+            fps[i] = rolling_hash_fingerprint(lens[offs[i] : offs[i + 1]])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "fingerprint": pa.array(fps.view(np.int64), pa.int64()),
+                "n_tok": pa.array((offs[1:] - offs[:-1]).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(fp_batch, batch_format="pyarrow")
