@@ -416,6 +416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-sensitive rolling-hash doc fingerprints (rows-only:
         # mod-2^64 polynomial hashing isn't SQL; kernel pytest-verified)
         "doc_fingerprints": _text("doc_fingerprints"),
+        "token_counts_regex": _text("token_counts_regex"),
         "lang_len_corr": _text("lang_len_corr"),
         "lang_quality": _text("lang_quality"),  # heuristic lang-ID + quality
         # score (rows-only: stopword-table heuristics aren't SQL)
@@ -534,6 +535,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
+        "token_counts_regex": text_sql("TOKEN_COUNTS_REGEX_SQL"),
         "lang_len_corr": text_sql("LANG_LEN_CORR_SQL"),
         "ann_cosine_topk": ann_sql("COSINE_TOPK_SQL"),
         "outlier_filter_zscore": _OUTLIER_SQL,

@@ -1159,3 +1159,63 @@ def doc_fingerprints(sf_dir: str) -> rd.Dataset:
         )
 
     return _read_docs(sf_dir).map_batches(fp_batch, batch_format="pyarrow")
+
+
+_BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+_COMPILED_RE: dict = {}
+
+
+def _bpe_ish_re():
+    """Per-worker-process compiled regex (the compiled-pattern-in-actor
+    pattern; a task pool shares it via module state)."""
+    import re
+
+    if "p" not in _COMPILED_RE:
+        _COMPILED_RE["p"] = re.compile(_BPE_ISH_PATTERN)
+    return _COMPILED_RE["p"]
+
+
+def token_counts_regex(sf_dir: str) -> rd.Dataset:
+    """Token counting, whitespace AND BPE-ish regex: per doc, the
+    whitespace split count, the count of regex tokens (letter runs / digit
+    runs / single punctuation -- the GPT-2-style pre-tokenizer shape
+    restricted to ASCII classes so RE2 and Python ``re`` agree exactly),
+    and the count of DISTINCT regex tokens.  Stateless task pool; the
+    compiled pattern is module state per worker process.  SQL oracle via
+    DuckDB ``regexp_extract_all`` (verified 0 mismatches corpus-wide)."""
+    import pyarrow.compute as pc
+
+    def counts(t: pa.Table) -> pa.Table:
+        p = _bpe_ish_re()
+        t = t.combine_chunks()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_ws = pc.list_value_length(pc.split_pattern(text, pattern=" ")).cast(
+            pa.int64()
+        )
+        n_re = np.empty(t.num_rows, dtype=np.int64)
+        n_uq = np.empty(t.num_rows, dtype=np.int64)
+        for i, s in enumerate(text.to_pylist()):  # regex scan is per string
+            toks = p.findall(s)
+            n_re[i] = len(toks)
+            n_uq[i] = len(set(toks))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tok_ws": n_ws,
+                "n_tok_re": pa.array(n_re, pa.int64()),
+                "n_uniq_re": pa.array(n_uq, pa.int64()),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+
+
+TOKEN_COUNTS_REGEX_SQL = f"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_tok_ws,
+       len(regexp_extract_all(text, '{_BPE_ISH_PATTERN}'))::BIGINT AS n_tok_re,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_ISH_PATTERN}')))::BIGINT AS n_uniq_re
+FROM documents
+"""
