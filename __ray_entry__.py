@@ -538,6 +538,9 @@ def oracle_sql() -> dict[str, str]:
         "token_counts_regex": text_sql("TOKEN_COUNTS_REGEX_SQL"),
         "lang_len_corr": text_sql("LANG_LEN_CORR_SQL"),
         "ann_cosine_topk": ann_sql("COSINE_TOPK_SQL"),
+        # exact triangle-join near pairs ARE SQL-expressible (quadratic
+        # oracle is fine at sf0.01)
+        "embedding_near_pairs": ann_sql("EMBEDDING_NEAR_PAIRS_SQL"),
         "outlier_filter_zscore": _OUTLIER_SQL,
         # dedup_minhash_pairs / simhash_fingerprints / ann_lsh_topk /
         # embedding_near_pairs: not SQL-expressible (hash-family algorithms)

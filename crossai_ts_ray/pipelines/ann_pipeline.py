@@ -467,3 +467,15 @@ def embedding_near_pairs_ivf(
         )
 
     return dedup.map_batches(finish, batch_format="pyarrow")
+
+
+EMBEDDING_NEAR_PAIRS_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+"""
