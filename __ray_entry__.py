@@ -536,6 +536,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
         "token_counts_regex": text_sql("TOKEN_COUNTS_REGEX_SQL"),
+        # heuristic lang-ID + quality: exact SQL mirror (list_intersect
+        # stopword hits, \p{L} alpha ratio, arithmetic mean-word-length)
+        "lang_quality": text_sql("LANG_QUALITY_SQL"),
         "lang_len_corr": text_sql("LANG_LEN_CORR_SQL"),
         "ann_cosine_topk": ann_sql("COSINE_TOPK_SQL"),
         # exact triangle-join near pairs ARE SQL-expressible (quadratic

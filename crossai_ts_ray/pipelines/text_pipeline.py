@@ -1219,3 +1219,43 @@ SELECT doc_id::BIGINT AS doc_id,
        len(list_distinct(regexp_extract_all(text, '{_BPE_ISH_PATTERN}')))::BIGINT AS n_uniq_re
 FROM documents
 """
+
+
+# Exact SQL mirror of LangQuality (verified 0 mismatches corpus-wide):
+# mean word length folds to (n - (nw-1)) / nw since ' '-split removes
+# exactly nw-1 separator chars; Python isalpha == RE2 \p{L}; the stopword
+# tie-break (first language in table order with strictly more hits) becomes
+# the cascaded CASE.
+LANG_QUALITY_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS n,
+         len(string_split(text, ' ')) AS nw,
+         list_distinct(string_split(lower(text), ' ')[1:200]) AS words
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, text, n, nw,
+    len(list_intersect(words, ['the','a','of','and','to','in','is','that','it','for'])) AS h_en,
+    len(list_intersect(words, ['el','la','de','y','que','en','un','una','por','con'])) AS h_es,
+    len(list_intersect(words, ['le','la','de','et','que','en','un','une','pour','dans'])) AS h_fr,
+    len(list_intersect(words, ['der','die','das','und','zu','in','ein','eine','mit','von'])) AS h_de,
+    len(regexp_extract_all(substr(text, 1, 400), '[一-鿿]')) AS cjk
+  FROM base
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  CASE
+    WHEN n = 0 THEN 'und'
+    WHEN cjk::DOUBLE / greatest(least(n, 400), 1) > 0.05 THEN 'zh'
+    WHEN h_en >= greatest(h_es, h_fr, h_de) AND h_en > 0 THEN 'en'
+    WHEN h_es >= greatest(h_fr, h_de) AND h_es > 0 THEN 'es'
+    WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+    WHEN h_de > 0 THEN 'de'
+    ELSE 'und'
+  END AS lang_pred,
+  CASE WHEN n = 0 THEN 0.0 ELSE round((
+    (CASE WHEN n BETWEEN 50 AND 100000 THEN 1.0 WHEN n >= 20 THEN 0.5 ELSE 0.0 END)
+    + (CASE WHEN (n - (nw - 1))::DOUBLE / nw BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END)
+    + len(regexp_extract_all(substr(text, 1, 1000), '[\p{L} ]'))::DOUBLE / least(n, 1000)
+  ) / 3.0, 6) END AS quality
+FROM hits
+"""
