@@ -131,6 +131,9 @@ def generate_probabilities(model, X: np.ndarray, repeats: int = 1) -> np.ndarray
     return np.stack(preds, axis=0)
 
 
+_FEATURE_DIRS: dict[str, str] = {}
+
+
 def score_events(sf_dir: str, iters: int = 8, concurrency: int = 4) -> rd.Dataset:
     """End-to-end fitted-model scoring over the events table: fit
     P(event_type = 'error' | value, |value|) with the distributed IRLS
@@ -156,13 +159,35 @@ def score_events(sf_dir: str, iters: int = 8, concurrency: int = 4) -> rd.Datase
             }
         )
 
-    feats = read_parquet_sized(
-        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
-    ).map_batches(featurize, batch_format="pyarrow")
-    fcols = ["x_value", "x_absvalue"]
-    w = fit_logistic(feats, fcols, "label", iters=iters)
+    # Persist the FEATURE table once per process (numeric columns only --
+    # orders of magnitude smaller than raw input at scale) so the iterative
+    # fit re-streams features, not the raw table: iters+1 passes over
+    # features instead of iters+1 raw scans.  Same persisted-derived-table
+    # pattern (tempdir cached per process, streaming reads, nothing
+    # materialized) as the MinHash signature table / ANN index.
+    import os
+    import shutil
+    import tempfile
 
-    scored = feats.map_batches(
+    from ..pipelines.text_pipeline import read_persisted
+
+    feat_dir = _FEATURE_DIRS.get(sf_dir)
+    if feat_dir is None or not os.path.isdir(feat_dir):
+        feat_dir = tempfile.mkdtemp(prefix="crossai_scoring_feats_")
+        try:
+            read_parquet_sized(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "event_type", "value"],
+            ).map_batches(featurize, batch_format="pyarrow").write_parquet(feat_dir)
+        except BaseException:
+            shutil.rmtree(feat_dir, ignore_errors=True)
+            raise
+        _FEATURE_DIRS[sf_dir] = feat_dir
+
+    fcols = ["x_value", "x_absvalue"]
+    w = fit_logistic(read_persisted(feat_dir), fcols, "label", iters=iters)
+
+    scored = read_persisted(feat_dir).map_batches(
         LogisticScorer(w, fcols),
         batch_format="pyarrow",
         concurrency=concurrency,
