@@ -60,6 +60,7 @@ def keyed_equijoin(
     how: str = "inner",
     suffix: str = "_r",
     schemas: tuple[pa.Schema, pa.Schema] | None = None,
+    salt: int = 1,
 ):
     """Join two Datasets on int64 key columns ``on=(left_key, right_key)``.
 
@@ -70,6 +71,13 @@ def keyed_equijoin(
     Pass ``schemas=(left_schema, right_schema)`` when a side has a long lazy
     lineage: ``Dataset.schema()`` on such a side executes part of the plan
     just to learn column types, and the union below would then re-execute it.
+
+    ``salt > 1`` splits HOT LEFT KEYS: each left row lands in one of
+    ``salt`` sub-buckets of its key's partition (cheap row-position salt --
+    correctness never depends on which, since) each RIGHT row replicates to
+    all ``salt`` sub-buckets.  A key carried by millions of left rows fans
+    out over ``salt`` tasks at the cost of ``salt`` x the (smaller) right
+    side's shuffle bytes; outputs are row-for-row identical to unsalted.
     """
     import ray.data as rd  # noqa: F401  (callers hold Datasets already)
 
@@ -102,7 +110,10 @@ def keyed_equijoin(
             cols[rename[name]] = pa.nulls(n, rs.field(name).type)
         cols["__rk"] = pa.nulls(n, pa.int64())
         cols["side"] = pa.array(np.zeros(n, np.int8), pa.int8())
-        cols["prt"] = pa.array(_prt_of(k, buckets), pa.int64())
+        prt = _prt_of(k, buckets)
+        if salt > 1:
+            prt = prt * salt + np.arange(n, dtype=np.int64) % salt
+        cols["prt"] = pa.array(prt, pa.int64())
         return pa.table(cols, schema=union_schema)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -114,7 +125,17 @@ def keyed_equijoin(
             cols[rename[name]] = t[name]
         cols["__rk"] = pa.array(k.astype(np.int64), pa.int64())
         cols["side"] = pa.array(np.ones(n, np.int8), pa.int8())
-        cols["prt"] = pa.array(_prt_of(k, buckets), pa.int64())
+        prt = _prt_of(k, buckets)
+        if salt > 1:
+            # replicate each right row into every sub-bucket of its key
+            rep = pa.array(np.arange(n, dtype=np.int64).repeat(salt))
+            out = pa.table(cols, schema=union_schema.remove(
+                union_schema.get_field_index("prt")))
+            out = out.take(rep)
+            sub = np.tile(np.arange(salt, dtype=np.int64), n)
+            prt_full = np.repeat(prt, salt) * salt + sub
+            return out.append_column("prt", pa.array(prt_full, pa.int64()))
+        cols["prt"] = pa.array(prt, pa.int64())
         return pa.table(cols, schema=union_schema)
 
     both = left.map_batches(tag_left, batch_format="pyarrow").union(

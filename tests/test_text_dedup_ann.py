@@ -318,3 +318,48 @@ def test_dedup_clusters_random_graph_vs_bfs(ray_session):
     labels = dedup_clusters(rd.from_arrow(pairs), buckets=7)
     got = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
     assert got == want
+
+
+def test_keyed_equijoin_salted_identical_and_balanced(ray_session):
+    """Hot-key salting: outputs row-for-row identical to unsalted; the hot
+    key's rows fan out over `salt` sub-buckets instead of one task."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crossai_ts_ray.stages.joins import keyed_equijoin
+
+    rng = np.random.default_rng(17)
+    # left: one pathologically hot key (6k rows) + a cold tail
+    lk = np.concatenate([np.full(6000, 7, np.int64), rng.integers(100, 200, 500)])
+    left = pa.table(
+        {"k": pa.array(lk, pa.int64()),
+         "payload": pa.array(rng.integers(0, 1000, len(lk)), pa.int64())}
+    )
+    rk = np.concatenate([[7, 7], np.arange(100, 200, dtype=np.int64)])
+    right = pa.table(
+        {"rk": pa.array(rk, pa.int64()),
+         "attr": pa.array(np.arange(len(rk), dtype=np.int64), pa.int64())}
+    )
+    schemas = (left.schema, right.schema)
+
+    def run(salt):
+        ds = keyed_equijoin(
+            rd.from_arrow(left), rd.from_arrow(right),
+            on=("k", "rk"), buckets=8, schemas=schemas, salt=salt,
+        )
+        df = ds.to_pandas().sort_values(["k", "payload", "attr"]).reset_index(drop=True)
+        return df
+
+    a, b = run(1), run(4)
+    pd.testing.assert_frame_equal(a, b)
+    # the hot key matched both right rows: 6000 x 2 pairs present
+    assert int((a["k"] == 7).sum()) == 12000
+    # left-join flavor too
+    def run_left(salt):
+        ds = keyed_equijoin(
+            rd.from_arrow(left), rd.from_arrow(right),
+            on=("k", "rk"), buckets=8, how="left", schemas=schemas, salt=salt,
+        )
+        return ds.to_pandas().sort_values(["k", "payload", "attr"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(run_left(1), run_left(4))
