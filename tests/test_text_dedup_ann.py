@@ -363,3 +363,29 @@ def test_keyed_equijoin_salted_identical_and_balanced(ray_session):
         )
         return ds.to_pandas().sort_values(["k", "payload", "attr"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(run_left(1), run_left(4))
+
+
+def test_dedup_minhash_pairs_invariant_to_partitioning(ray_session):
+    """Near-dup pair extraction must be bitwise independent of block
+    boundaries -- the distributed-determinism invariant the rollup family
+    already pins.  Shrinking target_max_block_size forces different block
+    splits through every exchange."""
+    import pandas as pd
+    from ray.data import DataContext
+
+    from crossai_ts_ray.pipelines.text_pipeline import dedup_minhash_pairs
+
+    ctx = DataContext.get_current()
+    old = ctx.target_max_block_size
+
+    def run():
+        df = dedup_minhash_pairs(SF).to_pandas()
+        return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    try:
+        a = run()
+        ctx.target_max_block_size = 64 * 1024  # force tiny blocks
+        b = run()
+    finally:
+        ctx.target_max_block_size = old
+    pd.testing.assert_frame_equal(a, b)
