@@ -425,6 +425,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components over the SimHash near-dup graph (join-based
         # min-label propagation; rows-only -- iterative, no SQL oracle)
         "dedup_clusters_simhash": _dedup_clusters_q,
+        # flagship LLM-data composition: near-dup clusters -> keep each
+        # component representative + all unclustered docs (rows-only:
+        # SimHash clustering is a hash-family algorithm)
+        "clean_corpus": _text("clean_corpus"),
         # similarity search family
         "ann_cosine_topk": _ann("cosine_topk"),
         "ann_lsh_topk": _ann("lsh_topk"),

@@ -1259,3 +1259,99 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
   ) / 3.0, 6) END AS quality
 FROM hits
 """
+
+
+def clean_corpus(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+    """END-TO-END corpus cleaning -- the flagship LLM-training-data
+    composition: SimHash near-dup detection (exact duplicates are Hamming-0
+    pairs, so they fold in) -> connected components -> keep each
+    component's REPRESENTATIVE (min doc_id) plus every unclustered doc.
+
+    Scale shape: the cluster table (doc_id, cluster) covers only docs that
+    appear in near-dup pairs; its NON-representative rows anti-join the
+    corpus in ONE hash(doc_id) exchange (the partitioned anti-join shape
+    from relational.parts_never_bulk_ordered).  Nothing is broadcast or
+    driver-materialized at corpus scale -- the union-find driver merge is
+    contracted metadata (see dedup_clusters).  Returns (doc_id, lang,
+    n_chars) of kept docs."""
+    from ..stages.joins import hash_prt
+
+    clusters = dedup_clusters(dedup_simhash_pairs(sf_dir), buckets=buckets)
+
+    union_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("side", pa.int8()),
+            ("lang", pa.string()),
+            ("n_chars", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(did)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "lang": t["lang"].cast(pa.string()),
+                "n_chars": t["n_chars"].cast(pa.int64()),
+                "prt": pa.array(hash_prt(did, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def tag_losers(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        losers = did[did != cl]  # representatives stay
+        n = len(losers)
+        return pa.table(
+            {
+                "doc_id": pa.array(losers, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "lang": pa.nulls(n, pa.string()),
+                "n_chars": pa.nulls(n, pa.int64()),
+                "prt": pa.array(hash_prt(losers, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    docs = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(tag_docs, batch_format="pyarrow")
+    losers = clusters.map_batches(tag_losers, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64())]
+    )
+
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        drop = np.unique(did[side == 1])
+        keep_idx = np.flatnonzero(side == 0)
+        dk = did[keep_idx]
+        pos = np.searchsorted(drop, dk)
+        hit = (pos < len(drop)) & (drop[np.minimum(pos, len(drop) - 1)] == dk)
+        sub = t.take(pa.array(keep_idx[~hit]))
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "lang": sub["lang"],
+                "n_chars": sub["n_chars"],
+            },
+            schema=out_schema,
+        )
+
+    return (
+        docs.union(losers)
+        .groupby("prt")
+        .map_groups(
+            lambda g: anti_bucket(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )

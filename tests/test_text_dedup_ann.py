@@ -389,3 +389,38 @@ def test_dedup_minhash_pairs_invariant_to_partitioning(ray_session):
     finally:
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_clean_corpus_keeps_representatives_and_unclustered(ray_session):
+    import duckdb
+
+    from crossai_ts_ray.pipelines.text_pipeline import (
+        clean_corpus,
+        dedup_clusters,
+        dedup_simhash_pairs,
+    )
+
+    kept = clean_corpus(SF).to_pandas()
+    cl = dedup_clusters(dedup_simhash_pairs(SF)).to_pandas()
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+
+    clustered = set(cl["doc_id"])
+    reps = set(cl.loc[cl["doc_id"] == cl["cluster"], "doc_id"])
+    losers = clustered - reps
+    kept_ids = set(kept["doc_id"])
+
+    all_ids = set(
+        duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{SF}/documents.parquet')"
+        ).df()["doc_id"].astype(int)
+    )
+    # exactly the non-representative clustered docs are removed
+    assert kept_ids == all_ids - losers
+    assert len(kept) == n_docs - len(losers)
+    assert reps <= kept_ids
+    # every cluster keeps exactly one member (its representative)
+    survivors = cl[cl["doc_id"].isin(kept_ids)]
+    assert survivors.groupby("cluster").size().eq(1).all()
+    assert (survivors["doc_id"] == survivors["cluster"]).all()
