@@ -144,7 +144,7 @@ def sliding_hourly(sf_dir: str, window_buckets: int = 3) -> rd.Dataset:
     return dense.groupby("source").map_groups(roll, batch_format="pyarrow")
 
 
-def user_sessions(sf_dir: str, gap_s: int = 1800, buckets: int = 32) -> rd.Dataset:
+def user_sessions(sf_dir: str, gap_s: int = 1800, buckets: int | None = None) -> rd.Dataset:
     """Session windows per user: a new session starts after a silence gap
     > ``gap_s`` -- the classic order-sensitive per-key scan (Ray Data has no
     event-time windows; SURVEY.md §2.9 maps them to sorted per-key scans).
@@ -153,6 +153,10 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, buckets: int = 32) -> rd.Datas
     vectorized pass per partition computes every user's session count with
     segment ops (lexsort + reduceat) -- no per-user Python call, no
     single-user 1-row map_groups tasks."""
+    from ..sources.readers import suggest_buckets
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
     ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     from ..stages.joins import hash_prt
 
@@ -206,7 +210,7 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, buckets: int = 32) -> rd.Datas
     )
 
 
-def asof_last_event_value(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+def asof_last_event_value(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
     """As-of join: for each order, the value of the customer's latest event
     at or before the order date.
 
@@ -219,6 +223,12 @@ def asof_last_event_value(sf_dir: str, buckets: int = 32) -> rd.Dataset:
     sort + one linear merge."""
     import pandas as pd
 
+    from ..sources.readers import suggest_buckets
+
+    if buckets is None:
+        buckets = suggest_buckets(
+            f"{sf_dir}/events.parquet", f"{sf_dir}/orders.parquet"
+        )
     ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
@@ -332,7 +342,7 @@ _SLIDE_SCHEMA = pa.schema(
 )
 
 
-def user_value_stats(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+def user_value_stats(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
     """``signal_stats``-bundle per user over the ts-ordered event-value
     series: n, mean, population std/var, min/max, rms, energy, crest factor,
     G1 sample skewness, excess kurtosis, and zero-crossing rate of the
@@ -348,6 +358,10 @@ def user_value_stats(sf_dir: str, buckets: int = 32) -> rd.Dataset:
     Rounding bridges float64 summation-order differences vs the DuckDB
     oracle: O(1) shape stats at 4-6 dp, energy (a raw sum of squares) at 2.
     """
+    from ..sources.readers import suggest_buckets
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
     ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     from ..stages.joins import hash_prt
 
@@ -512,7 +526,7 @@ FROM a
 """
 
 
-def user_top_event(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+def user_top_event(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
     """Grouped ARGMAX: each user's single highest-value event (ties broken
     by earlier ts, then lower event_id -- a total order, so the result is
     deterministic and SQL-oracle-checkable).
@@ -521,9 +535,11 @@ def user_top_event(sf_dir: str, buckets: int = 32) -> rd.Dataset:
     the batch (lexsort + first-of-run), so the keyed exchange moves at most
     batches x users_per_batch candidate rows, never raw events; the
     per-partition merge repeats the same vectorized selection."""
-    from ..sources.readers import read_parquet_sized
+    from ..sources.readers import read_parquet_sized, suggest_buckets
     from ..stages.joins import hash_prt
 
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
     ev = read_parquet_sized(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],
@@ -575,7 +591,7 @@ QUALIFY row_number() OVER (
 """
 
 
-def user_running_total(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+def user_running_total(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
     """Order-sensitive per-user scan: cumulative value total over each
     user's (ts, event_id)-ordered event stream -- the running-window
     aggregate shape (SQL ``SUM() OVER (PARTITION BY ... ROWS UNBOUNDED
@@ -585,9 +601,11 @@ def user_running_total(sf_dir: str, buckets: int = 32) -> rd.Dataset:
     single vectorized segmented cumsum (lexsort + cumsum - per-segment
     offset) over ALL its users at once.  Exactness: values accumulate as
     int64 micro-units, so float association order cannot perturb a bit."""
-    from ..sources.readers import read_parquet_sized
+    from ..sources.readers import read_parquet_sized, suggest_buckets
     from ..stages.joins import hash_prt
 
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
     ev = read_parquet_sized(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "value"],

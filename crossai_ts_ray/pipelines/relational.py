@@ -270,7 +270,7 @@ GROUP BY n.n_name
 """
 
 
-def order_lineitem_join(sf_dir: str, buckets: int = 16):
+def order_lineitem_join(sf_dir: str, buckets: int | None = None):
     """Large-large partitioned hash join: orders |X| lineitem on orderkey.
 
     Neither side is broadcast: both are bucketed by ``hash(key) % B`` (a
@@ -279,6 +279,12 @@ def order_lineitem_join(sf_dir: str, buckets: int = 16):
     for when no side fits in memory (SURVEY.md §2.6 / ray guide pattern;
     skew handling = salt hot keys into sub-buckets, not needed for
     orderkeys which are unique on the build side)."""
+    from ..sources.readers import suggest_buckets
+
+    if buckets is None:
+        buckets = suggest_buckets(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+        )
     orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
@@ -468,7 +474,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """
 
 
-def q3_shipping_priority(sf_dir: str, k: int = 10, buckets: int = 16):
+def q3_shipping_priority(sf_dir: str, k: int = 10, buckets: int | None = None):
     """TPC-H Q3 shape: dimension-broadcast filter + large-large partitioned
     hash join + grouped sum + top-k.
 
@@ -480,8 +486,13 @@ def q3_shipping_priority(sf_dir: str, k: int = 10, buckets: int = 16):
     global tiebreak before the tiny global sort."""
     import ray
 
+    from ..sources.readers import suggest_buckets
     from ..stages.joins import hash_prt
 
+    if buckets is None:
+        buckets = suggest_buckets(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+        )
     cutoff = np.datetime64("1998-06-01T00:00:00.000000")
     cust = pd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -623,15 +634,20 @@ LIMIT 10
 """
 
 
-def parts_never_bulk_ordered(sf_dir: str, qty_threshold: float = 45.0, buckets: int = 16):
+def parts_never_bulk_ordered(sf_dir: str, qty_threshold: float = 45.0, buckets: int | None = None):
     """Partitioned ANTI-join: parts with NO lineitem above the quantity
     threshold (NOT EXISTS).  Neither side broadcasts: the probe side
     (lineitem) collapses to DISTINCT matching partkeys per batch
     (combiner), both sides bucket by hash(partkey) in one keyed exchange,
     and each bucket emits its left rows whose key is absent from the probe
     set (sorted-array membership, vectorized)."""
+    from ..sources.readers import suggest_buckets
     from ..stages.joins import hash_prt
 
+    if buckets is None:
+        buckets = suggest_buckets(
+            f"{sf_dir}/part.parquet", f"{sf_dir}/lineitem.parquet"
+        )
     union_schema = pa.schema(
         [
             ("key", pa.int64()),
@@ -727,7 +743,7 @@ WHERE NOT EXISTS (
 """
 
 
-def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA", buckets: int = 16):
+def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA", buckets: int | None = None):
     """TPC-H Q5 shape: revenue by nation where the customer and the
     supplier share a nation inside one region -- the multi-dimension join.
 
@@ -741,8 +757,13 @@ def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA", buckets: int = 
     sums (combiner) into a #nations-row final groupby."""
     import ray
 
+    from ..sources.readers import suggest_buckets
     from ..stages.joins import hash_prt
 
+    if buckets is None:
+        buckets = suggest_buckets(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+        )
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
     region_t = pd.read_parquet(f"{sf_dir}/region.parquet")
     rkeys = set(

@@ -1261,7 +1261,7 @@ FROM hits
 """
 
 
-def clean_corpus(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+def clean_corpus(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
     """END-TO-END corpus cleaning -- the flagship LLM-training-data
     composition: SimHash near-dup detection (exact duplicates are Hamming-0
     pairs, so they fold in) -> connected components -> keep each
@@ -1274,8 +1274,11 @@ def clean_corpus(sf_dir: str, buckets: int = 32) -> rd.Dataset:
     driver-materialized at corpus scale -- the union-find driver merge is
     contracted metadata (see dedup_clusters).  Returns (doc_id, lang,
     n_chars) of kept docs."""
+    from ..sources.readers import suggest_buckets
     from ..stages.joins import hash_prt
 
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/documents.parquet")
     clusters = dedup_clusters(dedup_simhash_pairs(sf_dir), buckets=buckets)
 
     union_schema = pa.schema(

@@ -81,6 +81,34 @@ def read_parquet_sized(path, columns: list[str] | None = None, **kw) -> rd.Datas
     return rd.read_parquet(path, columns=columns, **kw)
 
 
+def suggest_buckets(
+    *paths: str,
+    target_bytes: int = 64 * 1024 * 1024,
+    lo: int = 32,
+    hi: int = 65536,
+) -> int:
+    """Exchange partition count sized from the INPUT BYTES feeding it:
+    ~one partition per 64 MB of input, clamped to [lo, hi].  A fixed
+    partition count is wrong at both ends -- 32 partitions of a 100 TB
+    exchange are 3 TB each (OOM in any group kernel), and 4096 partitions
+    of a 2 MB table are pure scheduling overhead.  Callers pass the table
+    paths that flow into the exchange; unstat-able paths fall back to
+    ``lo``."""
+    import os
+
+    total = 0
+    for p in paths:
+        try:
+            if os.path.isdir(p):
+                for root, _, fs in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f)) for f in fs)
+            else:
+                total += os.path.getsize(p)
+        except OSError:
+            pass
+    return int(min(hi, max(lo, total // target_bytes)))
+
+
 def _tokenize_batch(batch: pa.Table) -> pa.Table:
     """documents rows -> token-table rows (fully vectorized in Arrow).
 
