@@ -127,13 +127,16 @@ FROM documents GROUP BY lang
 """
 
 
-def dedup_exact(sf_dir: str, P: int = 32):
+def dedup_exact(sf_dir: str, P: int | None = None):
     """Exact dedup: content hash -> hash partition -> representative (min
     doc_id) + duplicate count.  One vectorized pandas groupby per HASH
     PARTITION (not one Python call per distinct hash -- the partition-merge
     pattern from stages/rollup.py)."""
+    from ..sources.readers import suggest_buckets
     from ..stages.joins import hash_prt
 
+    if P is None:
+        P = suggest_buckets(f"{sf_dir}/documents.parquet")
     ds = _read_docs(sf_dir)
 
     def hash_batch(t: pa.Table) -> pa.Table:
@@ -659,7 +662,7 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP8[np.ascontiguousarray(x).view(np.uint8)].reshape(len(x), 8).sum(axis=1)
 
 
-def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 10, P: int = 32):
+def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 10, P: int | None = None):
     """SimHash near-dup pairs via banded multi-probe blocking -- COMPLETE
     (finds exactly the pairs brute force finds) with no driver-side
     materialization and no O(N^2) scan.
@@ -678,6 +681,10 @@ def dedup_simhash_pairs(sf_dir: str, max_hamming: int = 10, P: int = 32):
             "complete for max_hamming <= 11; raise the probe radius for more"
         )
 
+    from ..sources.readers import suggest_buckets
+
+    if P is None:
+        P = suggest_buckets(f"{sf_dir}/documents.parquet")
     fps = simhash_fingerprints(sf_dir)
     flips = np.concatenate(([0], np.left_shift(1, np.arange(16)))).astype(np.uint64)
 
