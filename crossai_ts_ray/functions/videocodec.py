@@ -98,9 +98,17 @@ def probe_y4m_header(data: bytes) -> dict:
         elif tag == b"C":
             cs = val
     y_bytes, c_bytes = _plane_sizes(w, h, cs)
-    # frame stride = "FRAME\n" (6) + planes; per-frame params would vary it,
-    # so count conservatively by scanning markers
-    n = data.count(b"FRAME", nl)
+    # walk frames by stride: markers are only valid at computed frame
+    # boundaries -- raw pixel bytes may contain the ASCII sequence "FRAME",
+    # so a payload-wide count() would overcount (ADVICE r3).  Per-frame
+    # params vary the header length, so find each header's newline.
+    n = 0
+    pos = nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = data.index(b"\n", pos) + 1 + y_bytes + c_bytes
+        n += 1
     return {"width": w, "height": h, "fps": num / den, "colorspace": cs, "n_frames": n}
 
 

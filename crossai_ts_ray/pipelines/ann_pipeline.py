@@ -225,7 +225,12 @@ def lsh_topk(
         }
     )
     if not probe_files:  # degenerate tiny input: no partition in the ball
+        # full-index fallback scan: the audit stats must say so, not claim
+        # a partial probe that never happened
         probe_files = [root]
+        LAST_PROBE_STATS.update(
+            {"partitions_probed": n_total, "row_fraction_bound": 1.0}
+        )
 
     q_ref = ray.put(qn)
     ds = read_parquet_sized(probe_files, columns=["vec_id", "embedding"])

@@ -552,16 +552,35 @@ def user_top_event(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
         ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False) \
             if isinstance(t["ts"], pa.ChunkedArray) else t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # argmax per user under (value desc, ts asc, event_id asc)
-        order = np.lexsort((eid, ts, -val, uid))
+        # argmax per user under (value desc, ts asc, event_id asc), with
+        # SQL's total order on the value key (ADVICE r3): NULL sorts last
+        # under DESC (DuckDB nulls_last default), NaN sorts FIRST (NaN >
+        # every double incl. +inf).  Arrow keeps NULL distinct from NaN;
+        # to_numpy collapses both to NaN, so take the validity mask first.
+        vcol = t["value"]
+        null = (
+            vcol.is_null().to_numpy(zero_copy_only=False)
+            if vcol.null_count
+            else np.zeros(len(val), dtype=bool)
+        )
+        null_key = null.view(np.int8)  # non-null (0) before null (1)
+        nan_key = np.where(np.isnan(val) & ~null, 0, 1).astype(np.int8)
+        # "+ 0.0" canonicalizes -0.0 to +0.0 so a 0.0/-0.0 tie falls through
+        # to the (ts, event_id) total-order keys on both sides
+        order = np.lexsort((eid, ts, -(val + 0.0), nan_key, null_key, uid))
         u_s = uid[order]
-        first = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
-        sel = order[first]
+        if not len(u_s):  # empty batch (upstream filter / empty block)
+            sel = order
+        else:
+            first = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
+            sel = order[first]
         cols = {
             "user_id": pa.array(uid[sel], pa.int64()),
             "event_id": pa.array(eid[sel], pa.int64()),
             "ts": pa.array(ts[sel].view("datetime64[us]")),
-            "value": pa.array(val[sel], pa.float64()),
+            # carry the validity mask so NULL stays distinct from NaN
+            # through the exchange (the merge pass re-applies SQL ordering)
+            "value": pa.array(val[sel], pa.float64(), mask=null[sel]),
         }
         if with_prt:
             cols["prt"] = pa.array(hash_prt(uid[sel], buckets), pa.int64())

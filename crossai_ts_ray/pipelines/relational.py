@@ -134,6 +134,8 @@ def top_customers(sf_dir: str, k: int = 10):
     )
 
     def _sum_by_key(keys: np.ndarray, vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        if not len(keys):  # empty batch / filter kept nothing
+            return keys, vals
         order = np.argsort(keys, kind="stable")
         ks = keys[order]
         starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
@@ -224,7 +226,14 @@ def revenue_by_nation(sf_dir: str):
         cks, nat = ray.get(ref)
         t = t.combine_chunks()
         keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nidx = nat[np.searchsorted(cks, keys)]  # FK: every custkey present
+        # guarded membership lookup: a custkey absent from customer must
+        # fail loudly, not silently attribute revenue to the next nation
+        pos = np.searchsorted(cks, keys)
+        hit = (pos < len(cks)) & (cks[np.minimum(pos, len(cks) - 1)] == keys)
+        if not hit.all():
+            bad = keys[~hit][:5]
+            raise ValueError(f"orders.o_custkey not in customer: {bad.tolist()}")
+        nidx = nat[pos]
         rev = _micros(t["o_totalprice"].to_numpy(zero_copy_only=False))
         acc = np.zeros(max_nat, dtype=np.int64)
         np.add.at(acc, nidx, rev)  # exact int64 accumulation
@@ -534,6 +543,8 @@ def q3_shipping_priority(sf_dir: str, k: int = 10, buckets: int | None = None):
         )
 
     def _sum_by_key(keys: np.ndarray, vals: np.ndarray):
+        if not len(keys):  # filter may keep zero rows in a date-clustered file
+            return keys, vals
         order = np.argsort(keys, kind="stable")
         ks = keys[order]
         starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))

@@ -113,3 +113,19 @@ def test_y4m_roundtrip_hypothesis():
         assert np.max(np.abs(got - frames)) <= 0.5 / 255
 
     run()
+
+
+def test_y4m_probe_frame_bytes_in_pixels():
+    """Pixel bytes containing the ASCII sequence 'FRAME' must not inflate
+    the probe's frame count (ADVICE r3: stride walk, not payload count)."""
+    w, h = 8, 4
+    luma = np.frombuffer(b"xxFRAMExxFRAMExxFRAMExxFRAMExxxx", dtype=np.uint8)
+    payload = (
+        f"YUV4MPEG2 W{w} H{h} F30:1 Cmono\n".encode()
+        + b"FRAME\n" + luma.tobytes()
+        + b"FRAME\n" + luma.tobytes()
+    )
+    hdr = probe_y4m_header(payload)
+    assert hdr["n_frames"] == 2
+    got, _ = decode_y4m_bytes(payload)
+    assert got.shape == (2, h, w)
