@@ -123,12 +123,33 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-def top_customers(sf_dir: str, k: int = 10):
-    """Broadcast join orders->customer + grouped sum + global top-k."""
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+def _fits_broadcast(path: str, limit: int | None = None) -> bool:
+    """Stat-based guard for the broadcast-dimension pattern: a 'dimension'
+    is only broadcastable while its file is actually small (TPC-H sf100
+    customer is ~15M rows -- GB-scale, NOT a broadcast).  Callers fall back
+    to the partitioned join when this returns False (VERDICT r3 item 5)."""
+    import os
+
+    from ..sources.readers import SMALL_TABLE_BYTES
+
+    limit = SMALL_TABLE_BYTES if limit is None else limit
+    try:
+        return os.path.getsize(path) < limit
+    except OSError:
+        return False
+
+
+def top_customers(sf_dir: str, k: int = 10, broadcast: bool | None = None):
+    """Grouped sum over orders + global top-k, then customer-name attach:
+    broadcast map when the customer dimension is small, partitioned
+    equijoin of the k-row result against customer otherwise."""
+    if broadcast is None:
+        broadcast = _fits_broadcast(f"{sf_dir}/customer.parquet")
+    if broadcast:
+        cust = pd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        )
+        cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
     orders = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
@@ -178,17 +199,48 @@ def top_customers(sf_dir: str, k: int = 10):
     )
     topk = per_cust.sort(["rev_u", "c_custkey"], descending=[True, False]).limit(k)
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        names = ray.get(cust_ref)
+    if broadcast:
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            names = ray.get(cust_ref)
+            return pd.DataFrame(
+                {
+                    "c_custkey": df["c_custkey"].astype(np.int64),
+                    "c_name": df["c_custkey"].map(names),
+                    "revenue": df["rev_u"] / MICRO,
+                }
+            )
+
+        return topk.map_batches(attach, batch_format="pandas")
+
+    # fallback: the k-row result joins the (too-big-to-broadcast) customer
+    # dimension through the generic partitioned hash join
+    from ..stages.joins import keyed_equijoin
+
+    cust_ds = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    joined = keyed_equijoin(
+        topk,
+        cust_ds,
+        on=("c_custkey", "c_custkey"),
+        buckets=32,
+        schemas=(
+            pa.schema([("c_custkey", pa.int64()), ("rev_u", pa.int64())]),
+            pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+        ),
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "c_custkey": df["c_custkey"].astype(np.int64),
-                "c_name": df["c_custkey"].map(names),
+                "c_name": df["c_name"],
                 "revenue": df["rev_u"] / MICRO,
             }
         )
 
-    return topk.map_batches(attach, batch_format="pandas")
+    return joined.map_batches(finish, batch_format="pandas")
 
 
 TOP_CUSTOMERS_SQL = """
@@ -201,40 +253,20 @@ LIMIT 10
 """
 
 
-def revenue_by_nation(sf_dir: str):
-    """Two-hop broadcast join: orders -> customer -> nation, grouped sum."""
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
+def revenue_by_nation(sf_dir: str, broadcast: bool | None = None):
+    """Two-hop join: orders -> customer -> nation, grouped sum.  The
+    customer hop broadcasts a sorted custkey->nationkey map when the
+    dimension is small, else it becomes a partitioned equijoin; nation (a
+    few dozen rows by construction) always broadcasts."""
+    if broadcast is None:
+        broadcast = _fits_broadcast(f"{sf_dir}/customer.parquet")
     nation = pd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    # broadcast the custkey -> nationkey map as two sorted numpy arrays
-    # (vectorized searchsorted lookup per batch -- no per-row dict hits)
-    ck = cust["c_custkey"].to_numpy().astype(np.int64)
-    order = np.argsort(ck, kind="stable")
-    ck_sorted = ck[order]
-    nat_of_cust = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
     n_names = dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"]))
     max_nat = int(nation["n_nationkey"].max()) + 1
-    ref = ray.put((ck_sorted, nat_of_cust))
-    orders = read_parquet_sized(
-        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
-    )
 
-    def partial(t: pa.Table) -> pa.Table:
-        cks, nat = ray.get(ref)
-        t = t.combine_chunks()
-        keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # guarded membership lookup: a custkey absent from customer must
-        # fail loudly, not silently attribute revenue to the next nation
-        pos = np.searchsorted(cks, keys)
-        hit = (pos < len(cks)) & (cks[np.minimum(pos, len(cks) - 1)] == keys)
-        if not hit.all():
-            bad = keys[~hit][:5]
-            raise ValueError(f"orders.o_custkey not in customer: {bad.tolist()}")
-        nidx = nat[pos]
-        rev = _micros(t["o_totalprice"].to_numpy(zero_copy_only=False))
+    def _agg_by_nation(nidx: np.ndarray, rev: np.ndarray) -> pa.Table:
         acc = np.zeros(max_nat, dtype=np.int64)
         np.add.at(acc, nidx, rev)  # exact int64 accumulation
         cnt = np.bincount(nidx, minlength=max_nat)
@@ -247,7 +279,67 @@ def revenue_by_nation(sf_dir: str):
             }
         )
 
-    parts = orders.map_batches(partial, batch_format="pyarrow")
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    if broadcast:
+        cust = pd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        # broadcast the custkey -> nationkey map as two sorted numpy arrays
+        # (vectorized searchsorted lookup per batch -- no per-row dict hits)
+        ck = cust["c_custkey"].to_numpy().astype(np.int64)
+        order = np.argsort(ck, kind="stable")
+        ck_sorted = ck[order]
+        nat_of_cust = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+        ref = ray.put((ck_sorted, nat_of_cust))
+
+        def partial(t: pa.Table) -> pa.Table:
+            cks, nat = ray.get(ref)
+            t = t.combine_chunks()
+            keys = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # guarded membership lookup: a custkey absent from customer must
+            # fail loudly, not silently attribute revenue to the next nation
+            pos = np.searchsorted(cks, keys)
+            hit = (pos < len(cks)) & (cks[np.minimum(pos, len(cks) - 1)] == keys)
+            if not hit.all():
+                bad = keys[~hit][:5]
+                raise ValueError(f"orders.o_custkey not in customer: {bad.tolist()}")
+            rev = _micros(t["o_totalprice"].to_numpy(zero_copy_only=False))
+            return _agg_by_nation(nat[pos], rev)
+
+        parts = orders.map_batches(partial, batch_format="pyarrow")
+    else:
+        # fallback: fact-dimension partitioned equijoin, then the same
+        # per-batch nation combiner over the joined stream
+        from ..stages.joins import keyed_equijoin
+
+        cust_ds = read_parquet_sized(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        joined = keyed_equijoin(
+            orders,
+            cust_ds,
+            on=("o_custkey", "c_custkey"),
+            buckets=32,
+            schemas=(
+                pa.schema([("o_custkey", pa.int64()), ("o_totalprice", pa.float64())]),
+                pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]),
+            ),
+        )
+
+        def partial_joined(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            if t.num_rows == 0:
+                return _agg_by_nation(
+                    np.zeros(0, np.int64), np.zeros(0, np.int64)
+                )
+            nidx = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rev = _micros(t["o_totalprice"].to_numpy(zero_copy_only=False))
+            return _agg_by_nation(nidx, rev)
+
+        parts = joined.map_batches(partial_joined, batch_format="pyarrow")
 
     def final(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -754,7 +846,12 @@ WHERE NOT EXISTS (
 """
 
 
-def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA", buckets: int | None = None):
+def q5_local_supplier_revenue(
+    sf_dir: str,
+    region: str = "ASIA",
+    buckets: int | None = None,
+    broadcast: bool | None = None,
+):
     """TPC-H Q5 shape: revenue by nation where the customer and the
     supplier share a nation inside one region -- the multi-dimension join.
 
@@ -775,6 +872,10 @@ def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA", buckets: int | 
         buckets = suggest_buckets(
             f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
         )
+    if broadcast is None:
+        broadcast = _fits_broadcast(f"{sf_dir}/customer.parquet") and _fits_broadcast(
+            f"{sf_dir}/supplier.parquet"
+        )
     nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
     region_t = pd.read_parquet(f"{sf_dir}/region.parquet")
     rkeys = set(
@@ -784,23 +885,30 @@ def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA", buckets: int | 
     nat_keys = set(nat["n_nationkey"].astype(int))
     nat_names = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
 
-    cust = pd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    )
-    cust = cust[cust["c_nationkey"].astype(int).isin(nat_keys)]
-    ck = cust["c_custkey"].to_numpy(np.int64)
-    order_c = np.argsort(ck, kind="stable")
-    ck_sorted, c_nat = ck[order_c], cust["c_nationkey"].to_numpy(np.int64)[order_c]
+    if broadcast:
+        cust = pd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        cust = cust[cust["c_nationkey"].astype(int).isin(nat_keys)]
+        ck = cust["c_custkey"].to_numpy(np.int64)
+        order_c = np.argsort(ck, kind="stable")
+        ck_sorted, c_nat = ck[order_c], cust["c_nationkey"].to_numpy(np.int64)[order_c]
 
-    supp = pd.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
-    )
-    supp = supp[supp["s_nationkey"].astype(int).isin(nat_keys)]
-    sk = supp["s_suppkey"].to_numpy(np.int64)
-    order_s = np.argsort(sk, kind="stable")
-    sk_sorted, s_nat = sk[order_s], supp["s_nationkey"].to_numpy(np.int64)[order_s]
+        supp = pd.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        )
+        supp = supp[supp["s_nationkey"].astype(int).isin(nat_keys)]
+        sk = supp["s_suppkey"].to_numpy(np.int64)
+        order_s = np.argsort(sk, kind="stable")
+        sk_sorted, s_nat = sk[order_s], supp["s_nationkey"].to_numpy(np.int64)[order_s]
 
-    dims_ref = ray.put((ck_sorted, c_nat, sk_sorted, s_nat))
+        dims_ref = ray.put((ck_sorted, c_nat, sk_sorted, s_nat))
+    else:
+        # the only broadcast allowed in the fallback is the region's nation
+        # KEY SET (dozens of int64s); customer and supplier each meet their
+        # fact table in a partitioned equijoin below
+        dims_ref = None
+        nat_keys_ref = ray.put(np.sort(np.fromiter(nat_keys, np.int64)))
 
     union_schema = pa.schema(
         [
@@ -857,13 +965,105 @@ def q5_local_supplier_revenue(sf_dir: str, region: str = "ASIA", buckets: int | 
             schema=union_schema,
         )
 
-    orders = read_parquet_sized(
+    orders_raw = read_parquet_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
-    ).map_batches(tag_orders, batch_format="pyarrow")
-    items = read_parquet_sized(
+    )
+    items_raw = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    ).map_batches(tag_items, batch_format="pyarrow")
+    )
+    if broadcast:
+        orders = orders_raw.map_batches(tag_orders, batch_format="pyarrow")
+        items = items_raw.map_batches(tag_items, batch_format="pyarrow")
+    else:
+        from ..stages.joins import keyed_equijoin
+
+        def _region_filter(key_col: str, nat_col: str):
+            def f(t: pa.Table) -> pa.Table:
+                keys = ray.get(nat_keys_ref)
+                t = t.combine_chunks()
+                nk = t[nat_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(keys, nk)
+                inreg = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == nk)
+                return t.filter(pa.array(inreg))
+
+            return f
+
+        cust_f = read_parquet_sized(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).map_batches(_region_filter("c_custkey", "c_nationkey"), batch_format="pyarrow")
+        supp_f = read_parquet_sized(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).map_batches(_region_filter("s_suppkey", "s_nationkey"), batch_format="pyarrow")
+
+        ojoin = keyed_equijoin(
+            orders_raw,
+            cust_f,
+            on=("o_custkey", "c_custkey"),
+            buckets=buckets,
+            schemas=(
+                pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+                pa.schema([("c_custkey", pa.int64()), ("c_nationkey", pa.int32())]),
+            ),
+        )
+        ijoin = keyed_equijoin(
+            items_raw,
+            supp_f,
+            on=("l_suppkey", "s_suppkey"),
+            buckets=buckets,
+            schemas=(
+                pa.schema(
+                    [
+                        ("l_orderkey", pa.int64()),
+                        ("l_suppkey", pa.int64()),
+                        ("l_extendedprice", pa.float64()),
+                        ("l_discount", pa.float64()),
+                    ]
+                ),
+                pa.schema([("s_suppkey", pa.int64()), ("s_nationkey", pa.int32())]),
+            ),
+        )
+
+        def orders_from_join(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(okey)
+            return pa.table(
+                {
+                    "key": pa.array(okey, pa.int64()),
+                    "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                    "nat": pa.array(
+                        t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "rev_u": pa.array(np.zeros(n, np.int64), pa.int64()),
+                    "prt": pa.array(hash_prt(okey, buckets), pa.int64()),
+                },
+                schema=union_schema,
+            )
+
+        def items_from_join(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            okey = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ep = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            n = len(okey)
+            return pa.table(
+                {
+                    "key": pa.array(okey, pa.int64()),
+                    "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                    "nat": pa.array(
+                        t["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "rev_u": pa.array(_micros(ep * (1.0 - disc)), pa.int64()),
+                    "prt": pa.array(hash_prt(okey, buckets), pa.int64()),
+                },
+                schema=union_schema,
+            )
+
+        orders = ojoin.map_batches(orders_from_join, batch_format="pyarrow")
+        items = ijoin.map_batches(items_from_join, batch_format="pyarrow")
 
     partial_schema = pa.schema([("nat", pa.int64()), ("rev_u", pa.int64())])
 

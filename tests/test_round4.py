@@ -51,3 +51,30 @@ def test_hourly_rollup_bucket_count_invariance(ray_session):
     a = _sorted(hourly_rollup(SF, buckets=1).to_pandas(), ["source", "bucket"])
     b = _sorted(hourly_rollup(SF, buckets=64).to_pandas(), ["source", "bucket"])
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "fn,kw,keys",
+    [
+        ("top_customers", {}, ["c_custkey"]),
+        ("revenue_by_nation", {}, ["n_name"]),
+        ("q5_local_supplier_revenue", {"buckets": 8}, ["n_name"]),
+    ],
+)
+def test_broadcast_fallback_bitwise(ray_session, fn, kw, keys):
+    """Forcing the partitioned-join fallback (as if the dimension exceeded
+    SMALL_TABLE_BYTES) must reproduce the broadcast path bitwise."""
+    from crossai_ts_ray.pipelines import relational
+
+    f = getattr(relational, fn)
+    fast = _sorted(f(SF, broadcast=True, **kw).to_pandas(), keys)
+    slow = _sorted(f(SF, broadcast=False, **kw).to_pandas(), keys)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_fits_broadcast_guard():
+    from crossai_ts_ray.pipelines.relational import _fits_broadcast
+
+    assert _fits_broadcast(f"{SF}/customer.parquet")  # tiny test file
+    assert not _fits_broadcast(f"{SF}/customer.parquet", limit=10)  # forced
+    assert not _fits_broadcast("/nonexistent/x.parquet")  # stat failure
