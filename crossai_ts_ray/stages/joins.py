@@ -52,6 +52,33 @@ def _ray_schema_to_arrow(ds) -> pa.Schema:
     return pa.schema(list(zip(s.names, s.types)))
 
 
+def estimate_salt(
+    left,
+    key: str,
+    buckets: int,
+    sample_rows: int = 65536,
+    max_salt: int = 16,
+    hot_threshold: float = 1.5,
+) -> int:
+    """Sub-bucket count from a MEASURED hot-key fraction, not caller
+    guesswork: sample the first ``sample_rows`` of the left side (streaming
+    limit -- only the first blocks execute), one ``np.unique`` over the
+    sampled keys, and size the salt so the hottest key's partition shrinks
+    back to ~average.  The hottest key carrying fraction ``f`` of rows makes
+    its partition ``f x buckets`` times the average; salt by that factor,
+    clamped to [1, max_salt].  Below ``hot_threshold`` x average the skew
+    isn't worth the salt's right-side replication, so return 1."""
+    tb = left.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    k = tb[key].to_numpy(zero_copy_only=False)
+    if not len(k):
+        return 1
+    _, counts = np.unique(k, return_counts=True)
+    imbalance = (counts.max() / len(k)) * buckets
+    if imbalance < hot_threshold:
+        return 1
+    return int(min(max_salt, max(1, int(np.ceil(imbalance)))))
+
+
 def keyed_equijoin(
     left,
     right,
@@ -60,7 +87,7 @@ def keyed_equijoin(
     how: str = "inner",
     suffix: str = "_r",
     schemas: tuple[pa.Schema, pa.Schema] | None = None,
-    salt: int = 1,
+    salt: int | str = 1,
 ):
     """Join two Datasets on int64 key columns ``on=(left_key, right_key)``.
 
@@ -78,10 +105,16 @@ def keyed_equijoin(
     all ``salt`` sub-buckets.  A key carried by millions of left rows fans
     out over ``salt`` tasks at the cost of ``salt`` x the (smaller) right
     side's shuffle bytes; outputs are row-for-row identical to unsalted.
+    ``salt="auto"`` measures the hot-key fraction on a sample of the left
+    side (``estimate_salt``) instead of requiring the caller to know the
+    skew; the factor must be GLOBAL (the right side replicates into every
+    sub-bucket), which is why it is derived once here, not per batch.
     """
     import ray.data as rd  # noqa: F401  (callers hold Datasets already)
 
     lkey, rkey = on
+    if salt == "auto":
+        salt = estimate_salt(left, lkey, buckets)
     if schemas is not None:
         ls, rs = schemas
     else:

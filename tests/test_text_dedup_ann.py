@@ -355,6 +355,14 @@ def test_keyed_equijoin_salted_identical_and_balanced(ray_session):
     pd.testing.assert_frame_equal(a, b)
     # the hot key matched both right rows: 6000 x 2 pairs present
     assert int((a["k"] == 7).sum()) == 12000
+    # auto-salt: the measured hot-key fraction picks salt > 1 on this
+    # layout and the output stays bitwise identical
+    from crossai_ts_ray.stages.joins import estimate_salt
+    assert estimate_salt(rd.from_arrow(left), "k", buckets=8) > 1
+    # a uniform layout measures no skew worth the replication
+    uniform = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64), pa.int64())})
+    assert estimate_salt(rd.from_arrow(uniform), "k", buckets=8) == 1
+    pd.testing.assert_frame_equal(a, run("auto"))
     # left-join flavor too
     def run_left(salt):
         ds = keyed_equijoin(

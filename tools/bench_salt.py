@@ -80,9 +80,61 @@ def main():
         rows=rows, groups=a.num_rows, bitwise_identical=bool(identical),
         speedup=round(results["salt_0_sec"] / results["salt_8_sec"], 2),
     )
+
+    # --- keyed_equijoin on a zipf-hot key: manual salt vs salt="auto" ---
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crossai_ts_ray.stages.joins import estimate_salt, keyed_equijoin
+
+    rng = np.random.default_rng(23)
+    n_left = int(os.environ.get("GRAFT_JOIN_ROWS", "400000"))
+    # zipf-ish: hot key 0 carries ~60% of left rows, tail over 10k keys
+    hot = np.zeros(int(n_left * 0.6), np.int64)
+    tail = rng.integers(1, 10_000, n_left - len(hot)).astype(np.int64)
+    lk = np.concatenate([hot, tail])
+    rng.shuffle(lk)
+    left_t = pa.table(
+        {"k": pa.array(lk, pa.int64()),
+         "payload": pa.array(rng.integers(0, 1 << 30, n_left), pa.int64())}
+    )
+    right_t = pa.table(
+        {"rk": pa.array(np.arange(10_000, dtype=np.int64), pa.int64()),
+         "attr": pa.array(rng.integers(0, 1 << 30, 10_000), pa.int64())}
+    )
+    schemas = (left_t.schema, right_t.schema)
+    t0 = time.perf_counter()
+    auto_salt = estimate_salt(rd.from_arrow(left_t), "k", buckets=16)
+    results["estimate_salt_sec"] = round(time.perf_counter() - t0, 2)
+    join_tables = {}
+    # "auto" passes the pre-measured factor so the join wall is comparable
+    # to manual; the sampling cost is reported separately (it is a fixed
+    # ~sample_rows read, amortized at real scale)
+    for name, salt in (("unsalted", 1), ("manual", 8), ("auto", auto_salt)):
+        t0 = time.perf_counter()
+        out = keyed_equijoin(
+            rd.from_arrow(left_t), rd.from_arrow(right_t),
+            on=("k", "rk"), buckets=16, schemas=schemas, salt=salt,
+        )
+        df = out.to_pandas().sort_values(["k", "payload"]).reset_index(drop=True)
+        join_tables[name] = df
+        results[f"join_{name}_sec"] = round(time.perf_counter() - t0, 2)
+    join_identical = all(
+        join_tables["unsalted"].equals(join_tables[n]) for n in ("manual", "auto")
+    )
+    results.update(
+        join_rows=n_left,
+        auto_salt_chosen=int(auto_salt),
+        join_bitwise_identical=bool(join_identical),
+        auto_vs_manual=round(
+            results["join_auto_sec"] / max(results["join_manual_sec"], 1e-9), 2
+        ),
+    )
+
     print(json.dumps(results))
     ray.shutdown()
-    sys.exit(0 if identical else 1)
+    sys.exit(0 if (identical and join_identical) else 1)
 
 
 if __name__ == "__main__":
