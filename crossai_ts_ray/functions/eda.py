@@ -35,10 +35,14 @@ def filter_outliers_grouped(
     aggregate+filter expressed as ``groupby().map_groups``."""
     mask_fn = {"zscore": zscore_outlier_mask, "iqr": iqr_outlier_mask}[method]
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g[mask_fn(g[value_col].to_numpy(), **kw)]
+    def per_group(g: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
 
-    return ds.groupby(group_col).map_groups(per_group, batch_format="pandas")
+        g = g.combine_chunks()
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        return g.filter(pa.array(mask_fn(vals, **kw)))
+
+    return ds.groupby(group_col).map_groups(per_group, batch_format="pyarrow")
 
 
 def corr_matrix(df: pd.DataFrame, method: str = "pearson") -> pd.DataFrame:

@@ -62,16 +62,28 @@ def q1_pricing_summary(sf_dir: str):
             _micros(ep * (1.0 - disc)),
             _micros(ep * (1.0 - disc) * (1.0 + tax)),
         ]
-        codes = np.unique(combined)
+        if not len(combined):  # date-clustered file: filter kept nothing
+            return pa.table(
+                {
+                    "l_returnflag": pa.nulls(0, pa.string()),
+                    "l_linestatus": pa.nulls(0, pa.string()),
+                    "qty_u": pa.nulls(0, pa.int64()),
+                    "price_u": pa.nulls(0, pa.int64()),
+                    "disc_u": pa.nulls(0, pa.int64()),
+                    "charge_u": pa.nulls(0, pa.int64()),
+                    "n": pa.nulls(0, pa.int64()),
+                }
+            )
         # exact int64 sums per group (bincount's float weights would round
-        # above 2^53): one masked sum per (few) groups
-        sums = np.empty((len(codes), 4), dtype=np.int64)
-        counts = np.empty(len(codes), dtype=np.int64)
-        for i, c in enumerate(codes):
-            m = combined == c
-            counts[i] = int(m.sum())
-            for j, v in enumerate(measures):
-                sums[i, j] = int(v[m].sum())
+        # above 2^53): one lexsort + segment reduceat, no per-group loop
+        order = np.argsort(combined, kind="stable")
+        cs = combined[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        codes = cs[starts]
+        counts = np.diff(np.append(starts, len(cs)))
+        sums = np.stack(
+            [np.add.reduceat(v[order], starts) for v in measures], axis=1
+        ) if len(starts) else np.empty((0, 4), np.int64)
         rf_vals = rf.dictionary.take(pa.array(codes // nls))
         ls_vals = ls.dictionary.take(pa.array(codes % nls))
         return pa.table(
@@ -87,27 +99,30 @@ def q1_pricing_summary(sf_dir: str):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
-    merged = parts.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        lambda g: g.sum(numeric_only=True).to_frame().T.assign(
-            l_returnflag=g["l_returnflag"].iloc[0], l_linestatus=g["l_linestatus"].iloc[0]
-        ),
-        batch_format="pandas",
-    )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def merge_final(g: pa.Table) -> pa.Table:
+        # one (flag, status) group of int64 partials -> one output row,
+        # Arrow-native (a handful of groups exist by construction)
+        g = g.combine_chunks()
+
+        def _s(c):
+            return int(g[c].to_numpy(zero_copy_only=False).sum())
+
+        return pa.table(
             {
-                "l_returnflag": g["l_returnflag"],
-                "l_linestatus": g["l_linestatus"],
-                "sum_qty": g["qty_u"] / MICRO,
-                "sum_base_price": g["price_u"] / MICRO,
-                "sum_disc_price": g["disc_u"] / MICRO,
-                "sum_charge": g["charge_u"] / MICRO,
-                "count_order": g["n"].astype(np.int64),
+                "l_returnflag": g["l_returnflag"][:1].cast(pa.string()),
+                "l_linestatus": g["l_linestatus"][:1].cast(pa.string()),
+                "sum_qty": pa.array([_s("qty_u") / MICRO], pa.float64()),
+                "sum_base_price": pa.array([_s("price_u") / MICRO], pa.float64()),
+                "sum_disc_price": pa.array([_s("disc_u") / MICRO], pa.float64()),
+                "sum_charge": pa.array([_s("charge_u") / MICRO], pa.float64()),
+                "count_order": pa.array([_s("n")], pa.int64()),
             }
         )
 
-    return merged.map_batches(final, batch_format="pandas")
+    return parts.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        merge_final, batch_format="pyarrow"
+    )
 
 
 Q1_SQL = """
@@ -201,17 +216,22 @@ def top_customers(sf_dir: str, k: int = 10, broadcast: bool | None = None):
 
     if broadcast:
 
-        def attach(df: pd.DataFrame) -> pd.DataFrame:
+        def attach(t: pa.Table) -> pa.Table:
             names = ray.get(cust_ref)
-            return pd.DataFrame(
+            t = t.combine_chunks()
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
                 {
-                    "c_custkey": df["c_custkey"].astype(np.int64),
-                    "c_name": df["c_custkey"].map(names),
-                    "revenue": df["rev_u"] / MICRO,
+                    "c_custkey": pa.array(keys, pa.int64()),
+                    "c_name": pa.array([names[k] for k in keys], pa.string()),
+                    "revenue": pa.array(
+                        t["rev_u"].to_numpy(zero_copy_only=False) / MICRO,
+                        pa.float64(),
+                    ),
                 }
             )
 
-        return topk.map_batches(attach, batch_format="pandas")
+        return topk.map_batches(attach, batch_format="pyarrow")
 
     # fallback: the k-row result joins the (too-big-to-broadcast) customer
     # dimension through the generic partitioned hash join
@@ -231,16 +251,19 @@ def top_customers(sf_dir: str, k: int = 10, broadcast: bool | None = None):
         ),
     )
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table(
             {
-                "c_custkey": df["c_custkey"].astype(np.int64),
-                "c_name": df["c_name"],
-                "revenue": df["rev_u"] / MICRO,
+                "c_custkey": t["c_custkey"].cast(pa.int64()),
+                "c_name": t["c_name"],
+                "revenue": pa.array(
+                    t["rev_u"].to_numpy(zero_copy_only=False) / MICRO, pa.float64()
+                ),
             }
         )
 
-    return joined.map_batches(finish, batch_format="pandas")
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 TOP_CUSTOMERS_SQL = """
@@ -502,16 +525,25 @@ def brand_type_distinct(sf_dir: str):
         return g.rename_columns(["p_type", "p_brand", "n"])
 
     parts = ds.map_batches(pairs, batch_format="pyarrow")
-    return parts.groupby("p_type").map_groups(
-        lambda g: pd.DataFrame(
+
+    def merge_type(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        brands = g["p_brand"]
+        if isinstance(brands, pa.ChunkedArray):
+            brands = brands.combine_chunks()
+        return pa.table(
             {
-                "p_type": [g["p_type"].iloc[0]],
-                "brands": [np.int64(g["p_brand"].nunique())],
-                "parts": [np.int64(g["n"].sum())],
+                "p_type": g["p_type"][:1].cast(pa.string()),
+                "brands": pa.array(
+                    [len(brands.dictionary_encode().dictionary)], pa.int64()
+                ),
+                "parts": pa.array(
+                    [int(g["n"].to_numpy(zero_copy_only=False).sum())], pa.int64()
+                ),
             }
-        ),
-        batch_format="pandas",
-    )
+        )
+
+    return parts.groupby("p_type").map_groups(merge_type, batch_format="pyarrow")
 
 
 BRAND_TYPE_SQL = """

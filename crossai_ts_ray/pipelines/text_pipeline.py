@@ -96,28 +96,56 @@ def lang_quality(sf_dir: str):
 
 
 def lang_distribution(sf_dir: str):
-    """Distribution of the table's own lang labels (groupby count)."""
+    """Distribution of the table's own lang labels (groupby count),
+    Arrow-native end to end: dictionary-encode + segment reduceat in the
+    combiner, Arrow sums in the #langs-row merge."""
     ds = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
 
-    def partial(t: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame({"lang": t["lang"].to_pylist()})
-        df["docs"] = 1
-        df["chars"] = t["n_chars"].to_numpy(zero_copy_only=False)
-        return df.groupby("lang", as_index=False).sum()
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        d = lang.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {
+                    "lang": pa.nulls(0, pa.string()),
+                    "docs": pa.nulls(0, pa.int64()),
+                    "chars": pa.nulls(0, pa.int64()),
+                }
+            )
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        return pa.table(
+            {
+                "lang": d.dictionary.take(pa.array(cs[starts])).cast(pa.string()),
+                "docs": pa.array(np.diff(np.append(starts, len(cs))), pa.int64()),
+                "chars": pa.array(np.add.reduceat(chars[order], starts), pa.int64()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        return pa.table(
+            {
+                "lang": g["lang"][:1].cast(pa.string()),
+                "docs": pa.array(
+                    [int(g["docs"].to_numpy(zero_copy_only=False).sum())], pa.int64()
+                ),
+                "chars": pa.array(
+                    [int(g["chars"].to_numpy(zero_copy_only=False).sum())], pa.int64()
+                ),
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
-        .map_groups(
-            lambda g: pd.DataFrame(
-                {
-                    "lang": [g["lang"].iloc[0]],
-                    "docs": [np.int64(g["docs"].sum())],
-                    "chars": [np.int64(g["chars"].sum())],
-                }
-            ),
-            batch_format="pandas",
-        )
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -151,20 +179,39 @@ def dedup_exact(sf_dir: str, P: int | None = None):
             }
         )
 
-    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
-        agg = df.groupby("text_hash", as_index=False).agg(
-            rep_doc_id=("doc_id", "min"), copies=("doc_id", "size")
+    def merge_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "text_hash": pa.nulls(0, pa.string()),
+                    "rep_doc_id": pa.nulls(0, pa.int64()),
+                    "copies": pa.nulls(0, pa.int64()),
+                }
+            )
+        th = t["text_hash"]
+        if isinstance(th, pa.ChunkedArray):
+            th = th.combine_chunks()
+        d = th.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, codes))
+        c_s, d_s = codes[order], did[order]
+        starts = np.flatnonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))
+        return pa.table(
+            {
+                "text_hash": d.dictionary.take(pa.array(c_s[starts])).cast(pa.string()),
+                "rep_doc_id": pa.array(d_s[starts], pa.int64()),
+                "copies": pa.array(np.diff(np.append(starts, len(c_s))), pa.int64()),
+            }
         )
-        agg["rep_doc_id"] = agg["rep_doc_id"].astype(np.int64)
-        agg["copies"] = agg["copies"].astype(np.int64)
-        return agg
 
     return (
         ds.map_batches(hash_batch, batch_format="pyarrow")
         .groupby("prt")
         .map_groups(
-            lambda g: merge_partition(g.drop(columns=["prt"])),
-            batch_format="pandas",
+            lambda g: merge_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
         )
     )
 
@@ -1195,45 +1242,62 @@ def lang_len_corr(sf_dir: str) -> rd.Dataset:
         f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"]
     )
 
-    def partial(t: pa.Table) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
         x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
         y = pc.list_value_length(
             pc.split_pattern(t["text"], " ")
         ).to_numpy(zero_copy_only=False).astype(np.float64)
-        df = pd.DataFrame(
+        lang = t["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        d = lang.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"n": np.ones(len(codes)), "sx": x, "sy": y,
+                "sxx": x * x, "syy": y * y, "sxy": x * y}
+        if not len(codes):
+            return pa.table(
+                {"lang": pa.nulls(0, pa.string()),
+                 **{k: pa.nulls(0, pa.float64()) for k in cols}}
+            )
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        return pa.table(
             {
-                "lang": t["lang"].to_pylist(),
-                "n": 1,
-                "sx": x,
-                "sy": y,
-                "sxx": x * x,
-                "syy": y * y,
-                "sxy": x * y,
+                "lang": d.dictionary.take(pa.array(cs[starts])).cast(pa.string()),
+                **{
+                    k: pa.array(np.add.reduceat(v[order], starts), pa.float64())
+                    for k, v in cols.items()
+                },
             }
         )
-        return df.groupby("lang", as_index=False).sum()
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        n = float(g["n"].sum())
-        sx, sy = g["sx"].sum(), g["sy"].sum()
-        sxx, syy, sxy = g["sxx"].sum(), g["syy"].sum(), g["sxy"].sum()
-        mx, my = sx / n, sy / n
-        vx, vy = sxx / n - mx * mx, syy / n - my * my
-        cov = sxy / n - mx * my
+    def finalize(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+
+        def _s(c):
+            return float(g[c].to_numpy(zero_copy_only=False).sum())
+
+        n = _s("n")
+        mx, my = _s("sx") / n, _s("sy") / n
+        vx, vy = _s("sxx") / n - mx * mx, _s("syy") / n - my * my
+        cov = _s("sxy") / n - mx * my
         corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else None
-        return pd.DataFrame(
+        return pa.table(
             {
-                "lang": [g["lang"].iloc[0]],
-                "n_docs": np.array([n], np.int64),
-                "corr_chars_tokens": [None if corr is None else round(corr, 6)],
+                "lang": g["lang"][:1].cast(pa.string()),
+                "n_docs": pa.array([int(n)], pa.int64()),
+                "corr_chars_tokens": pa.array(
+                    [None if corr is None else round(corr, 6)], pa.float64()
+                ),
             }
         )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
-        .map_groups(finalize, batch_format="pandas")
+        .map_groups(finalize, batch_format="pyarrow")
     )
 
 
