@@ -365,3 +365,36 @@ def compress_rollup(rollup_ds, concurrency: int = 4, batch_size: int = 8192):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def decompress_segments(segs: pa.Table) -> pa.Table:
+    """Segment table (CodecStage output) -> plain rollup rows, bitwise
+    identical to the pre-compression tier (the decode side of the
+    retention-store representation; dtypes restored per ROLLUP_SCHEMA)."""
+    from ..schema import ROLLUP_SCHEMA
+
+    int_cols = ["bucket", "count", "sum", "min", "max", "tok_count", "tok_sum", "tok_min", "tok_max"]
+    float_cols = ["mean", "p50", "p99", "tok_mean", "tok_p50", "tok_p99"]
+    rows = segs.to_pylist()
+    if not rows:
+        return pa.Table.from_pylist([], schema=ROLLUP_SCHEMA)
+    src = np.repeat(
+        np.array([r["source"] for r in rows], dtype=object),
+        np.array([r["n"] for r in rows], dtype=np.int64),
+    )
+    cols: dict[str, np.ndarray] = {
+        c: np.concatenate([dod_decode(r[f"enc_{c}"], r["n"]) for r in rows])
+        for c in int_cols
+    }
+    cols.update(
+        {
+            c: np.concatenate([gorilla_decode(r[f"enc_{c}"], r["n"]) for r in rows])
+            for c in float_cols
+        }
+    )
+    out = {"source": pa.array(src, pa.string())}
+    for name, typ in zip(ROLLUP_SCHEMA.names, ROLLUP_SCHEMA.types):
+        if name == "source":
+            continue
+        out[name] = pa.array(cols[name]).cast(typ)
+    return pa.table(out, schema=ROLLUP_SCHEMA)

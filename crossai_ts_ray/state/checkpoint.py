@@ -328,7 +328,24 @@ def run_rollup_job(
     return JobReport(computed=computed, skipped=skipped, rows_per_tier=rows_per_tier)
 
 
-def read_job_output(out_dir: str, tier_name: str) -> pa.Table:
+def read_job_output(
+    out_dir: str, tier_name: str, from_compressed: bool = False
+) -> pa.Table:
+    """Committed tier rows across all partitions.  ``from_compressed=True``
+    reads the ``tier=<name>.gorilla`` segment copy written by
+    ``compress_finest`` and decodes it on read -- bitwise identical rows to
+    the plain tier (the retention-store read path)."""
+    if from_compressed:
+        from ..stages.codec import decompress_segments
+
+        files = sorted(
+            glob.glob(
+                os.path.join(out_dir, f"tier={tier_name}.gorilla", "part=*", "*.parquet")
+            )
+        )
+        if not files:
+            return pa.table({})
+        return pa.concat_tables([decompress_segments(pq.read_table(f)) for f in files])
     files = sorted(
         glob.glob(os.path.join(out_dir, f"tier={tier_name}", "part=*", "*.parquet"))
     )

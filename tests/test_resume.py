@@ -128,3 +128,32 @@ def test_job_submit_entrypoint(tmp_path):
     assert r2.returncode == 0, r2.stderr[-500:]
     rep2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert rep2["computed"] == [] and len(rep2["skipped"]) == 2
+
+
+def test_kill_and_resume_compressed(ray_session, tmp_path):
+    """Kill-and-resume with compress_finest=True: the resumed run completes
+    the Gorilla/DoD segment copy, and decode-on-read reconstructs the FULL
+    finest tier bitwise (VERDICT r3 item 9)."""
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out = str(tmp_path / "killed_gz")
+
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        run_rollup_job(
+            d, out, TIERS, salt_mod=0, batch_size=256,
+            fail_after=1, compress_finest=True,
+        )
+    assert len(completed_partitions(out)) == 1
+    rep = run_rollup_job(
+        d, out, TIERS, salt_mod=0, batch_size=256, compress_finest=True
+    )
+    assert len(rep.skipped) == 1 and len(rep.computed) >= 1
+
+    fine = TIERS[0].name
+    plain = read_job_output(out, fine).sort_by(
+        [("source", "ascending"), ("bucket", "ascending")]
+    )
+    decoded = read_job_output(out, fine, from_compressed=True).sort_by(
+        [("source", "ascending"), ("bucket", "ascending")]
+    )
+    assert plain.num_rows > 0
+    assert_tables_bitwise_equal(plain, decoded, "compressed round-trip t60")
