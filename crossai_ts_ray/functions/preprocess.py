@@ -203,13 +203,61 @@ def _resample_polyphase(x: np.ndarray, up: int, down: int) -> np.ndarray:
     return y[idx]
 
 
+_SINC_MODES = {
+    # windowed-sinc design constants (resampy's PUBLISHED filter designs --
+    # num zero-crossings, Kaiser beta, rolloff; the textbook band-limited
+    # interpolation method of Smith, "Digital Audio Resampling", CCRMA):
+    "kaiser_best": (64, 14.769656459379492, 0.9475937167399596),
+    "kaiser_fast": (16, 8.555504641634386, 0.85),
+}
+
+
+def _sinc_resample(y: np.ndarray, orig_sr: float, target_sr: float,
+                   num_zeros: int, beta: float, rolloff: float) -> np.ndarray:
+    """Band-limited sinc interpolation at arbitrary (non-rational) rate
+    ratios: each output sample is a Kaiser-windowed-sinc weighted sum of the
+    input samples within ``num_zeros`` zero-crossings, with the filter
+    stretched by 1/ratio when downsampling (anti-aliasing).  Fully
+    vectorized: one (n_out x taps) gather + weight matrix, no Python loop.
+    Clean-room implementation of the algorithm family behind resampy's
+    kaiser_best/kaiser_fast modes (caits/core/_core_resample.py reaches it
+    through librosa); same design constants, not the library's precomputed
+    interpolated tables, so outputs agree to filter precision rather than
+    bitwise."""
+    y = np.asarray(y, dtype=np.float64)
+    n = len(y)
+    ratio = float(target_sr) / float(orig_sr)
+    n_out = int(np.ceil(n * ratio))
+    # filter scale: stretch the sinc when downsampling so its cutoff tracks
+    # the OUTPUT Nyquist
+    scale = min(1.0, ratio)
+    half_width = int(np.ceil(num_zeros / scale)) + 1
+    pos = np.arange(n_out, dtype=np.float64) / ratio  # output k at input time
+    base = np.floor(pos).astype(np.int64)
+    offs = np.arange(-half_width, half_width + 1, dtype=np.int64)
+    idx = base[:, None] + offs[None, :]
+    t = pos[:, None] - idx  # distance in input samples
+    ts = t * scale * rolloff
+    # Kaiser window evaluated continuously: i0(beta*sqrt(1-(x/zeros)^2))/i0(beta)
+    xw = t * scale / num_zeros
+    inside = np.abs(xw) < 1.0
+    w = np.zeros_like(t)
+    w[inside] = np.i0(beta * np.sqrt(1.0 - xw[inside] ** 2)) / np.i0(beta)
+    taps = np.sinc(ts) * w * scale * rolloff
+    valid = (idx >= 0) & (idx < n)
+    gathered = np.where(valid, y[np.clip(idx, 0, n - 1)], 0.0)
+    return (gathered * taps * valid).sum(axis=1)
+
+
 def resample(y: np.ndarray, orig_sr: float, target_sr: float,
              res_type: str = "linear", scale: bool = False) -> np.ndarray:
     """librosa-style resample dispatch (caits/core/_core_resample.py:14):
-    output length ceil(n * target/orig); ``res_type`` 'linear' (np.interp)
-    or 'fft' (Fourier method).  soxr/polyphase modes need resampy/soxr
-    (absent in this container) and raise with that pointer.  ``scale=True``
-    rescales so the energy (sum of squares) is approximately preserved."""
+    output length ceil(n * target/orig); ``res_type`` 'linear' (np.interp),
+    'fft' (Fourier method), 'polyphase' (integer rates),
+    'kaiser_best'/'kaiser_fast' (band-limited sinc interpolation, any
+    ratio).  soxr modes need the soxr library (absent in this container)
+    and raise with that pointer.  ``scale=True`` rescales so the energy
+    (sum of squares) is approximately preserved."""
     y = np.asarray(y, dtype=np.float64)
     if orig_sr == target_sr:
         return y.copy()
@@ -229,11 +277,12 @@ def resample(y: np.ndarray, orig_sr: float, target_sr: float,
             raise ValueError("polyphase resampling requires integer rates")
         g = math.gcd(up, down)
         out = _resample_polyphase(y, up // g, down // g)
-    elif res_type in ("soxr_hq", "soxr_vhq", "soxr_mq", "soxr_lq",
-                      "kaiser_best", "kaiser_fast"):
+    elif res_type in _SINC_MODES:
+        out = _sinc_resample(y, orig_sr, target_sr, *_SINC_MODES[res_type])
+    elif res_type in ("soxr_hq", "soxr_vhq", "soxr_mq", "soxr_lq"):
         raise NotImplementedError(
-            f"res_type={res_type!r} needs soxr/resampy (absent in this "
-            "container); use 'linear', 'fft' or 'polyphase'"
+            f"res_type={res_type!r} needs the soxr library (absent in this "
+            "container); use 'kaiser_best', 'linear', 'fft' or 'polyphase'"
         )
     else:
         raise ValueError(f"unknown res_type {res_type!r}")

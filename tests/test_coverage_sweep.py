@@ -407,3 +407,31 @@ def test_interpolate_probabilities_windows():
     np.testing.assert_allclose(out[anchors], probs, atol=1e-9)
     with pytest.raises(ValueError):
         interpolate_probabilities_windows(probs, 100, 0.5, 0.5, interp_choice=7)
+
+
+def test_resample_kaiser_sinc_modes():
+    """kaiser_best/kaiser_fast band-limited sinc interpolation: tone
+    reconstruction at a non-rational ratio, anti-aliasing on downsample,
+    DC unity, and the documented output-length contract."""
+    from crossai_ts_ray.functions.preprocess import resample
+
+    fs = 100
+    t = np.arange(2000) / fs
+    x = np.sin(2 * np.pi * 5 * t)
+    for mode, tol in (("kaiser_best", 2e-3), ("kaiser_fast", 2e-2)):
+        # irrational-ish ratio (the case polyphase can't do): 100 -> 137.3
+        up = resample(x, fs, 137.3, res_type=mode)
+        assert len(up) == int(np.ceil(2000 * (137.3 / 100)))  # ceil(n*ratio)
+        t2 = np.arange(len(up)) / 137.3
+        ref = np.sin(2 * np.pi * 5 * t2)
+        assert np.abs(up[200:-200] - ref[200:-200]).max() < tol
+        # antialiasing: 40 Hz tone downsampled past its Nyquist must vanish
+        alias = resample(np.sin(2 * np.pi * 40 * t), fs, 50, res_type=mode)
+        assert np.sqrt(np.mean(alias[100:-100] ** 2)) < 2e-2
+        # DC gain ~unity
+        dc = resample(np.ones(1500), 100, 73, res_type=mode)
+        assert np.abs(dc[50:-50] - 1.0).max() < 5e-3
+    # kaiser_best agrees with the fft method on a bandlimited interior
+    up_b = resample(x, fs, 200, res_type="kaiser_best")
+    up_f = resample(x, fs, 200, res_type="fft")
+    assert np.abs(up_b[200:-200] - up_f[200:-200]).max() < 2e-3
