@@ -435,3 +435,20 @@ def test_resample_kaiser_sinc_modes():
     up_b = resample(x, fs, 200, res_type="kaiser_best")
     up_f = resample(x, fs, 200, res_type="fft")
     assert np.abs(up_b[200:-200] - up_f[200:-200]).max() < 2e-3
+
+
+def test_resample_kaiser_matches_polyphase_on_rational_ratios():
+    """On rational ratios both kernels implement band-limited resampling of
+    the same signal; interiors must agree to filter precision."""
+    from crossai_ts_ray.functions.preprocess import resample
+
+    rng = np.random.default_rng(11)
+    # bandlimited input: sum of low tones well under both Nyquists
+    t = np.arange(3000) / 100.0
+    x = (np.sin(2 * np.pi * 3 * t) + 0.5 * np.sin(2 * np.pi * 7 * t)
+         + 0.25 * np.cos(2 * np.pi * 11 * t))
+    for target in (150, 80, 60):
+        a = resample(x, 100, target, res_type="kaiser_best")
+        b = resample(x, 100, target, res_type="polyphase")
+        n = min(len(a), len(b))
+        assert np.abs(a[300:n - 300] - b[300:n - 300]).max() < 5e-3, target
