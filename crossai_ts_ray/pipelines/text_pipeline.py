@@ -487,17 +487,28 @@ def _pairs_in_runs(starts: np.ndarray, ends: np.ndarray) -> tuple[np.ndarray, np
 
 
 def _bucket_candidate_pairs(
-    keyed_ds, key_cols: list[str], P: int = 32, global_dedup: bool = True
+    keyed_ds,
+    key_cols: list[str],
+    P: int = 32,
+    global_dedup: bool = True,
+    max_bucket: int | None = None,
 ):
     """Candidate pairs from an LSH-style (doc_id, *key_cols) table: hash-
     partition on the key tuple, sort each partition, enumerate pairs within
-    each key run (runs are LSH buckets -- small by construction; a hot bucket
-    means a hot shingle pattern and can be salted by the caller), dedup pair
+    each key run (runs are LSH buckets -- small by construction), dedup pair
     rows within the partition.  Output: (doc_a, doc_b) with doc_a < doc_b.
 
     ``global_dedup=False`` skips the cross-partition dedup exchange for
     callers whose next stage is itself a pair-keyed groupby that collapses
-    duplicates (the fused verify path)."""
+    duplicates (the fused verify path).
+
+    ``max_bucket``: the 100 TB safety valve.  A bucket of R colliding docs
+    emits R(R-1)/2 pairs -- a boilerplate shingle shared by 10^6 docs would
+    emit 5x10^11 pair rows from ONE bucket, so production LSH dedup skips
+    over-full buckets (they are near-always template boilerplate, and their
+    members still pair through their other, more selective bands).  NOT
+    silent: each partition logs a warning with its skipped-bucket count and
+    largest skipped size (no-silent-caps rule); default None = no cap."""
 
     def add_prt(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
@@ -523,6 +534,18 @@ def _bucket_candidate_pairs(
             diff |= a[1:] != a[:-1]
         starts = np.flatnonzero(np.concatenate(([True], diff)))
         ends = np.append(starts[1:], len(order))
+        if max_bucket is not None:
+            sizes = ends - starts
+            over = sizes > max_bucket
+            if over.any():
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "bucket cap: skipping %d/%d buckets (largest %d docs) "
+                    "over max_bucket=%d in this partition",
+                    int(over.sum()), len(sizes), int(sizes.max()), max_bucket,
+                )
+                starts, ends = starts[~over], ends[~over]
         dids = t["doc_id"].to_numpy(zero_copy_only=False)[order]
         ia, ib = _pairs_in_runs(starts, ends)
         if not len(ia):
@@ -627,7 +650,8 @@ def _pair_first_slots(t: pa.Table):
     return t0, t1, a_s[sel0], b_s[sel0]
 
 
-def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
+def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6,
+                        max_bucket: int | None = None):
     """MinHash-LSH near-dup pairs with signature-estimated Jaccard.
 
     Scale shape (three exchanges total): signatures are computed once and
@@ -645,7 +669,9 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6):
     bands = read_persisted(sig_dir, columns=["doc_id", "sig"]).map_batches(
         band_table, batch_format="pyarrow"
     )
-    cand = _bucket_candidate_pairs(bands, ["band_id", "band_key"], global_dedup=False)
+    cand = _bucket_candidate_pairs(
+        bands, ["band_id", "band_key"], global_dedup=False, max_bucket=max_bucket
+    )
     halves = keyed_equijoin(
         cand.map_batches(_explode_pairs, batch_format="pyarrow"),
         read_persisted(sig_dir, columns=["doc_id", "sig"]),
@@ -705,7 +731,8 @@ def simhash_fingerprints(sf_dir: str):
 
 
 def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
-                           verify_threshold: float = 0.5):
+                           verify_threshold: float = 0.5,
+                           max_bucket: int | None = None):
     """The full near-dup pipeline: MinHash-LSH candidates -> EXACT n-gram
     Jaccard verification, fused to THREE exchanges total.
 
@@ -726,7 +753,7 @@ def dedup_jaccard_verified(sf_dir: str, candidate_threshold: float = 0.5,
         band_table, batch_format="pyarrow"
     )
     cand = _bucket_candidate_pairs(
-        bands, ["band_id", "band_key"], global_dedup=False
+        bands, ["band_id", "band_key"], global_dedup=False, max_bucket=max_bucket
     )
 
     corpus_schema = pa.schema(

@@ -432,3 +432,29 @@ def test_clean_corpus_keeps_representatives_and_unclustered(ray_session):
     survivors = cl[cl["doc_id"].isin(kept_ids)]
     assert survivors.groupby("cluster").size().eq(1).all()
     assert (survivors["doc_id"] == survivors["cluster"]).all()
+
+
+def test_bucket_cap_drops_only_overfull_buckets(ray_session):
+    """max_bucket: pairs from buckets <= cap are unchanged; an over-full
+    (boilerplate) bucket contributes nothing -- and the cap is logged, not
+    silent (the 100 TB pair-explosion valve)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from crossai_ts_ray.pipelines.text_pipeline import _bucket_candidate_pairs
+
+    # bucket A: 20 docs (over cap of 5 -> 190 pairs skipped); bucket B: 3 docs
+    doc = list(range(100, 120)) + [1, 2, 3]
+    key = [7] * 20 + [9, 9, 9]
+    t = pa.table({"doc_id": pa.array(doc, pa.int64()),
+                  "band_id": pa.array([0] * 23, pa.int64()),
+                  "band_key": pa.array(key, pa.int64())})
+    capped = _bucket_candidate_pairs(
+        rd.from_arrow(t), ["band_id", "band_key"], max_bucket=5
+    ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert capped["doc_a"].tolist() == [1, 1, 2]
+    assert capped["doc_b"].tolist() == [2, 3, 3]
+    full = _bucket_candidate_pairs(
+        rd.from_arrow(t), ["band_id", "band_key"]
+    ).to_pandas()
+    assert len(full) == 190 + 3
