@@ -422,8 +422,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # score (rows-only: stopword-table heuristics aren't SQL)
         "dedup_jaccard_verified": _text("dedup_jaccard_verified"),
         "dedup_simhash_pairs": _text("dedup_simhash_pairs"),
-        # connected components over the SimHash near-dup graph (join-based
-        # min-label propagation; rows-only -- iterative, no SQL oracle)
+        # connected components over the SimHash near-dup graph
+        # (fixed-exchange local union-find + contracted driver merge;
+        # rows-only -- the SimHash blocking is a hash-family algorithm; the
+        # cluster machinery itself is oracle-checked by dedup_clusters_exact)
         "dedup_clusters_simhash": _dedup_clusters_q,
         # flagship LLM-data composition: near-dup clusters -> keep each
         # component representative + all unclustered docs (rows-only:
