@@ -439,6 +439,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search family
         "ann_cosine_topk": _ann("cosine_topk"),
         "ann_lsh_topk": _ann("lsh_topk"),
+        # IVF top-k over the persisted cell-partitioned index (the second
+        # ANN scale path; rows-only -- k-means cells are data-dependent;
+        # recall + nprobe=all==exact pinned in tests)
+        "ann_ivf_topk": _ann("ivf_topk"),
         "embedding_near_pairs": _ann("embedding_near_pairs"),
         # IVF cell-blocked approximate near-pairs (the 10^9-row scale path;
         # recall vs the exact triangle join measured in tests)

@@ -484,3 +484,156 @@ SELECT a.vec_id::BIGINT AS vec_a, b.vec_id::BIGINT AS vec_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 """
+
+
+_IVF_DIRS: dict[tuple[str, int, int], str] = {}
+#: Probe statistics of the most recent ``ivf_topk`` call (audit/bench):
+#: cells probed vs total and the touched row fraction (from cell row counts).
+LAST_IVF_STATS: dict = {}
+
+
+def build_ivf_index(sf_dir: str, cells: int = 16, sample_rows: int = 4096) -> str:
+    """Build (once per process) an IVF index PERSISTED as Parquet
+    partitioned by nearest-centroid cell, and return its root directory.
+
+    Centroids come from k-means over a bounded sample (driver-side, tiny);
+    each vector is written to exactly ONE cell partition (multi-probe
+    happens at QUERY time, so the index is 1x the table, vs the LSH
+    index's bands x).  The centroid matrix is persisted alongside the
+    cells (``_centroids.parquet``) so queries re-open the index without
+    retraining.  At production scale the root lives on shared storage:
+    built once, queried many times."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    ck = (sf_dir, cells, sample_rows)
+    hit = _IVF_DIRS.get(ck)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_t = next(pf.iter_batches(batch_size=sample_rows, columns=["vec_id", "embedding"]))
+    sm, _ = _emb_matrix(pa.Table.from_batches([sample_t]))
+    smn = sm / np.sqrt((sm * sm).sum(axis=1, keepdims=True))
+    C = _kmeans_centroids(smn, cells)
+    c_ref = ray.put(C)
+
+    root = tempfile.mkdtemp(prefix="crossai_ivf_idx_")
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        t = t.combine_chunks()
+        m, ids = _emb_matrix(t)
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        cell = np.argmax(mn @ Cm.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "embedding": t["embedding"],
+                "cell": pa.array(cell, pa.int64()),
+            }
+        )
+
+    try:
+        _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow").write_parquet(
+            root, partition_cols=["cell"]
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "cell": pa.array(np.arange(len(C), dtype=np.int64), pa.int64()),
+                    "centroid": pa.array(list(C.astype(np.float64)), pa.list_(pa.float64())),
+                }
+            ),
+            os.path.join(root, "_centroids.parquet"),
+        )
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    _IVF_DIRS[ck] = root
+    return root
+
+
+def ivf_topk(
+    sf_dir: str,
+    k: int = 10,
+    query_id: int = 0,
+    nprobe: int = 4,
+    cells: int = 16,
+):
+    """ANN top-k over the PERSISTED IVF index: score the query against the
+    (tiny) centroid table, read ONLY the ``nprobe`` nearest cell partitions,
+    exact-cosine the candidates, global top-k.  The second ANN scale path
+    next to ``lsh_topk``: IVF adapts to the data distribution (centroids
+    follow density), where hyperplane LSH is distribution-free; real
+    clustered embeddings concentrate neighbors in very few cells.  Recall
+    vs the exact baseline is measured in tests."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    root = build_ivf_index(sf_dir, cells=cells)
+    cent = pq.read_table(os.path.join(root, "_centroids.parquet"))
+    flat = cent["centroid"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    C = flat.reshape(cent.num_rows, len(flat) // cent.num_rows)
+    cell_ids = cent["cell"].to_numpy(zero_copy_only=False)
+    q = query_vector(sf_dir, query_id)
+    qn = q / np.sqrt((q * q).sum())
+    order = np.argsort(-(C @ qn), kind="stable")
+    probe_cells = cell_ids[order[: min(nprobe, len(order))]]
+
+    probe_files = []
+    rows_probed = rows_total = 0
+    n_cells_total = 0
+    for d in os.listdir(root):
+        if not d.startswith("cell="):
+            continue
+        n_cells_total += 1
+        fs = _glob.glob(os.path.join(root, d, "*.parquet"))
+        nrows = sum(pq.read_metadata(f).num_rows for f in fs)
+        rows_total += nrows
+        if int(d.split("=", 1)[1]) in set(int(c) for c in probe_cells):
+            probe_files += fs
+            rows_probed += nrows
+    LAST_IVF_STATS.clear()
+    LAST_IVF_STATS.update(
+        {
+            "cells_probed": int(min(nprobe, n_cells_total)),
+            "cells_total": n_cells_total,
+            "row_fraction": round(rows_probed / max(rows_total, 1), 4),
+        }
+    )
+    if not probe_files:  # degenerate: empty probe cells
+        probe_files = [root]
+        LAST_IVF_STATS.update({"cells_probed": n_cells_total, "row_fraction": 1.0})
+
+    q_ref = ray.put(qn)
+    ds = read_parquet_sized(probe_files, columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        m, ids = _emb_matrix(t)
+        sims = (m @ qv) / np.sqrt((m * m).sum(axis=1))
+        if len(sims) > k:  # per-batch prune: bounded global sort input
+            idx = np.argpartition(-sims, k)[:k]
+        else:
+            idx = np.arange(len(sims))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[idx].astype(np.int64), pa.int64()),
+                "sim": pa.array(np.round(sims[idx], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
+    )

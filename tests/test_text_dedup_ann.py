@@ -458,3 +458,29 @@ def test_bucket_cap_drops_only_overfull_buckets(ray_session):
         rd.from_arrow(t), ["band_id", "band_key"]
     ).to_pandas()
     assert len(full) == 190 + 3
+
+
+def test_ivf_topk_recall_and_partial_probe(ray_session):
+    """IVF top-k over the persisted cell-partitioned index: recall vs exact,
+    partial probe (row fraction < 1), and exact sims for every hit."""
+    from crossai_ts_ray.pipelines import ann_pipeline
+    from crossai_ts_ray.pipelines.ann_pipeline import cosine_topk, ivf_topk
+    from crossai_ts_ray.util import dataset_to_table
+
+    exact = dataset_to_table(cosine_topk(SF, k=10))
+    approx = dataset_to_table(ivf_topk(SF, k=10, nprobe=6))
+    a = set(approx["vec_id"].to_pylist())
+    assert len(a) == 10
+    e = set(exact["vec_id"].to_pylist())
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    stats = ann_pipeline.LAST_IVF_STATS
+    assert 0 < stats["cells_probed"] < stats["cells_total"]
+    assert stats["row_fraction"] < 1.0
+    exact_sims = dict(zip(exact["vec_id"].to_pylist(), exact["sim"].to_pylist()))
+    for vid, sim in zip(approx["vec_id"].to_pylist(), approx["sim"].to_pylist()):
+        if vid in exact_sims:
+            assert sim == exact_sims[vid]
+    # nprobe = all cells -> exact result (IVF degenerates to brute force)
+    full = dataset_to_table(ivf_topk(SF, k=10, nprobe=10**6))
+    assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
