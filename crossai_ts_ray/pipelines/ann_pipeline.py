@@ -17,6 +17,10 @@
   k-means cells from a bounded sample, multi-probe assignment (nprobe
   nearest cells), pairs within cells only; recall vs the exact baseline is
   measured in tests/test_text_dedup_ann.py.
+* ``build_ivf_index`` / ``ivf_topk``: the second PERSISTED top-k scale path
+  -- one Parquet partition per k-means cell (1x storage), query probes only
+  the nprobe nearest cells; IVF adapts to data density where hyperplane LSH
+  is distribution-free.
 """
 
 from __future__ import annotations
