@@ -555,6 +555,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_exact": text_sql("DEDUP_CLUSTERS_EXACT_SQL"),
         "clean_corpus_exact": text_sql("CLEAN_CORPUS_EXACT_SQL"),
         "token_counts_regex": text_sql("TOKEN_COUNTS_REGEX_SQL"),
+        # mod-2^64 Horner rolling hash reproduced with HUGEINT list_reduce
+        "doc_fingerprints": text_sql("DOC_FINGERPRINTS_SQL"),
+        # FNV-1a byte-shingle SimHash reproduced with UBIGINT/HUGEINT bit math
+        "simhash_fingerprints": text_sql("SIMHASH_FINGERPRINTS_SQL"),
         # heuristic lang-ID + quality: exact SQL mirror (list_intersect
         # stopword hits, \p{L} alpha ratio, arithmetic mean-word-length)
         "lang_quality": text_sql("LANG_QUALITY_SQL"),
@@ -564,8 +568,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle is fine at sf0.01)
         "embedding_near_pairs": ann_sql("EMBEDDING_NEAR_PAIRS_SQL"),
         "outlier_filter_zscore": _OUTLIER_SQL,
-        # dedup_minhash_pairs / simhash_fingerprints / ann_lsh_topk /
-        # embedding_near_pairs: not SQL-expressible (hash-family algorithms)
-        # -> rows-only driver check; verified against exact baselines in
+        # dedup_minhash_pairs / ann_lsh_topk / ann_ivf_topk /
+        # embedding_near_pairs_ivf: not SQL-expressible (MinHash's 61-bit
+        # Mersenne universal hashing / trained-index algorithms) ->
+        # rows-only driver check; verified against exact baselines in
         # tests/test_dedup.py and tests/test_ann.py
     }

@@ -1354,9 +1354,9 @@ def doc_fingerprints(sf_dir: str) -> rd.Dataset:
     per doc over its token-length sequence (functions/text.py
     ``rolling_hash_fingerprint`` -- order-sensitive, unlike the md5 content
     hash; reordered tokens change the fingerprint).  Stateless task-pool
-    map; per-doc work is one vectorized Horner pass.  Rows-only driver
-    query (mod-2^64 polynomial hashing is not SQL-expressible; the kernel's
-    order sensitivity + determinism are pytest-verified)."""
+    map; per-doc work is one vectorized Horner pass.  Value-exact SQL
+    oracle: DOC_FINGERPRINTS_SQL reproduces the mod-2^64 Horner scan with
+    HUGEINT list_reduce."""
     import pyarrow.compute as pc
 
     from ..functions.text import rolling_hash_fingerprint
@@ -1435,6 +1435,76 @@ def token_counts_regex(sf_dir: str) -> rd.Dataset:
         )
 
     return _read_docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+
+
+def _fnv1a5_sql_expr() -> str:
+    """Nested-expression SQL for FNV-1a over the 5 bytes at 1-based offset
+    ``i`` of ``text`` (functions/dedup.py:_shingle_hashes).  Valid for
+    ASCII-only text (byte == code point, so ``unicode(substr(..))`` reads
+    the byte); UBIGINT carries the uint64 state for xor/shift, HUGEINT
+    holds the pre-mod product exactly (h < 2^64, prime < 2^41)."""
+    m = "CAST('18446744073709551616' AS HUGEINT)"
+    h = "CAST('14695981039346656037' AS UBIGINT)"  # FNV-1a 64 offset basis
+    for j in range(5):
+        b = f"unicode(substr(text, i + {j}, 1))"
+        h = (
+            f"CAST((CAST(xor(CAST({h} AS UBIGINT), CAST({b} AS UBIGINT)) "
+            f"AS HUGEINT) * CAST(1099511628211 AS HUGEINT)) % {m} AS UBIGINT)"
+        )
+    return h
+
+
+# Exact SQL mirror of simhash64 (functions/dedup.py:72): FNV-1a over byte
+# 5-grams, DISTINCT shingle set, per-bit majority vote (strict >, ties ->
+# 0 bit).  Exactness requires ASCII text of length >= 5 (both hold for the
+# whole synthetic corpus and are what the Python kernel's byte path reduces
+# to there); the final conditional subtraction reinterprets the uint64
+# fingerprint as the int64 the Ray query emits via .view(np.int64).
+SIMHASH_FINGERPRINTS_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, {_fnv1a5_sql_expr()} AS h
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i) w
+),
+votes AS (
+  SELECT doc_id, bit,
+         2 * sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE 0 END) - count(*) AS v
+  FROM sh, LATERAL (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY doc_id, bit
+)
+SELECT doc_id::BIGINT AS doc_id,
+  CAST(CASE WHEN fp >= CAST('9223372036854775808' AS HUGEINT)
+       THEN fp - CAST('18446744073709551616' AS HUGEINT) ELSE fp END AS BIGINT)
+    AS simhash
+FROM (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+             ELSE CAST(0 AS HUGEINT) END) AS fp
+  FROM votes GROUP BY doc_id)
+"""
+
+
+# Exact SQL mirror of rolling_hash_fingerprint (functions/text.py:74):
+# Horner over whitespace-token lengths in mod-2^64 arithmetic.  HUGEINT
+# (int128) holds acc*B + x exactly (acc < 2^64, B = 1000003 < 2^63), the
+# explicit % 2^64 reproduces uint64 wraparound, and the final conditional
+# subtraction reinterprets the uint64 value as the int64 the Ray query
+# emits via .view(np.int64).
+DOC_FINGERPRINTS_SQL = """
+SELECT doc_id::BIGINT AS doc_id,
+  CAST(CASE WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+       THEN h - CAST('18446744073709551616' AS HUGEINT) ELSE h END AS BIGINT)
+    AS fingerprint,
+  len(string_split(text, ' '))::BIGINT AS n_tok
+FROM (
+  SELECT doc_id, text,
+    list_reduce(
+      list_prepend(CAST(0 AS HUGEINT),
+        list_transform(string_split(text, ' '),
+                       s -> CAST(length(s) AS HUGEINT))),
+      (acc, x) -> (acc * 1000003 + x) % CAST('18446744073709551616' AS HUGEINT)
+    ) AS h
+  FROM documents)
+"""
 
 
 TOKEN_COUNTS_REGEX_SQL = f"""
