@@ -559,6 +559,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": text_sql("DOC_FINGERPRINTS_SQL"),
         # FNV-1a byte-shingle SimHash reproduced with UBIGINT/HUGEINT bit math
         "simhash_fingerprints": text_sql("SIMHASH_FINGERPRINTS_SQL"),
+        # the whole MinHash-LSH candidate pipeline (64 universal hashes,
+        # 16 FNV band keys, bucket pair enumeration, mean-equality Jaccard)
+        "dedup_minhash_pairs": text_sql("DEDUP_MINHASH_PAIRS_SQL"),
         # heuristic lang-ID + quality: exact SQL mirror (list_intersect
         # stopword hits, \p{L} alpha ratio, arithmetic mean-word-length)
         "lang_quality": text_sql("LANG_QUALITY_SQL"),
@@ -568,9 +571,11 @@ def oracle_sql() -> dict[str, str]:
         # oracle is fine at sf0.01)
         "embedding_near_pairs": ann_sql("EMBEDDING_NEAR_PAIRS_SQL"),
         "outlier_filter_zscore": _OUTLIER_SQL,
-        # dedup_minhash_pairs / ann_lsh_topk / ann_ivf_topk /
-        # embedding_near_pairs_ivf: not SQL-expressible (MinHash's 61-bit
-        # Mersenne universal hashing / trained-index algorithms) ->
-        # rows-only driver check; verified against exact baselines in
-        # tests/test_dedup.py and tests/test_ann.py
+        # dedup_jaccard_verified / dedup_simhash_pairs / dedup_clusters_simhash
+        # / clean_corpus (crc32 shingles / multi-probe blocking / union-find)
+        # and ann_lsh_topk / ann_ivf_topk / embedding_near_pairs_ivf
+        # (trained-index algorithms): rows-only driver check; verified
+        # against exact baselines in tests/test_dedup.py and tests/test_ann.py
+        # (the exact-duplicate variants dedup_clusters_exact /
+        # clean_corpus_exact run the same machinery under a SQL oracle)
     }

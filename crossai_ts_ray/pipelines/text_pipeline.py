@@ -1483,6 +1483,78 @@ FROM (
 """
 
 
+def _minhash_pairs_sql() -> str:
+    """Exact SQL mirror of the whole MinHash-LSH candidate pipeline
+    (functions/dedup.py MinHasher + band_table + dedup_minhash_pairs):
+    FNV-1a byte 5-gram shingles, 64 universal hashes
+    ``((a*h + b) mod 2^64) & M61 + (.. >> 61)`` with the mod-2^64 product
+    decomposed into 32-bit halves so every intermediate fits HUGEINT,
+    per-(doc, k) min, 16 FNV band keys over the k-ordered signature, bucket
+    self-join pair enumeration, and the mean-equality Jaccard estimate
+    (exact: est = m/64 is always representable in <= 6 decimals, so the Ray
+    side's np.round(est, 6) is the identity).  The (a, b) constants are the
+    engine's own seed-7 parameter matrix, embedded as a VALUES list.
+    Exactness requires ASCII text of length >= 5 (holds corpus-wide)."""
+    rng = np.random.default_rng(7)
+    a = rng.integers(1, (1 << 61) - 1, 64, dtype=np.uint64)
+    b = rng.integers(0, (1 << 61) - 1, 64, dtype=np.uint64)
+    params = ", ".join(
+        f"({k}, CAST('{int(a[k])}' AS UBIGINT), CAST('{int(b[k])}' AS UBIGINT))"
+        for k in range(64)
+    )
+    m = "CAST('18446744073709551616' AS HUGEINT)"
+    m32 = "CAST(4294967296 AS HUGEINT)"
+    m61 = "CAST('2305843009213693951' AS UBIGINT)"
+    return f"""
+WITH params(k, a, b) AS (VALUES {params}),
+sh AS (
+  SELECT DISTINCT doc_id, {_fnv1a5_sql_expr()} AS h
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i) w
+),
+uh AS (
+  SELECT doc_id, k,
+    CAST((
+      (CAST(a >> 32 AS HUGEINT) * CAST(h AS HUGEINT) % {m32}) * {m32}
+      + CAST(a & 4294967295 AS HUGEINT) * CAST(h AS HUGEINT)
+      + CAST(b AS HUGEINT)
+    ) % {m} AS UBIGINT) AS prod
+  FROM sh, params
+),
+sig AS (
+  SELECT doc_id, k, min((prod & {m61}) + (prod >> 61)) AS s
+  FROM uh GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, k // 4 AS band_id,
+    list_reduce(
+      list_prepend(CAST('14695981039346656037' AS UBIGINT),
+                   list(s ORDER BY k)),
+      (acc, x) -> CAST((CAST(xor(acc, x) AS HUGEINT)
+                        * CAST(1099511628211 AS HUGEINT)) % {m} AS UBIGINT)
+    ) AS band_key
+  FROM sig GROUP BY doc_id, k // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id::BIGINT AS doc_a, y.doc_id::BIGINT AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id::BIGINT < y.doc_id::BIGINT
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         avg(CASE WHEN sa.s = sb.s THEN 1.0 ELSE 0.0 END) AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id::BIGINT = c.doc_a
+  JOIN sig sb ON sb.doc_id::BIGINT = c.doc_b AND sb.k = sa.k
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.6
+"""
+
+
+DEDUP_MINHASH_PAIRS_SQL = _minhash_pairs_sql()
+
+
 # Exact SQL mirror of rolling_hash_fingerprint (functions/text.py:74):
 # Horner over whitespace-token lengths in mod-2^64 arithmetic.  HUGEINT
 # (int128) holds acc*B + x exactly (acc < 2^64, B = 1000003 < 2^63), the

@@ -665,7 +665,14 @@ def aligned_rollup_stream(
                 src_end=bool(e),
             )
             kind = t["kind"].to_numpy(zero_copy_only=False)
-            if (kind == 1).any():
+            # EVERY incomplete group writes its spill file, even when zero
+            # partial rows exist (a group whose edges land on every coarse
+            # tier's bucket boundary -- the planner's preferred coarse-
+            # aligned stride makes this common -- finalizes everything
+            # in-task).  The unconditional write keeps merge's fail-loud
+            # file count exact: expected files == incomplete groups by
+            # construction, dense or gapped, aligned edges or not.
+            if (kind == 1).any() or (len(tiers) > 1 and not (s and e)):
                 part = t.filter(pa.array(kind == 1)).drop_columns(_PARTIAL_DROP)
                 tmp = os.path.join(spill_dir, f".g{gid}.tmp")
                 pq.write_table(part, tmp)

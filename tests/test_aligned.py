@@ -192,6 +192,46 @@ def test_aligned_rejects_striped_layout(ray_session):
         dataset_to_table(out[TIERS[0].name])
 
 
+def test_coarse_aligned_groups_spill_empty_files(ray_session, monkeypatch, tmp_path):
+    """A multi-group source whose group edges land on EVERY coarse tier's
+    bucket boundary (the planner prefers exactly this stride) finalizes all
+    tiers in-task and has zero partial rows to ship -- but each incomplete
+    group must still write its (empty) spill file, or merge's fail-loud
+    file count trips on healthy runs (seen at the 38.4M-row bench scale:
+    expected 73 files, found 72).  Regression: stream + merge must succeed,
+    spill_dir must hold exactly n_incomplete files, output bitwise-exact."""
+    from crossai_ts_ray.stages.aligned import (
+        aligned_rollup_stream,
+        merge_spilled_partials,
+    )
+
+    monkeypatch.setenv("GRAFT_GROUP_TARGET_ROWS", str(synth.CHUNK_ROWS))
+    spec = synth.SynthSpec(total_rows=75_000, num_sources=1, num_shards=1)
+    d = synth.generate(spec, synth.default_cache_dir(spec))
+    tbl = synth.read_all(d)
+    shard_dirs = sorted(glob.glob(os.path.join(d, "shard=*")))
+    # widths divide CHUNK_ROWS (=the pinned group stride), so every group
+    # edge is bucket-aligned for every tier
+    tiers = (Tier("w50", 50), Tier("w1000", 1000), Tier("w5000", 5000))
+    spill = str(tmp_path / "spill")
+    finalized, n_incomplete = aligned_rollup_stream(
+        shard_dirs, tiers, chunk_rows=synth.CHUNK_ROWS, spill_dir=spill
+    )
+    assert n_incomplete == 3  # one source, three single-file groups
+    got = dataset_to_table(finalized)
+    assert len(glob.glob(os.path.join(spill, "g*.parquet"))) == n_incomplete
+    merged = merge_spilled_partials(spill, tiers, n_incomplete)
+    assert merged is None or dataset_to_table(merged).num_rows == 0
+    import pyarrow.compute as pc
+
+    for t in tiers:
+        gold = oracle.rollup(tbl, t)
+        sub = got.filter(pc.equal(got["tier"], t.name)).select(
+            [f.name for f in ROLLUP_SCHEMA]
+        )
+        assert_tables_bitwise_equal(gold, sub, f"aligned-edges {t.name}")
+
+
 def test_spill_merge_fails_loudly_on_missing_files(tmp_path):
     """Plan says n_incomplete groups spilled boundary partials; an empty
     spill_dir means workers wrote to storage the merger can't see (or files

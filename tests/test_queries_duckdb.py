@@ -29,6 +29,9 @@ SAMPLE = [
     "parts_never_bulk_ordered",   # partitioned anti-join (NOT EXISTS)
     "user_top_event",        # grouped argmax with per-batch combiner
     "user_running_total",    # ordered scan, segmented cumulative sum
+    "doc_fingerprints",      # mod-2^64 Horner hash vs HUGEINT list_reduce
+    "simhash_fingerprints",  # FNV-1a shingle SimHash vs UBIGINT bit-vote SQL
+    "dedup_minhash_pairs",   # full MinHash-LSH pipeline vs its SQL mirror
 ]
 
 
