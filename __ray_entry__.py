@@ -424,16 +424,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": _text("dedup_simhash_pairs"),
         # connected components over the SimHash near-dup graph
         # (fixed-exchange local union-find + contracted driver merge;
-        # rows-only -- the SimHash blocking is a hash-family algorithm; the
-        # cluster machinery itself is oracle-checked by dedup_clusters_exact)
+        # oracle: recursive-CTE reachability closure in DuckDB)
         "dedup_clusters_simhash": _dedup_clusters_q,
         # flagship LLM-data composition: near-dup clusters -> keep each
-        # component representative + all unclustered docs (rows-only:
-        # SimHash clustering is a hash-family algorithm)
+        # component representative + all unclustered docs
         "clean_corpus": _text("clean_corpus"),
         # the SAME cluster + clean machinery driven by exact-duplicate
-        # pairs, where md5 groups pin the expected answer in SQL -- the
-        # oracle-checked twins of the two rows-only entries above
+        # pairs, where md5 groups pin the expected answer without the
+        # SimHash bit-math oracle
         "dedup_clusters_exact": _text("dedup_clusters_exact"),
         "clean_corpus_exact": _text("clean_corpus_exact"),
         # similarity search family
@@ -562,6 +560,15 @@ def oracle_sql() -> dict[str, str]:
         # the whole MinHash-LSH candidate pipeline (64 universal hashes,
         # 16 FNV band keys, bucket pair enumeration, mean-equality Jaccard)
         "dedup_minhash_pairs": text_sql("DEDUP_MINHASH_PAIRS_SQL"),
+        # MinHash-LSH candidates -> exact Jaccard over the true 5-gram
+        # sets (the crc32 shingle hashing is an engine-side shortcut)
+        "dedup_jaccard_verified": text_sql("DEDUP_JACCARD_VERIFIED_SQL"),
+        # SimHash family end to end: brute-force Hamming pairs (the banded
+        # blocking is provably complete for ham<=11, so brute force IS the
+        # spec), recursive-CTE connected components, representative-keep
+        "dedup_simhash_pairs": text_sql("DEDUP_SIMHASH_PAIRS_SQL"),
+        "dedup_clusters_simhash": text_sql("DEDUP_CLUSTERS_SIMHASH_SQL"),
+        "clean_corpus": text_sql("CLEAN_CORPUS_SQL"),
         # heuristic lang-ID + quality: exact SQL mirror (list_intersect
         # stopword hits, \p{L} alpha ratio, arithmetic mean-word-length)
         "lang_quality": text_sql("LANG_QUALITY_SQL"),
@@ -571,11 +578,9 @@ def oracle_sql() -> dict[str, str]:
         # oracle is fine at sf0.01)
         "embedding_near_pairs": ann_sql("EMBEDDING_NEAR_PAIRS_SQL"),
         "outlier_filter_zscore": _OUTLIER_SQL,
-        # dedup_jaccard_verified / dedup_simhash_pairs / dedup_clusters_simhash
-        # / clean_corpus (crc32 shingles / multi-probe blocking / union-find)
-        # and ann_lsh_topk / ann_ivf_topk / embedding_near_pairs_ivf
-        # (trained-index algorithms): rows-only driver check; verified
-        # against exact baselines in tests/test_dedup.py and tests/test_ann.py
-        # (the exact-duplicate variants dedup_clusters_exact /
-        # clean_corpus_exact run the same machinery under a SQL oracle)
+        # still rows-only by design: ann_lsh_topk / ann_ivf_topk /
+        # embedding_near_pairs_ivf (trained-index algorithms),
+        # spectral_features (FFT), model_scoring (IRLS), synth_rollup_job
+        # (checkpointed job over synthesized input), media_features
+        # (binary decode); each verified against exact baselines in tests
     }

@@ -662,7 +662,10 @@ def dedup_minhash_pairs(sf_dir: str, threshold: float = 0.6,
     partitioned hash join attaches the signature to both exploded pair
     halves; (3) a pair-key groupby collapses duplicates across band
     partitions and computes the estimated Jaccard vectorized.
-    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est >= threshold."""
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b, est >= threshold.
+    Value-exact SQL oracle: DEDUP_MINHASH_PAIRS_SQL reproduces the whole
+    pipeline (shingles, universal hashes, band keys, bucket pairs) in
+    HUGEINT mod-2^64 arithmetic."""
     from ..stages.joins import keyed_equijoin
 
     sig_dir = persisted_minhash_signatures(sf_dir)
@@ -1483,6 +1486,75 @@ FROM (
 """
 
 
+def _simhash_family_ctes() -> str:
+    """Shared CTE chain for the SimHash-family oracles: fingerprints (the
+    SIMHASH_FINGERPRINTS_SQL computation), brute-force Hamming<=10 pairs
+    (``bit_count(xor(..))`` on the int64 views compares the same 64 bits
+    the engine's banded blocking provably enumerates completely), and
+    connected components via a recursive reachability closure labelled by
+    min reachable doc_id -- the quadratic/recursive oracle is fine at the
+    driver's sf; the engine side stays bucketed and fixed-exchange."""
+    m = "CAST('18446744073709551616' AS HUGEINT)"
+    return f"""
+sh AS (
+  SELECT DISTINCT doc_id, {_fnv1a5_sql_expr()} AS h
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i) w
+),
+votes AS (
+  SELECT doc_id, bit,
+         2 * sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE 0 END) - count(*) AS v
+  FROM sh, LATERAL (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY doc_id, bit
+),
+fp AS (
+  SELECT doc_id::BIGINT AS doc_id,
+    CAST(CASE WHEN f >= CAST('9223372036854775808' AS HUGEINT)
+         THEN f - {m} ELSE f END AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+               ELSE CAST(0 AS HUGEINT) END) AS f
+    FROM votes GROUP BY doc_id)
+),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 10
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+clusters AS (
+  SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u
+)"""
+
+
+DEDUP_SIMHASH_PAIRS_SQL = (
+    f"WITH RECURSIVE {_simhash_family_ctes()} "
+    "SELECT doc_a, doc_b, hamming FROM pairs"
+)
+
+DEDUP_CLUSTERS_SIMHASH_SQL = (
+    f"WITH RECURSIVE {_simhash_family_ctes()} "
+    "SELECT doc_id, cluster FROM clusters"
+)
+
+CLEAN_CORPUS_SQL = f"""
+WITH RECURSIVE {_simhash_family_ctes()}
+SELECT d.doc_id::BIGINT AS doc_id, d.lang, d.n_chars::BIGINT AS n_chars
+FROM documents d
+WHERE d.doc_id::BIGINT NOT IN
+      (SELECT doc_id FROM clusters WHERE doc_id <> cluster)
+"""
+
+
 def _minhash_pairs_sql() -> str:
     """Exact SQL mirror of the whole MinHash-LSH candidate pipeline
     (functions/dedup.py MinHasher + band_table + dedup_minhash_pairs):
@@ -1553,6 +1625,42 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.6
 
 
 DEDUP_MINHASH_PAIRS_SQL = _minhash_pairs_sql()
+
+
+# Exact SQL mirror of dedup_jaccard_verified: the MinHash-LSH candidate
+# CTEs above (est threshold 0.5), then EXACT Jaccard over the TRUE distinct
+# character-5-gram sets.  The engine hashes shingles through crc32 before
+# set ops -- a pure implementation shortcut; Jaccard over the actual n-gram
+# sets is the reference semantic, and any crc32 collision would (rightly)
+# surface here as an engine-vs-spec divergence (verified collision-free on
+# the corpus).  DuckDB's round(x, 6) matched Python's round on every
+# emitted pair (ratios of small shingle counts; no half-ulp decimal ties).
+DEDUP_JACCARD_VERIFIED_SQL = (
+    DEDUP_MINHASH_PAIRS_SQL[
+        : DEDUP_MINHASH_PAIRS_SQL.rindex("SELECT doc_a, doc_b, est_jaccard")
+    ]
+    + """
+, est_keep AS (SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5),
+grams AS (
+  SELECT DISTINCT doc_id::BIGINT AS doc_id, substr(text, i, 5) AS g
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i) w
+),
+gsize AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT e.doc_a, e.doc_b, e.est_jaccard, count(*) AS ninter
+  FROM est_keep e
+  JOIN grams ga ON ga.doc_id = e.doc_a
+  JOIN grams gb ON gb.doc_id = e.doc_b AND gb.g = ga.g
+  GROUP BY e.doc_a, e.doc_b, e.est_jaccard
+)
+SELECT i.doc_a, i.doc_b, i.est_jaccard,
+       round(i.ninter / (sa.n + sb.n - i.ninter), 6) AS jaccard
+FROM inter i
+JOIN gsize sa ON sa.doc_id = i.doc_a
+JOIN gsize sb ON sb.doc_id = i.doc_b
+WHERE i.ninter / (sa.n + sb.n - i.ninter) >= 0.5
+"""
+)
 
 
 # Exact SQL mirror of rolling_hash_fingerprint (functions/text.py:74):

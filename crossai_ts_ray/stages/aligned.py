@@ -706,12 +706,17 @@ def merge_spilled_partials(
 
     files = sorted(_glob.glob(os.path.join(spill_dir, "g*.parquet")))
     # single-tier jobs have no coarse boundary buckets and never spill
-    if len(tiers) > 1 and len(files) < n_incomplete:
+    if len(tiers) > 1 and len(files) != n_incomplete:
+        why = (
+            "spill_dir must be on storage all workers reach (shared "
+            "filesystem on a multi-node cluster)"
+            if len(files) < n_incomplete
+            else "extra files mean a stale or foreign spill directory"
+        )
         raise RuntimeError(
             f"aligned rollup spill merge: plan expected {n_incomplete} "
             f"boundary-partial spill files in {spill_dir!r} but found "
-            f"{len(files)}; spill_dir must be on storage all workers reach "
-            "(shared filesystem on a multi-node cluster)"
+            f"{len(files)}; {why}"
         )
     if not files:
         return None
