@@ -314,6 +314,30 @@ def _synth_job_q(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _synth_retention_q(sf_dir: str):
+    """Checkpointed rollup job + per-tier retention enforcement (keep the
+    last 5 finest-tier buckets per source; file-stat fast paths, atomic
+    rewrites, policy markers); returns the surviving finest-tier rows.
+    Rows-only (input not a registered view); exactness vs the oracle
+    filter, idempotence and resume are covered by tests/test_retention.py."""
+    import shutil
+    import tempfile
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.schema import Tier
+    from crossai_ts_ray.state.checkpoint import read_job_output, run_rollup_job
+    from crossai_ts_ray.state.retention import apply_retention
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out_dir = tempfile.mkdtemp(prefix="retention_job_q_")
+    try:
+        run_rollup_job(d, out_dir, (Tier("t60", 60), Tier("t240", 240)))
+        apply_retention(out_dir, {"t60": 5})
+        return read_job_output(out_dir, "t60")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 _TEXT_STATS_SQL = """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        len(string_split(text, ' '))::BIGINT AS n_tok,
@@ -452,6 +476,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grouped outlier filter + the full checkpointed job
         "outlier_filter_zscore": _outlier_filter_q,
         "synth_rollup_job": _synth_job_q,
+        # job + retention-policy enforcement (keep-last-K prune with
+        # file-stat fast paths, markers, atomic rewrites)
+        "synth_retention_job": _synth_retention_q,
         # fitted-model scoring: distributed IRLS logistic fit + actor-pool
         # predict_proba (rows-only -- an iterative fit has no SQL oracle;
         # the IRLS path is pytest-verified against a NumPy reference fit)
@@ -581,6 +608,7 @@ def oracle_sql() -> dict[str, str]:
         # still rows-only by design: ann_lsh_topk / ann_ivf_topk /
         # embedding_near_pairs_ivf (trained-index algorithms),
         # spectral_features (FFT), model_scoring (IRLS), synth_rollup_job
-        # (checkpointed job over synthesized input), media_features
+        # / synth_retention_job (checkpointed jobs over synthesized
+        # input), media_features
         # (binary decode); each verified against exact baselines in tests
     }

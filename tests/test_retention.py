@@ -1,0 +1,107 @@
+"""Retention-policy enforcement: per-tier keep-last-K pruning over the
+committed job output -- exact vs an oracle filter, idempotent, resumable,
+and file-stat-driven (whole files dropped/kept without rewrite)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pytest
+
+from crossai_ts_ray import oracle, synth
+from crossai_ts_ray.schema import Tier
+from crossai_ts_ray.state.checkpoint import (
+    completed_partitions,
+    read_job_output,
+    run_rollup_job,
+)
+from crossai_ts_ray.state.retention import apply_retention, tier_horizons
+
+from .conftest import assert_tables_bitwise_equal
+
+TIERS = (Tier("t60", 60), Tier("t240", 240))
+KEEP = 5
+
+
+def _oracle_pruned(tbl, tier, keep_last):
+    """Expected survivors: per-source bucket >= max_bucket + 1 - keep_last."""
+    gold = oracle.rollup(tbl, tier)
+    src = gold["source"].to_numpy(zero_copy_only=False)
+    bkt = gold["bucket"].to_numpy(zero_copy_only=False)
+    hz = {}
+    for s in np.unique(src):
+        hz[s] = bkt[src == s].max() + 1 - keep_last
+    import pyarrow as pa
+
+    keep = bkt >= np.array([hz[s] for s in src])
+    return gold.filter(pa.array(keep))
+
+
+@pytest.fixture(scope="module")
+def pruned_job(ray_session, tmp_path_factory):
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out = str(tmp_path_factory.mktemp("retention") / "job")
+    run_rollup_job(d, out, TIERS, salt_mod=0, batch_size=256)
+    summary = apply_retention(out, {"t60": KEEP})
+    return d, out, summary
+
+
+def test_retention_matches_oracle_filter(pruned_job):
+    d, out, summary = pruned_job
+    tbl = synth.read_all(d)
+    got = read_job_output(out, "t60")
+    want = _oracle_pruned(tbl, TIERS[0], KEEP)
+    assert_tables_bitwise_equal(want, got, "retention t60")
+    # the un-pruned tier is untouched
+    assert_tables_bitwise_equal(
+        oracle.rollup(tbl, TIERS[1]), read_job_output(out, "t240"), "t240 intact"
+    )
+    st = summary["t60"]
+    assert st["rows_dropped"] > 0
+    assert st["partitions_pruned"] == len(completed_partitions(out))
+    assert st["files_dropped"] + st["files_rewritten"] + st["files_kept"] > 0
+
+
+def test_retention_idempotent_and_resumable(pruned_job):
+    d, out, _ = pruned_job
+    before = read_job_output(out, "t60")
+    # second run: every partition skipped via its policy marker
+    again = apply_retention(out, {"t60": KEEP})
+    assert again["t60"]["partitions_pruned"] == 0
+    assert again["t60"]["partitions_skipped"] > 0
+    # simulate a crash that lost one marker: only that partition re-prunes,
+    # and re-pruning already-pruned data is a no-op on the rows
+    marker = sorted(glob.glob(os.path.join(out, "_lineage", "prune-t60-*.json")))[0]
+    os.unlink(marker)
+    third = apply_retention(out, {"t60": KEEP})
+    assert third["t60"]["partitions_pruned"] == 1
+    assert os.path.exists(marker)
+    assert json.load(open(marker))["policy"] == f"keep_last={KEEP}"
+    assert_tables_bitwise_equal(before, read_job_output(out, "t60"), "re-prune noop")
+
+
+def test_retention_tightening_policy_reprunes(pruned_job):
+    d, out, _ = pruned_job
+    tbl = synth.read_all(d)
+    tighter = apply_retention(out, {"t60": KEEP - 2})
+    assert tighter["t60"]["partitions_pruned"] > 0  # markers invalidated
+    want = _oracle_pruned(tbl, TIERS[0], KEEP - 2)
+    assert_tables_bitwise_equal(want, read_job_output(out, "t60"), "tightened")
+
+
+def test_retention_horizons_and_validation(pruned_job):
+    d, out, _ = pruned_job
+    hz = tier_horizons(out, "t240", 3)
+    tbl = synth.read_all(d)
+    gold = oracle.rollup(tbl, TIERS[1])
+    src = gold["source"].to_numpy(zero_copy_only=False)
+    bkt = gold["bucket"].to_numpy(zero_copy_only=False)
+    for s in np.unique(src):
+        assert hz[s] == bkt[src == s].max() + 1 - 3
+    with pytest.raises(ValueError, match="keep_last"):
+        tier_horizons(out, "t240", 0)
+    assert tier_horizons(out, "no_such_tier", 3) == {}
