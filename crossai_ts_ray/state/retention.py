@@ -122,8 +122,9 @@ def _prune_partition_dir(
         t = pq.read_table(f)
         src = t["source"].to_numpy(zero_copy_only=False)
         bkt = t[bucket_col].to_numpy(zero_copy_only=False)
-        hz = np.array([horizons.get(s, np.iinfo(np.int64).min) for s in src])
-        keep = bkt >= hz
+        u, inv = np.unique(src, return_inverse=True)
+        hzv = np.array([horizons.get(s, np.iinfo(np.int64).min) for s in u])
+        keep = bkt >= hzv[inv]
         n_drop = int((~keep).sum())
         if n_drop == 0:
             kept += 1
