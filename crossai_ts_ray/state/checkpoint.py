@@ -43,6 +43,14 @@ class JobReport:
     computed: list[str]
     skipped: list[str]
     rows_per_tier: dict[str, int]
+    #: committed partitions whose INPUT fragment set changed since their
+    #: lineage row was written (appended chunk files) -- recomputed, not
+    #: skipped; subset of ``computed``
+    recomputed: list[str] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.recomputed is None:
+            self.recomputed = []
 
 
 def plan_partitions(
@@ -88,6 +96,16 @@ def _commit_lineage(out_dir: str, row: dict) -> None:
     tmp = path + ".tmp"
     pq.write_table(pa.Table.from_pylist([row]), tmp)
     os.rename(tmp, path)
+
+
+def _committed_fragments(out_dir: str, pid: str) -> list[str] | None:
+    """Input fragment basenames named by a committed partition's lineage row
+    (None when the row is missing/unreadable -> treat as changed)."""
+    try:
+        t = pq.read_table(lineage_path(out_dir, pid), columns=["input_fragments"])
+        return list(t["input_fragments"][0].as_py())
+    except Exception:
+        return None
 
 
 def _dir_stats(path: str) -> tuple[int, int, int]:
@@ -290,12 +308,34 @@ def run_rollup_job(
                 "watermark": watermark,
             },
         )
+        # a recomputed partition's rows are fresh: any retention-policy
+        # markers for it are stale (they describe the replaced data) and
+        # must not suppress a re-prune
+        for tier in tiers:
+            mk = os.path.join(out_dir, "_lineage", f"prune-{tier.name}-{pid}.json")
+            if os.path.exists(mk):
+                os.unlink(mk)
         return tier_rows
 
     todo = []
+    recomputed = []
     for pid, shard_dirs in plan_partitions(input_dir, shards_per_commit):
         if pid in done:
-            skipped.append(pid)
+            # continuous-aggregate semantics: a committed partition is only
+            # final for the input fragments its lineage row names.  Appended
+            # chunk files (late/growing sources) change the set -> recompute
+            # and atomically replace this partition; unchanged -> skip.
+            cur = sorted(
+                os.path.basename(f)
+                for sd in shard_dirs
+                for f in glob.glob(os.path.join(sd, "*.parquet"))
+            )
+            prev = _committed_fragments(out_dir, pid)
+            if prev is not None and sorted(prev) == cur:
+                skipped.append(pid)
+                continue
+            recomputed.append(pid)
+            todo.append((pid, shard_dirs))
         else:
             todo.append((pid, shard_dirs))
 
@@ -325,7 +365,12 @@ def run_rollup_job(
         for tier in tiers:
             r, _, _ = _dir_stats(os.path.join(out_dir, f"tier={tier.name}", f"part={pid}"))
             rows_per_tier[tier.name] += r
-    return JobReport(computed=computed, skipped=skipped, rows_per_tier=rows_per_tier)
+    return JobReport(
+        computed=computed,
+        skipped=skipped,
+        rows_per_tier=rows_per_tier,
+        recomputed=recomputed,
+    )
 
 
 def read_job_output(
