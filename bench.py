@@ -198,6 +198,37 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
             float(stats["raw_bytes"].sum()) / max(1.0, float(stats["enc_bytes"].sum())), 2
         )
 
+    if os.environ.get("GRAFT_BENCH_ONLY") != "rollup":
+        # --- store maintenance over the committed output (runs LAST over
+        # out_dir: retention prunes rows the sections above must see) ---
+        # compaction merges the task-granular small files (file COUNT
+        # throttles reads at scale); retention ages out all but the last 64
+        # finest-tier buckets per source; the follow-up job run must SKIP
+        # every partition (maintenance must not invalidate commits)
+        from crossai_ts_ray.state.compact import compact_partitions
+        from crossai_ts_ray.state.retention import apply_retention
+
+        fine_name = tiers[0].name
+        comp = compact_partitions(out_dir, fine_name, target_bytes=64 << 20)
+        extra["compaction"] = {
+            "files_before": comp["files_before"],
+            "files_after": comp["files_after"],
+            "wall_s": comp["wall_s"],
+        }
+        ret = apply_retention(out_dir, {fine_name: 64})[fine_name]
+        extra["retention"] = {
+            "rows_dropped": ret["rows_dropped"],
+            "files_dropped": ret["files_dropped"],
+            "files_rewritten": ret["files_rewritten"],
+            "wall_s": ret["wall_s"],
+        }
+        rep_after = run_rollup_job(
+            token_dir, out_dir, tiers, salt_mod=0, batch_size=65536,
+            shards_per_commit=int(os.environ.get('GRAFT_SHARDS_PER_COMMIT', '4')),
+            max_concurrent=max(1, ncpu // 8),
+        )
+        assert not rep_after.computed, "maintenance must not invalidate commits"
+
     # --- query families over $GRAFT_SF_DIR (skipped in rollup-only mode) ---
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as E
