@@ -460,6 +460,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_exact": _text("clean_corpus_exact"),
         # similarity search family
         "ann_cosine_topk": _ann("cosine_topk"),
+        # one streaming pass scores ALL queries (batch x query matmul
+        # vs a broadcast query matrix) -- the production batch shape
+        "ann_cosine_topk_multi": _ann("cosine_topk_multi"),
         "ann_lsh_topk": _ann("lsh_topk"),
         # IVF top-k over the persisted cell-partitioned index (the second
         # ANN scale path; rows-only -- k-means cells are data-dependent;
@@ -601,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": text_sql("LANG_QUALITY_SQL"),
         "lang_len_corr": text_sql("LANG_LEN_CORR_SQL"),
         "ann_cosine_topk": ann_sql("COSINE_TOPK_SQL"),
+        "ann_cosine_topk_multi": ann_sql("COSINE_TOPK_MULTI_SQL"),
         # exact triangle-join near pairs ARE SQL-expressible (quadratic
         # oracle is fine at sf0.01)
         "embedding_near_pairs": ann_sql("EMBEDDING_NEAR_PAIRS_SQL"),

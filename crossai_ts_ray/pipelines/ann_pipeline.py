@@ -100,6 +100,87 @@ LIMIT 10
 """
 
 
+def cosine_topk_multi(sf_dir: str, k: int = 5, num_queries: int = 8):
+    """Multi-query exact cosine top-k -- the production shape: ONE streaming
+    pass over the embedding table scores EVERY query at once (batch x query
+    matmul against a broadcast, pre-normalized query matrix), so the table
+    is read once regardless of query count.  Per-batch per-query pruning
+    bounds the exchange at O(blocks x queries x k) candidate rows; the
+    per-query winners finalize in a tiny keyed groupby.  Ranking uses RAW
+    similarities (rounded only for output), tie-broken by vec_id, matching
+    the SQL oracle's ORDER BY exactly."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", num_queries)],  # row-group pushdown
+    )
+    qm, qids = _emb_matrix(qt)
+    order = np.argsort(qids)
+    qm, qids = qm[order], qids[order].astype(np.int64)
+    qn = qm / np.sqrt((qm * qm).sum(axis=1))[:, None]
+    q_ref = ray.put((qn, qids))
+    ds = _read_emb(sf_dir)
+
+    def score(t: pa.Table) -> pa.Table:
+        qmat, qv_ids = ray.get(q_ref)
+        m, ids = _emb_matrix(t)
+        norms = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ qmat.T) / norms[:, None]  # (n, q)
+        n, nq = sims.shape
+        keep_rows, keep_q = [], []
+        for j in range(nq):  # q is small; the matmul above did the work
+            idx = np.argpartition(-sims[:, j], k)[:k] if n > k else np.arange(n)
+            keep_rows.append(idx)
+            keep_q.append(np.full(len(idx), j))
+        ri = np.concatenate(keep_rows)
+        qi = np.concatenate(keep_q)
+        return pa.table(
+            {
+                "query_id": pa.array(qv_ids[qi], pa.int64()),
+                "vec_id": pa.array(ids[ri].astype(np.int64), pa.int64()),
+                "sim_raw": pa.array(sims[ri, qi], pa.float64()),
+            }
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        sims = g["sim_raw"].to_numpy(zero_copy_only=False)
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(pa.array(order)),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "sim": pa.array(np.round(sims[order], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+COSINE_TOPK_MULTI_SQL = """
+SELECT query_id, vec_id, sim FROM (
+  SELECT q.vec_id::BIGINT AS query_id, e.vec_id::BIGINT AS vec_id,
+         round(list_cosine_similarity(
+           list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+           list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(q.embedding, x -> CAST(x AS DOUBLE))) DESC,
+           e.vec_id) AS rn
+  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 8) q
+) WHERE rn <= 5
+"""
+
+
 def _band_keys(m: np.ndarray, planes: int = 24, bands: int = 4, seed: int = 5) -> np.ndarray:
     """(n, bands) int64 band keys: ``planes`` random-hyperplane sign bits,
     split into ``bands`` sub-codes of ``planes // bands`` bits each (the
