@@ -32,6 +32,7 @@ SAMPLE = [
     "doc_fingerprints",      # mod-2^64 Horner hash vs HUGEINT list_reduce
     "simhash_fingerprints",  # FNV-1a shingle SimHash vs UBIGINT bit-vote SQL
     "dedup_minhash_pairs",   # full MinHash-LSH pipeline vs its SQL mirror
+    "ann_cosine_topk_multi", # broadcast query-matrix top-k vs window SQL
     "clean_corpus",          # SimHash pairs -> components -> representative
                              # keep, vs the recursive-CTE closure oracle
 ]
