@@ -464,6 +464,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vs a broadcast query matrix) -- the production batch shape
         "ann_cosine_topk_multi": _ann("cosine_topk_multi"),
         "ann_lsh_topk": _ann("lsh_topk"),
+        # union-read multi-query probe over the same persisted index;
+        # per-batch band-key recomputation keeps per-query results
+        # EXACTLY equal to single-query probes (asserted in tests)
+        "ann_lsh_topk_multi": _ann("lsh_topk_multi"),
         # IVF top-k over the persisted cell-partitioned index (the second
         # ANN scale path; rows-only -- k-means cells are data-dependent;
         # recall + nprobe=all==exact pinned in tests)
@@ -609,7 +613,8 @@ def oracle_sql() -> dict[str, str]:
         # oracle is fine at sf0.01)
         "embedding_near_pairs": ann_sql("EMBEDDING_NEAR_PAIRS_SQL"),
         "outlier_filter_zscore": _OUTLIER_SQL,
-        # still rows-only by design: ann_lsh_topk / ann_ivf_topk /
+        # still rows-only by design: ann_lsh_topk / ann_lsh_topk_multi
+        # / ann_ivf_topk /
         # embedding_near_pairs_ivf (trained-index algorithms),
         # spectral_features (FFT), model_scoring (IRLS), synth_rollup_job
         # / synth_retention_job (checkpointed jobs over synthesized

@@ -354,6 +354,128 @@ def lsh_topk(
     )
 
 
+def lsh_topk_multi(
+    sf_dir: str,
+    k: int = 10,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    probe_r: int = 1,
+    planes: int = 24,
+    bands: int = 4,
+    seed: int = 5,
+):
+    """Multi-query ANN over the persisted LSH index: ONE read of the UNION
+    of every query's probe-ball partitions serves all queries.  Per-query
+    candidate validity is decided inside each batch by RECOMPUTING the
+    batch rows' band keys (same planes/seed -- cheap (n x planes) matmul)
+    and testing membership in each query's ball, so results are EXACTLY
+    what running ``lsh_topk`` per query returns (asserted in tests), while
+    index I/O is shared: at q queries with overlapping balls the union read
+    costs far less than q separate probes.  Returns (query_id, vec_id, sim)
+    rows, <= k per query."""
+    import glob as _glob
+
+    qvecs = []
+    for qid in query_ids:
+        q = query_vector(sf_dir, qid)
+        qvecs.append(q / np.sqrt((q * q).sum()))
+    qn = np.stack(qvecs)
+    q_keys = _band_keys(qn, planes, bands, seed)  # (q, bands)
+    root = build_lsh_index(sf_dir, planes=planes, bands=bands, seed=seed)
+
+    bb = planes // bands
+    # per (query, band) probe ball; union of partitions across queries
+    balls = [
+        [np.array(sorted(_probe_ball(int(q_keys[qi, b]), bb, probe_r)))
+         for b in range(bands)]
+        for qi in range(len(query_ids))
+    ]
+    probe_files = []
+    seen = set()
+    for qi in range(len(query_ids)):
+        for b in range(bands):
+            for key in balls[qi][b]:
+                p = os.path.join(root, f"band={b}", f"key={int(key)}")
+                if p not in seen and os.path.isdir(p):
+                    seen.add(p)
+                    probe_files += _glob.glob(os.path.join(p, "*.parquet"))
+    if not probe_files:
+        probe_files = [root]
+
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64), balls))
+    ds = read_parquet_sized(probe_files, columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qmat, qids, qballs = ray.get(q_ref)
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim_raw": pa.array([], pa.float64())}
+            )
+        m, ids = _emb_matrix(t)
+        keys = _band_keys(m, planes, bands, seed)  # (n, bands)
+        sims = None
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            # candidate iff ANY band key lies in this query's probe ball
+            cand = np.zeros(len(ids), bool)
+            for b in range(bands):
+                ball = qballs[qi][b]
+                pos = np.searchsorted(ball, keys[:, b])
+                pos = np.minimum(pos, len(ball) - 1)
+                cand |= ball[pos] == keys[:, b]
+            if not cand.any():
+                continue
+            if sims is None:
+                norms = np.sqrt((m * m).sum(axis=1))
+                sims = (m @ qmat.T) / norms[:, None]  # (n, q)
+            ci = np.flatnonzero(cand)
+            s = sims[ci, qi]
+            if len(ci) > k:  # per-batch per-query prune
+                keep = np.argpartition(-s, k)[:k]
+                ci, s = ci[keep], s[keep]
+            out_q.append(np.full(len(ci), qids[qi]))
+            out_v.append(ids[ci].astype(np.int64))
+            out_s.append(s)
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim_raw": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim_raw": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        # same vec can arrive from several bands/partitions: dedup, then
+        # rank on raw sims with vec_id tie-break
+        g = g.combine_chunks()
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        sims = g["sim_raw"].to_numpy(zero_copy_only=False)
+        _, uniq_idx = np.unique(ids, return_index=True)
+        ids, sims = ids[uniq_idx], sims[uniq_idx]
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(pa.array(uniq_idx[order])),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "sim": pa.array(np.round(sims[order], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
 def embedding_near_pairs(sf_dir: str, threshold: float = 0.35, blocks: int = 8):
     """EXACT embedding-cosine near-dup pairs via triangle block join.
 

@@ -185,6 +185,27 @@ def test_lsh_topk_recall(ray_session):
             assert sim == exact_sims[vid]
 
 
+def test_lsh_topk_multi_matches_per_query(ray_session):
+    """The union-read multi-query path must return EXACTLY what running
+    lsh_topk per query returns (candidacy is recomputed per batch from the
+    rows' own band keys, so sharing the index read cannot change results)."""
+    from crossai_ts_ray.pipelines.ann_pipeline import lsh_topk, lsh_topk_multi
+    from crossai_ts_ray.util import dataset_to_table
+
+    qids = (0, 3, 7)
+    multi = dataset_to_table(lsh_topk_multi(SF, k=10, query_ids=qids))
+    for qid in qids:
+        single = dataset_to_table(lsh_topk(SF, k=10, query_id=qid))
+        want = sorted(
+            zip(single["vec_id"].to_pylist(), single["sim"].to_pylist())
+        )
+        import pyarrow.compute as pc
+
+        sub = multi.filter(pc.equal(multi["query_id"], qid))
+        got = sorted(zip(sub["vec_id"].to_pylist(), sub["sim"].to_pylist()))
+        assert got == want, f"query {qid} diverged"
+
+
 def test_embedding_near_pairs_exact_triangle_join(ray_session):
     """The triangle block join must produce exactly the brute-force pair
     set (it is an exact algorithm, only the partitioning is new)."""
