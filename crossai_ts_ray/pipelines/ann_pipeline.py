@@ -368,10 +368,12 @@ def lsh_topk_multi(
     candidate validity is decided inside each batch by RECOMPUTING the
     batch rows' band keys (same planes/seed -- cheap (n x planes) matmul)
     and testing membership in each query's ball, so results are EXACTLY
-    what running ``lsh_topk`` per query returns (asserted in tests), while
-    index I/O is shared: at q queries with overlapping balls the union read
-    costs far less than q separate probes.  Returns (query_id, vec_id, sim)
-    rows, <= k per query."""
+    what running ``lsh_topk`` per query returns (asserted in tests) -- same
+    6-decimal-rounded ranking, same vec_id tie-break, same full-scan
+    fallback for a query whose ball holds no partitions -- while index I/O
+    is shared: at q queries with overlapping balls the union read costs far
+    less than q separate probes.  Returns (query_id, vec_id, sim) rows,
+    <= k per query."""
     import glob as _glob
 
     qvecs = []
@@ -391,21 +393,28 @@ def lsh_topk_multi(
     ]
     probe_files = []
     seen = set()
+    ball_hit = [False] * len(query_ids)
     for qi in range(len(query_ids)):
         for b in range(bands):
             for key in balls[qi][b]:
                 p = os.path.join(root, f"band={b}", f"key={int(key)}")
-                if p not in seen and os.path.isdir(p):
-                    seen.add(p)
-                    probe_files += _glob.glob(os.path.join(p, "*.parquet"))
-    if not probe_files:
+                if os.path.isdir(p):
+                    ball_hit[qi] = True
+                    if p not in seen:
+                        seen.add(p)
+                        probe_files += _glob.glob(os.path.join(p, "*.parquet"))
+    # parity with lsh_topk's degenerate fallback: a query whose ball holds
+    # NO partitions scans the whole index unfiltered (candidacy bypassed
+    # for it); queries with partitions keep the ball filter -- their
+    # candidates are all inside the union read either way
+    if not all(ball_hit):
         probe_files = [root]
 
-    q_ref = ray.put((qn, np.asarray(query_ids, np.int64), balls))
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64), balls, ball_hit))
     ds = read_parquet_sized(probe_files, columns=["vec_id", "embedding"])
 
     def score(t: pa.Table) -> pa.Table:
-        qmat, qids, qballs = ray.get(q_ref)
+        qmat, qids, qballs, qhit = ray.get(q_ref)
         t = t.combine_chunks()
         if t.num_rows == 0:
             return pa.table(
@@ -418,18 +427,24 @@ def lsh_topk_multi(
         sims = None
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids)):
-            # candidate iff ANY band key lies in this query's probe ball
-            cand = np.zeros(len(ids), bool)
-            for b in range(bands):
-                ball = qballs[qi][b]
-                pos = np.searchsorted(ball, keys[:, b])
-                pos = np.minimum(pos, len(ball) - 1)
-                cand |= ball[pos] == keys[:, b]
+            if qhit[qi]:
+                # candidate iff ANY band key lies in this query's probe ball
+                cand = np.zeros(len(ids), bool)
+                for b in range(bands):
+                    ball = qballs[qi][b]
+                    pos = np.searchsorted(ball, keys[:, b])
+                    pos = np.minimum(pos, len(ball) - 1)
+                    cand |= ball[pos] == keys[:, b]
+            else:  # degenerate full-scan query: every row is a candidate
+                cand = np.ones(len(ids), bool)
             if not cand.any():
                 continue
             if sims is None:
                 norms = np.sqrt((m * m).sum(axis=1))
-                sims = (m @ qmat.T) / norms[:, None]  # (n, q)
+                # round like lsh_topk's score() does: ranking must see the
+                # SAME values the single-query path ranks on, or top-k
+                # membership can differ at 6-decimal ties
+                sims = np.round((m @ qmat.T) / norms[:, None], 6)  # (n, q)
             ci = np.flatnonzero(cand)
             s = sims[ci, qi]
             if len(ci) > k:  # per-batch per-query prune
@@ -454,7 +469,8 @@ def lsh_topk_multi(
 
     def finalize(g: pa.Table) -> pa.Table:
         # same vec can arrive from several bands/partitions: dedup, then
-        # rank on raw sims with vec_id tie-break
+        # rank on the (already 6-decimal-rounded) sims, vec_id tie-break --
+        # the exact ordering lsh_topk's global sort applies
         g = g.combine_chunks()
         ids = g["vec_id"].to_numpy(zero_copy_only=False)
         sims = g["sim_raw"].to_numpy(zero_copy_only=False)

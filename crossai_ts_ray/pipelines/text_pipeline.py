@@ -1463,27 +1463,9 @@ def _fnv1a5_sql_expr() -> str:
 # whole synthetic corpus and are what the Python kernel's byte path reduces
 # to there); the final conditional subtraction reinterprets the uint64
 # fingerprint as the int64 the Ray query emits via .view(np.int64).
-SIMHASH_FINGERPRINTS_SQL = f"""
-WITH sh AS (
-  SELECT DISTINCT doc_id, {_fnv1a5_sql_expr()} AS h
-  FROM documents, LATERAL (SELECT unnest(range(1, length(text) - 3)) AS i) w
-),
-votes AS (
-  SELECT doc_id, bit,
-         2 * sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE 0 END) - count(*) AS v
-  FROM sh, LATERAL (SELECT unnest(range(0, 64)) AS bit) b
-  GROUP BY doc_id, bit
-)
-SELECT doc_id::BIGINT AS doc_id,
-  CAST(CASE WHEN fp >= CAST('9223372036854775808' AS HUGEINT)
-       THEN fp - CAST('18446744073709551616' AS HUGEINT) ELSE fp END AS BIGINT)
-    AS simhash
-FROM (
-  SELECT doc_id,
-         sum(CASE WHEN v > 0 THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
-             ELSE CAST(0 AS HUGEINT) END) AS fp
-  FROM votes GROUP BY doc_id)
-"""
+# Derived from the SAME CTE chain the pairs/clusters/clean_corpus oracles
+# use (single source of truth for the bit math); assigned right after
+# _simhash_family_ctes below.
 
 
 def _simhash_family_ctes() -> str:
@@ -1535,6 +1517,11 @@ clusters AS (
   SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u
 )"""
 
+
+SIMHASH_FINGERPRINTS_SQL = (
+    f"WITH RECURSIVE {_simhash_family_ctes()} "
+    "SELECT doc_id, simhash FROM fp"
+)
 
 DEDUP_SIMHASH_PAIRS_SQL = (
     f"WITH RECURSIVE {_simhash_family_ctes()} "

@@ -297,6 +297,16 @@ def run_rollup_job(
             compress_rollup(_rd.read_parquet(src_dir), concurrency=2).write_parquet(seg_tmp)
             os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
             os.rename(seg_tmp, seg_dir)
+        # a recomputed partition's rows are fresh: any retention-policy
+        # markers for it are stale (they describe the replaced data) and
+        # must not suppress a re-prune.  Unlink BEFORE the lineage commit:
+        # a kill in between then just re-prunes (idempotent), whereas the
+        # other order could commit fresh rows under a stale marker that
+        # suppresses their pruning forever.
+        for tier in tiers:
+            mk = os.path.join(out_dir, "_lineage", f"prune-{tier.name}-{pid}.json")
+            if os.path.exists(mk):
+                os.unlink(mk)
         _commit_lineage(
             out_dir,
             {
@@ -308,13 +318,6 @@ def run_rollup_job(
                 "watermark": watermark,
             },
         )
-        # a recomputed partition's rows are fresh: any retention-policy
-        # markers for it are stale (they describe the replaced data) and
-        # must not suppress a re-prune
-        for tier in tiers:
-            mk = os.path.join(out_dir, "_lineage", f"prune-{tier.name}-{pid}.json")
-            if os.path.exists(mk):
-                os.unlink(mk)
         return tier_rows
 
     todo = []

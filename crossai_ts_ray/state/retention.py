@@ -62,6 +62,11 @@ def tier_horizons(out_dir: str, tier_name: str, keep_last: int) -> dict[str, int
 
     def partial_max(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
+        if t.num_rows == 0:  # empty blocks occur after reads/exchanges
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "mx": pa.array([], pa.int64())}
+            )
         src = t["source"].to_numpy(zero_copy_only=False)
         bkt = t["bucket"].to_numpy(zero_copy_only=False)
         order = np.argsort(src, kind="stable")
@@ -93,6 +98,12 @@ def _prune_partition_dir(
     a file whose min bucket clears every horizon is untouched; one whose max
     bucket is below every horizon is dropped whole; only straddlers are
     read, filtered and atomically replaced."""
+    # finish any crashed compaction FIRST: its committed manifest names
+    # pre-prune inputs, and replaying it after we rewrite/unlink those
+    # files would resurrect aged-out rows and drop pruned rewrites
+    from .compact import recover_compactions
+
+    recover_compactions(pdir)
     if not horizons:
         return {"files_kept": 0, "files_dropped": 0, "files_rewritten": 0,
                 "rows_dropped": 0}
@@ -146,6 +157,40 @@ def _prune_partition_dir(
     }
 
 
+def _rebuild_compressed_copy(pdir: str) -> None:
+    """If this partition has a Gorilla/DoD segment copy
+    (``tier=<name>.gorilla/part=<pid>``, run_rollup_job's
+    ``compress_finest``), re-encode it from the pruned plain rows so
+    ``read_job_output(from_compressed=True)`` stays bitwise-identical to
+    the pruned store.  Atomic dir swap; a crash mid-swap is healed on the
+    next run (markers commit only after this succeeds)."""
+    import shutil
+
+    tier_dir, part = os.path.split(pdir)
+    root, tier = os.path.split(tier_dir)
+    gdir = os.path.join(root, f"{tier}.gorilla", part)
+    if not os.path.isdir(gdir):
+        return
+    from ..stages.codec import CodecStage
+
+    int_cols = ["bucket", "count", "sum", "min", "max", "tok_count",
+                "tok_sum", "tok_min", "tok_max"]
+    float_cols = ["mean", "p50", "p99", "tok_mean", "tok_p50", "tok_p99"]
+    files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+    tabs = [pq.read_table(f) for f in files]
+    tabs = [t for t in tabs if t.num_rows]
+    tmp = gdir + ".tmp-prune"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    if tabs:
+        segs = CodecStage(int_cols=int_cols, float_cols=float_cols)(
+            pa.concat_tables(tabs).combine_chunks()
+        )
+        pq.write_table(segs, os.path.join(tmp, "segments.parquet"))
+    shutil.rmtree(gdir)
+    os.rename(tmp, gdir)
+
+
 def apply_retention(out_dir: str, policies: dict[str, int]) -> dict:
     """Enforce ``{tier_name: keep_last_buckets}`` over a committed job
     output.  Returns a per-tier summary.  Partition-parallel, resumable,
@@ -178,6 +223,7 @@ def apply_retention(out_dir: str, policies: dict[str, int]) -> dict:
                 batch["pdir"].to_pylist(), batch["pid"].to_pylist()
             ):
                 st = _prune_partition_dir(pdir, horizons)
+                _rebuild_compressed_copy(pdir)
                 mk = _marker_path(out_dir, tier_name, pid)
                 os.makedirs(os.path.dirname(mk), exist_ok=True)
                 tmp = mk + ".tmp"

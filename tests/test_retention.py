@@ -93,6 +93,23 @@ def test_retention_tightening_policy_reprunes(pruned_job):
     assert_tables_bitwise_equal(want, read_job_output(out, "t60"), "tightened")
 
 
+def test_retention_rebuilds_compressed_copy(ray_session, tmp_path):
+    """With compress_finest=True the Gorilla segment copy is 'the
+    retention-store representation' -- pruning the plain tier must re-encode
+    it, keeping read_job_output(from_compressed=True) bitwise identical."""
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out = str(tmp_path / "job")
+    run_rollup_job(d, out, TIERS, salt_mod=0, batch_size=256, compress_finest=True)
+    apply_retention(out, {"t60": KEEP})
+    plain = read_job_output(out, "t60")
+    comp = read_job_output(out, "t60", from_compressed=True)
+    assert_tables_bitwise_equal(plain, comp, "compressed copy re-encoded")
+    tbl = synth.read_all(d)
+    assert_tables_bitwise_equal(
+        _oracle_pruned(tbl, TIERS[0], KEEP), plain, "pruned vs oracle"
+    )
+
+
 def test_retention_horizons_and_validation(pruned_job):
     d, out, _ = pruned_job
     hz = tier_horizons(out, "t240", 3)
