@@ -472,6 +472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ANN scale path; rows-only -- k-means cells are data-dependent;
         # recall + nprobe=all==exact pinned in tests)
         "ann_ivf_topk": _ann("ivf_topk"),
+        # union-cell multi-query IVF probe (per-batch centroid argmax
+        # routes rows to queries; exact per-query parity in tests)
+        "ann_ivf_topk_multi": _ann("ivf_topk_multi"),
         "embedding_near_pairs": _ann("embedding_near_pairs"),
         # IVF cell-blocked approximate near-pairs (the 10^9-row scale path;
         # recall vs the exact triangle join measured in tests)
@@ -614,7 +617,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_pairs": ann_sql("EMBEDDING_NEAR_PAIRS_SQL"),
         "outlier_filter_zscore": _OUTLIER_SQL,
         # still rows-only by design: ann_lsh_topk / ann_lsh_topk_multi
-        # / ann_ivf_topk /
+        # / ann_ivf_topk / ann_ivf_topk_multi /
         # embedding_near_pairs_ivf (trained-index algorithms),
         # spectral_features (FFT), model_scoring (IRLS), synth_rollup_job
         # / synth_retention_job (checkpointed jobs over synthesized

@@ -492,6 +492,133 @@ def lsh_topk_multi(
     )
 
 
+def ivf_topk_multi(
+    sf_dir: str,
+    k: int = 10,
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    nprobe: int = 4,
+    cells: int = 16,
+):
+    """Multi-query ANN over the persisted IVF index: ONE read of the UNION
+    of every query's ``nprobe`` nearest cells serves all queries.  Each
+    batch re-derives its rows' cell assignment (argmax against the
+    persisted centroids -- the exact rule the index writer used, so the
+    recomputed cell always equals the row's partition) and routes rows to
+    the queries probing that cell; results are EXACTLY per-query
+    ``ivf_topk`` outputs (parity-asserted in tests), including its
+    full-scan fallback for a query whose probed cells hold no files."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    root = build_ivf_index(sf_dir, cells=cells)
+    cent = pq.read_table(os.path.join(root, "_centroids.parquet"))
+    flat = cent["centroid"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    C = flat.reshape(cent.num_rows, len(flat) // cent.num_rows)
+    cell_ids = cent["cell"].to_numpy(zero_copy_only=False)
+
+    qn = []
+    probe_sets = []
+    for qid in query_ids:
+        q = query_vector(sf_dir, qid)
+        v = q / np.sqrt((q * q).sum())
+        qn.append(v)
+        order = np.argsort(-(C @ v), kind="stable")
+        probe_sets.append(
+            set(int(c) for c in cell_ids[order[: min(nprobe, len(order))]])
+        )
+    qn = np.stack(qn)
+
+    cell_files = {
+        int(d.split("=", 1)[1]): _glob.glob(os.path.join(root, d, "*.parquet"))
+        for d in os.listdir(root)
+        if d.startswith("cell=")
+    }
+    probe_files = []
+    seen = set()
+    cell_hit = []
+    for ps in probe_sets:
+        hit = False
+        for c in ps:
+            fs = cell_files.get(c, [])
+            if fs:
+                hit = True
+                for f in fs:
+                    if f not in seen:
+                        seen.add(f)
+                        probe_files.append(f)
+        cell_hit.append(hit)
+    if not all(cell_hit):  # parity with ivf_topk's degenerate fallback
+        probe_files = [root]
+
+    q_ref = ray.put((qn, np.asarray(query_ids, np.int64), probe_sets, cell_hit, C))
+    ds = read_parquet_sized(probe_files, columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qmat, qids, psets, qhit, Cm = ray.get(q_ref)
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim_r": pa.array([], pa.float64())}
+            )
+        m, ids = _emb_matrix(t)
+        norms = np.sqrt((m * m).sum(axis=1))
+        mn = m / norms[:, None]
+        row_cell = np.argmax(mn @ Cm.T, axis=1)
+        sims = m @ qmat.T / norms[:, None]  # raw, for the per-batch prune
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            cand = (
+                np.isin(row_cell, list(psets[qi]))
+                if qhit[qi]
+                else np.ones(len(ids), bool)
+            )
+            if not cand.any():
+                continue
+            ci = np.flatnonzero(cand)
+            s = sims[ci, qi]
+            if len(ci) > k:  # ivf_topk prunes on RAW sims per batch
+                keep = np.argpartition(-s, k)[:k]
+                ci, s = ci[keep], s[keep]
+            out_q.append(np.full(len(ci), qids[qi]))
+            out_v.append(ids[ci].astype(np.int64))
+            out_s.append(np.round(s, 6))  # ...and ranks globally on ROUNDED
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "sim_r": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim_r": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        sims = g["sim_r"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": g["query_id"].take(pa.array(order)),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
 def embedding_near_pairs(sf_dir: str, threshold: float = 0.35, blocks: int = 8):
     """EXACT embedding-cosine near-dup pairs via triangle block join.
 

@@ -206,6 +206,26 @@ def test_lsh_topk_multi_matches_per_query(ray_session):
         assert got == want, f"query {qid} diverged"
 
 
+def test_ivf_topk_multi_matches_per_query(ray_session):
+    """Union-cell multi-query IVF must return exactly per-query ivf_topk
+    results (recomputed cell assignment equals the stored partition)."""
+    import pyarrow.compute as pc
+
+    from crossai_ts_ray.pipelines.ann_pipeline import ivf_topk, ivf_topk_multi
+    from crossai_ts_ray.util import dataset_to_table
+
+    qids = (0, 2, 9)
+    multi = dataset_to_table(ivf_topk_multi(SF, k=10, query_ids=qids))
+    for qid in qids:
+        single = dataset_to_table(ivf_topk(SF, k=10, query_id=qid))
+        want = sorted(
+            zip(single["vec_id"].to_pylist(), single["sim"].to_pylist())
+        )
+        sub = multi.filter(pc.equal(multi["query_id"], qid))
+        got = sorted(zip(sub["vec_id"].to_pylist(), sub["sim"].to_pylist()))
+        assert got == want, f"query {qid} diverged"
+
+
 def test_embedding_near_pairs_exact_triangle_join(ray_session):
     """The triangle block join must produce exactly the brute-force pair
     set (it is an exact algorithm, only the partitioning is new)."""
