@@ -1,0 +1,101 @@
+"""Focused events-family bench at beyond-sf scale with a HOT source.
+
+Round 3's weak set was the events family (per-group Python merge; sliding
+window serialized on a hot source).  Both were redesigned in round 4
+(vectorized partition merge; chunked sliding scan with carried boundary
+buckets); this bench puts a measured number on the fix: 10M events over 50
+types where ONE type carries ~50% of rows (the layout that serialized the
+old design), through hourly rollup -> linear gap-fill -> 3h sliding window.
+
+    python tools/bench_events.py [rows]    # one JSON line on stdout
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def make_events(rows: int, out_dir: str) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "events.parquet")
+    if os.path.exists(path):
+        return out_dir
+    rng = np.random.default_rng(11)
+    n_types = 50
+    # one hot type with ~half the rows, the rest zipf-ish
+    w = 1.0 / np.arange(1, n_types + 1) ** 1.5
+    w[0] = w.sum()
+    w /= w.sum()
+    tid = rng.choice(n_types, size=rows, p=w)
+    base = np.datetime64("2025-01-01T00:00:00.000000")
+    span_us = 90 * 24 * 3600 * 1_000_000
+    ts = base + rng.integers(0, span_us, rows).astype("timedelta64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(rows, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 10_000, rows).astype(np.int64)),
+            "event_type": pa.array(np.char.add("type_", tid.astype(str))),
+            "ts": pa.array(ts),
+            "value": pa.array(np.round(rng.random(rows) * 100, 3)),
+        }
+    )
+    pq.write_table(t, path, row_group_size=1 << 20)
+    return out_dir
+
+
+def main():
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sf_dir = make_events(rows, f"/tmp/bench_events_{rows}")
+
+    from crossai_ts_ray.pipelines.events_pipeline import (
+        hourly_gapfill,
+        hourly_rollup,
+        sliding_hourly,
+    )
+    from crossai_ts_ray.util import dataset_to_table
+
+    out = {"rows": rows, "hot_share": 0.5, "types": 50,
+           "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "8")), "stages": {}}
+    for name, fn in (
+        ("hourly_rollup", lambda: hourly_rollup(sf_dir)),
+        ("gapfill_linear", lambda: hourly_gapfill(sf_dir, "linear")),
+        ("sliding_3h", lambda: sliding_hourly(sf_dir, window_buckets=3)),
+    ):
+        best = float("inf")
+        n_out = 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            tbl = dataset_to_table(fn())
+            best = min(best, time.perf_counter() - t0)
+            n_out = tbl.num_rows
+        out["stages"][name] = {
+            "sec": round(best, 3),
+            "out_rows": n_out,
+            "rows_per_sec": round(rows / best, 1),
+        }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
