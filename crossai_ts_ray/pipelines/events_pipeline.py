@@ -147,8 +147,17 @@ def hourly_rollup(sf_dir: str, width: int = HOUR, buckets: int | None = None) ->
         key = (sh << np.int64(32)) | (bk & np.int64(0xFFFFFFFF))
         return p.append_column("prt", pa.array(hash_prt(key, buckets), pa.int64()))
 
+    # LARGE batches for the combiner: its output is one row per
+    # (source, bucket) seen in the batch, so batches must dwarf the group
+    # cardinality or the "combiner" ships ~raw-sized partials (measured at
+    # 10M rows / 108k groups: 1MB read blocks -> 60k-row batches combined
+    # nothing and the exchange sorted the whole table; 1M-row batches cut
+    # shuffled partials ~10x)
     parts = ev.map_batches(
-        partial_with_prt, batch_format="pyarrow", zero_copy_batch=True
+        partial_with_prt,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1_048_576,
     )
     return parts.groupby("prt").map_groups(
         lambda g: _merge_hourly_partition(g.drop_columns(["prt"])),
