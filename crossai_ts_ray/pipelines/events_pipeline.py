@@ -695,7 +695,9 @@ def user_top_event(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
         return best_rows(t, with_prt=True)
 
     return (
-        ev.map_batches(combiner, batch_format="pyarrow")
+        # large batches: the combiner emits one row per user per batch, so
+        # batch rows must dwarf user cardinality (see hourly_rollup)
+        ev.map_batches(combiner, batch_format="pyarrow", batch_size=1_048_576)
         .groupby("prt")
         .map_groups(
             lambda g: best_rows(g.drop_columns(["prt"]), with_prt=False),
