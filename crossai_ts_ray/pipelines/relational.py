@@ -191,7 +191,12 @@ def top_customers(sf_dir: str, k: int = 10, broadcast: bool | None = None):
             }
         )
 
-    parts = orders.map_batches(partial, batch_format="pyarrow")
+    # 1M-row combiner batches: partial emits one row per custkey per
+    # batch, so batch rows must dwarf key cardinality (see
+    # events_pipeline.hourly_rollup)
+    parts = orders.map_batches(
+        partial, batch_format="pyarrow", batch_size=1_048_576
+    )
 
     def merge_partition(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
