@@ -497,6 +497,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": _rel("q3_shipping_priority"),
         "parts_never_bulk_ordered": _rel("parts_never_bulk_ordered"),
         "q5_local_supplier_revenue": _rel("q5_local_supplier_revenue"),
+        # second relational wave: EXISTS semi-join, conditional ratio,
+        # join + conditional counts, HAVING + join-back, disjunctive join
+        "q4_order_priority": _rel_ext("q4_order_priority"),
+        "q12_priority_by_flag": _rel_ext("q12_priority_by_flag"),
+        "q14_promo_revenue": _rel_ext("q14_promo_revenue"),
+        "q18_large_orders": _rel_ext("q18_large_orders"),
+        "q19_disjunctive_revenue": _rel_ext("q19_disjunctive_revenue"),
         # multimodal REAL-decode features (rows-only: byte-level codecs have
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
@@ -544,6 +551,21 @@ def relational_sql(name: str) -> str:
     return getattr(relational, name)
 
 
+def _rel_ext(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import relational_ext
+
+        return getattr(relational_ext, fn_name)(sf_dir)
+
+    return run
+
+
+def rel_ext_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import relational_ext
+
+    return getattr(relational_ext, name)
+
+
 def text_sql(name: str) -> str:
     from crossai_ts_ray.pipelines import text_pipeline
 
@@ -582,6 +604,11 @@ def oracle_sql() -> dict[str, str]:
         "q3_shipping_priority": relational_sql("Q3_SQL"),
         "parts_never_bulk_ordered": relational_sql("PARTS_NEVER_BULK_SQL"),
         "q5_local_supplier_revenue": relational_sql("Q5_SQL"),
+        "q4_order_priority": rel_ext_sql("Q4_SQL"),
+        "q12_priority_by_flag": rel_ext_sql("Q12_SQL"),
+        "q14_promo_revenue": rel_ext_sql("Q14_SQL"),
+        "q18_large_orders": rel_ext_sql("Q18_SQL"),
+        "q19_disjunctive_revenue": rel_ext_sql("Q19_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
