@@ -504,6 +504,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": _rel_ext("q14_promo_revenue"),
         "q18_large_orders": _rel_ext("q18_large_orders"),
         "q19_disjunctive_revenue": _rel_ext("q19_disjunctive_revenue"),
+        # analytics family: window functions, pivot, exact distinct/quantile,
+        # grouped mode, deterministic hash sampling
+        "user_event_lag_diff": _analytics("user_event_lag_diff"),
+        "topk_events_per_user": _analytics("topk_events_per_user"),
+        "events_hourly_rate": _analytics("events_hourly_rate"),
+        "user_value_quantiles": _analytics("user_value_quantiles"),
+        "type_user_distinct": _analytics("type_user_distinct"),
+        "events_type_pivot": _analytics("events_type_pivot"),
+        "source_top_lang": _analytics("source_top_lang"),
+        "doc_sample_hash": _analytics("doc_sample_hash"),
         # multimodal REAL-decode features (rows-only: byte-level codecs have
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
@@ -566,6 +576,21 @@ def rel_ext_sql(name: str) -> str:
     return getattr(relational_ext, name)
 
 
+def _analytics(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import analytics
+
+        return getattr(analytics, fn_name)(sf_dir)
+
+    return run
+
+
+def analytics_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import analytics
+
+    return getattr(analytics, name)
+
+
 def text_sql(name: str) -> str:
     from crossai_ts_ray.pipelines import text_pipeline
 
@@ -609,6 +634,14 @@ def oracle_sql() -> dict[str, str]:
         "q14_promo_revenue": rel_ext_sql("Q14_SQL"),
         "q18_large_orders": rel_ext_sql("Q18_SQL"),
         "q19_disjunctive_revenue": rel_ext_sql("Q19_SQL"),
+        "user_event_lag_diff": analytics_sql("USER_EVENT_LAG_DIFF_SQL"),
+        "topk_events_per_user": analytics_sql("TOPK_EVENTS_PER_USER_SQL"),
+        "events_hourly_rate": analytics_sql("EVENTS_HOURLY_RATE_SQL"),
+        "user_value_quantiles": analytics_sql("USER_VALUE_QUANTILES_SQL"),
+        "type_user_distinct": analytics_sql("TYPE_USER_DISTINCT_SQL"),
+        "events_type_pivot": analytics_sql("EVENTS_TYPE_PIVOT_SQL"),
+        "source_top_lang": analytics_sql("SOURCE_TOP_LANG_SQL"),
+        "doc_sample_hash": analytics_sql("DOC_SAMPLE_HASH_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),

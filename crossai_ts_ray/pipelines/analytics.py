@@ -1,0 +1,767 @@
+"""Window-function / pivot / distinct / quantile analytics over the events
+and documents tables -- the SQL-analytics surface a training-data pipeline
+leans on next to the rollup and dedup families.
+
+Every operator here follows the engine's two-stage shape: a per-batch
+VECTORIZED combiner that collapses rows to key-bounded partials, ONE keyed
+hash exchange, and a per-partition vectorized segment pass (lexsort +
+reduceat / shift) that computes every group in the partition at once -- no
+per-group Python calls whose count scales with data.  Exactness bridges:
+value sums ride int64 micro-units; quantiles mirror the oracle's linear
+interpolation with the house epsilon-biased rounding (see
+events_pipeline.user_value_stats).
+
+Reference parity: the reference's per-signal feature extraction loops
+(/root/reference/caits/fe/_statistical.py) are per-array NumPy; these are
+the same kernels re-expressed as distributed grouped scans.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.readers import read_parquet_sized, suggest_buckets
+from ..stages.joins import hash_prt
+
+MICRO = 1_000_000.0
+
+
+def _np(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _ts_us(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    # epsilon-biased rounding, mirrored as round(x + 1e-9, 6) in the SQL
+    # oracles: breaks 1e-6 rounding ties identically on both sides
+    return np.round(x + 1e-9, 6)
+
+
+def _read_events(sf_dir: str, cols: list[str]):
+    return read_parquet_sized(f"{sf_dir}/events.parquet", columns=cols)
+
+
+# ---------------------------------------------------------------------------
+# LAG window: per-user previous value + delta
+# ---------------------------------------------------------------------------
+
+def user_event_lag_diff(sf_dir: str, buckets: int | None = None):
+    """Each event with the SAME user's previous value and the delta
+    (``LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)``) --
+    the window-function scan shape.
+
+    Scale shape: ONE keyed exchange (hash by user), then one vectorized
+    lexsort + shift per partition computes every user's lag at once; the
+    first event per user gets NULL prev/delta via a validity mask, never a
+    sentinel value.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column("prt", pa.array(hash_prt(uid, buckets), pa.int64()))
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("prev_value", pa.float64()),
+            ("value_diff", pa.float64()),
+        ]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((eid, ts, uid))
+        u_s, v_s = uid[order], v[order]
+        prev = np.empty_like(v_s)
+        prev[1:] = v_s[:-1]
+        prev[0] = np.nan
+        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        # value - prev is the identical IEEE subtraction DuckDB performs,
+        # so no rounding bridge is needed
+        diff = v_s - prev
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "ts": pa.array(ts[order].view("datetime64[us]")),
+                "value": pa.array(v_s, pa.float64()),
+                "prev_value": pa.array(prev, pa.float64(), mask=first),
+                "value_diff": pa.array(diff, pa.float64(), mask=first),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_EVENT_LAG_DIFF_SQL = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       value::DOUBLE AS value,
+       LAG(value) OVER w AS prev_value,
+       value - LAG(value) OVER w AS value_diff
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped top-k rows: each user's 3 highest-value events with rank
+# ---------------------------------------------------------------------------
+
+_TOPK = 3
+
+
+def topk_events_per_user(sf_dir: str, k: int = _TOPK, buckets: int | None = None):
+    """Each user's top-``k`` events by value with their rank
+    (``row_number() <= k`` per partition) -- the grouped top-k-ROWS shape,
+    generalizing the k=1 grouped argmax of ``user_top_event``.
+
+    Scale shape: the per-batch combiner prunes to k candidate rows per user
+    per batch (lexsort + rank-within-run), so the keyed exchange moves at
+    most ``batches x users_per_batch x k`` rows; the per-partition merge
+    repeats the same selection and emits the rank.  Ordering is the SQL
+    total order (value DESC with NaN first / NULL last, then ts, event_id).
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def prune(t: pa.Table, with_prt: bool, emit_rank: bool) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        val = _np(t["value"])
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        vcol = t["value"] if not isinstance(t["value"], pa.ChunkedArray) \
+            else t["value"].combine_chunks()
+        null = (
+            vcol.is_null().to_numpy(zero_copy_only=False)
+            if vcol.null_count
+            else np.zeros(len(val), dtype=bool)
+        )
+        null_key = null.view(np.int8)
+        nan_key = np.where(np.isnan(val) & ~null, 0, 1).astype(np.int8)
+        order = np.lexsort((eid, ts, -(val + 0.0), nan_key, null_key, uid))
+        u_s = uid[order]
+        if len(u_s):
+            starts = np.flatnonzero(
+                np.concatenate(([True], u_s[1:] != u_s[:-1]))
+            )
+            counts = np.diff(np.append(starts, len(u_s)))
+            rank = np.arange(len(u_s), dtype=np.int64) - np.repeat(starts, counts)
+            keep = rank < k
+            sel = order[keep]
+            rnk = rank[keep] + 1
+        else:
+            sel = order
+            rnk = np.zeros(0, np.int64)
+        cols = {
+            "user_id": pa.array(uid[sel], pa.int64()),
+            "event_id": pa.array(eid[sel], pa.int64()),
+            "ts": pa.array(ts[sel].view("datetime64[us]")),
+            "value": pa.array(val[sel], pa.float64(), mask=null[sel]),
+        }
+        if emit_rank:
+            cols["rnk"] = pa.array(rnk, pa.int64())
+        if with_prt:
+            cols["prt"] = pa.array(hash_prt(uid[sel], buckets), pa.int64())
+        return pa.table(cols)
+
+    return (
+        ev.map_batches(
+            lambda t: prune(t, with_prt=True, emit_rank=False),
+            batch_format="pyarrow",
+            batch_size=1_048_576,
+        )
+        .groupby("prt")
+        .map_groups(
+            lambda g: prune(g.drop_columns(["prt"]), with_prt=False, emit_rank=True),
+            batch_format="pyarrow",
+        )
+    )
+
+
+TOPK_EVENTS_PER_USER_SQL = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       value::DOUBLE AS value,
+       row_number() OVER w::BIGINT AS rnk
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, ts, event_id)
+QUALIFY row_number() OVER w <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hourly event-count rate of change per type (LAG over grouped buckets)
+# ---------------------------------------------------------------------------
+
+def events_hourly_rate(sf_dir: str):
+    """Hour-over-hour change in event count per type: hourly counts, then
+    ``cnt - LAG(cnt)`` over each type's PRESENT buckets in order -- the
+    time-series rate/derivative shape (PromQL ``rate()`` over a count
+    stream, reset-free since counts are per-bucket).
+
+    Scale shape: per-batch (type, hour-bucket) count combiner collapses raw
+    events inside map tasks; the exchange carries one row per (type, bucket)
+    partial; the per-type ordered diff is a vectorized sort + shift.  Group
+    count equals the TYPE DOMAIN (a handful by construction) and rows per
+    group are bounded by bucket count (hours of history), never raw events
+    -- the same bounded-domain argument as lang_distribution.
+    """
+    ev = _read_events(sf_dir, ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        if not len(codes):
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "bucket": pa.nulls(0, pa.int64()),
+                 "cnt": pa.nulls(0, pa.int64())}
+            )
+        # combined (type, bucket) key: buckets are epoch-hours < 2^40
+        key = codes * (1 << 44) + bucket
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        cnt = np.diff(np.append(starts, len(ks)))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bucket": pa.array(bucket[sel], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(
+        partial, batch_format="pyarrow", batch_size=1_048_576
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("n_events", pa.int64()),
+            ("prev_n", pa.int64()),
+            ("delta", pa.int64()),
+        ]
+    )
+
+    def rate_scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        b = _np(g["bucket"])
+        c = _np(g["cnt"])
+        order = np.argsort(b, kind="stable")
+        bs, cs = b[order], c[order]
+        # merge partial counts of the same bucket
+        starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+        ub = bs[starts]
+        uc = np.add.reduceat(cs, starts)
+        prev = np.empty_like(uc)
+        prev[1:] = uc[:-1]
+        first = np.zeros(len(uc), dtype=bool)
+        first[0] = True
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g["event_type"][0].as_py()] * len(ub), pa.string()
+                ),
+                "bucket": pa.array(ub, pa.int64()),
+                "n_events": pa.array(uc, pa.int64()),
+                "prev_n": pa.array(prev, pa.int64(), mask=first),
+                "delta": pa.array(uc - prev, pa.int64(), mask=first),
+            },
+            schema=out_schema,
+        )
+
+    return parts.groupby("event_type").map_groups(rate_scan, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_RATE_SQL = """
+WITH agg AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket, n_events,
+       LAG(n_events) OVER w AS prev_n,
+       n_events - LAG(n_events) OVER w AS delta
+FROM agg
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles (PERCENTILE_CONT linear interpolation)
+# ---------------------------------------------------------------------------
+
+_QS = (0.25, 0.50, 0.75, 0.90)
+
+
+def user_value_quantiles(sf_dir: str, buckets: int | None = None):
+    """Exact per-user value quantiles (p25/p50/p75/p90) with SQL
+    ``quantile_cont`` linear-interpolation semantics.
+
+    Scale shape: ONE keyed exchange (hash by user); each partition sorts
+    once (lexsort by user, value) and computes every user's four quantiles
+    with vectorized segment indexing -- position ``(n-1)q`` split into
+    floor/ceil gather + one fused lerp, no per-group Python.  Group size is
+    bounded by per-user event counts; group count grows with data.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column("prt", pa.array(hash_prt(uid, buckets), pa.int64()))
+
+    names = [f"p{int(q * 100)}" for q in _QS]
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n", pa.int64())]
+        + [(nm, pa.float64()) for nm in names]
+    )
+
+    def quant_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((v, uid))
+        u_s, v_s = uid[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
+        n = np.diff(np.append(starts, len(u_s)))
+        cols = {
+            "user_id": pa.array(u_s[starts], pa.int64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        }
+        for q, nm in zip(_QS, names):
+            pos = (n - 1).astype(np.float64) * q
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            frac = pos - lo
+            vlo = v_s[starts + lo]
+            vhi = v_s[starts + hi]
+            cols[nm] = pa.array(_round6(vlo + (vhi - vlo) * frac), pa.float64())
+        return pa.table(cols, schema=out_schema)
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: quant_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_VALUE_QUANTILES_SQL = """
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n,
+       round(quantile_cont(value, 0.25) + 1e-9, 6) AS p25,
+       round(quantile_cont(value, 0.50) + 1e-9, 6) AS p50,
+       round(quantile_cont(value, 0.75) + 1e-9, 6) AS p75,
+       round(quantile_cont(value, 0.90) + 1e-9, 6) AS p90
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact COUNT(DISTINCT) per group
+# ---------------------------------------------------------------------------
+
+def type_user_distinct(sf_dir: str, buckets: int | None = None):
+    """Exact distinct-user count per event type -- the distributed
+    ``COUNT(DISTINCT)`` shape.
+
+    Scale shape: the per-batch combiner dedupes (type, user) pairs inside
+    map tasks; the exchange hashes by USER so every copy of a pair lands in
+    one partition; each partition dedupes once (vectorized) and emits
+    per-type partial counts, which are additive across partitions because a
+    pair exists in exactly one.  The final sum is a type-domain-sized
+    aggregate.  No per-key state ever concentrates: memory per partition is
+    bounded by distinct pairs / buckets.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "event_type"])
+
+    def pair_dedupe(t: pa.Table, with_prt: bool) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = _np(t["user_id"]).astype(np.int64)
+        if not len(codes):
+            cols = {
+                "event_type": pa.nulls(0, pa.string()),
+                "user_id": pa.nulls(0, pa.int64()),
+            }
+            if with_prt:
+                cols["prt"] = pa.nulls(0, pa.int64())
+            return pa.table(cols)
+        order = np.lexsort((codes, uid))
+        u_s, c_s = uid[order], codes[order]
+        keep = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (c_s[1:] != c_s[:-1]))
+        )
+        sel = order[keep]
+        cols = {
+            "event_type": et.take(pa.array(sel)).cast(pa.string()),
+            "user_id": pa.array(uid[sel], pa.int64()),
+        }
+        if with_prt:
+            cols["prt"] = pa.array(hash_prt(uid[sel], buckets), pa.int64())
+        return pa.table(cols)
+
+    def count_partition(t: pa.Table) -> pa.Table:
+        d = pair_dedupe(t, with_prt=False)
+        et = d["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(et.dictionary)).astype(np.int64)
+        seen = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "event_type": et.dictionary.take(pa.array(seen)).cast(pa.string()),
+                "part_users": pa.array(cnt[seen], pa.int64()),
+            }
+        )
+
+    parts = (
+        ev.map_batches(
+            lambda t: pair_dedupe(t, with_prt=True),
+            batch_format="pyarrow",
+            batch_size=1_048_576,
+        )
+        .groupby("prt")
+        .map_groups(
+            lambda g: count_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        return pa.table(
+            {
+                "event_type": g["event_type"][:1].cast(pa.string()),
+                "distinct_users": pa.array(
+                    [int(_np(g["part_users"]).sum())], pa.int64()
+                ),
+            }
+        )
+
+    return parts.groupby("event_type").map_groups(final, batch_format="pyarrow")
+
+
+TYPE_USER_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id)::BIGINT AS distinct_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot: per-user value sums spread over the event-type domain
+# ---------------------------------------------------------------------------
+
+_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_type_pivot(sf_dir: str, buckets: int | None = None):
+    """Per-user event-value sums PIVOTED into one column per event type
+    (plus the total event count) -- the wide-format feature-table shape a
+    model-training join consumes.
+
+    Scale shape: per-batch (user, type) micro-unit sum combiner, ONE keyed
+    exchange on user, then a vectorized scatter per partition builds the
+    (users x types) matrix -- the type domain is fixed and small, so the
+    pivot is a dense gather, not a dynamic-schema explosion.  Types absent
+    for a user emit 0.0 (the oracle's COALESCE).
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "event_type", "value"])
+    type_rank = {t: i for i, t in enumerate(_TYPES)}
+    ntypes = len(_TYPES)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = _np(t["user_id"]).astype(np.int64)
+        val_u = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"user_id": pa.nulls(0, pa.int64()),
+                 "tcode": pa.nulls(0, pa.int64()),
+                 "sum_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64()),
+                 "prt": pa.nulls(0, pa.int64())}
+            )
+        # map dictionary codes -> fixed domain ranks (fails loudly on an
+        # unexpected type rather than silently mis-binning)
+        dom = np.array(
+            [type_rank[s] for s in et.dictionary.to_pylist()], dtype=np.int64
+        )
+        tcode = dom[codes]
+        key = uid * ntypes + tcode
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(val_u[order], starts)
+        n = np.diff(np.append(starts, len(ks)))
+        uk = ks[starts]
+        return pa.table(
+            {
+                "user_id": pa.array(uk // ntypes, pa.int64()),
+                "tcode": pa.array(uk % ntypes, pa.int64()),
+                "sum_u": pa.array(sums, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "prt": pa.array(hash_prt(uk // ntypes, buckets), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64())]
+        + [(f"{t}_sum", pa.float64()) for t in _TYPES]
+        + [("n_events", pa.int64())]
+    )
+
+    def pivot_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"])
+        tcode = _np(t["tcode"])
+        sums = _np(t["sum_u"])
+        n = _np(t["n"])
+        uu, uidx = np.unique(uid, return_inverse=True)
+        mat = np.zeros((len(uu), ntypes), dtype=np.int64)
+        np.add.at(mat, (uidx, tcode), sums)
+        cnt = np.zeros(len(uu), dtype=np.int64)
+        np.add.at(cnt, uidx, n)
+        cols = {"user_id": pa.array(uu, pa.int64())}
+        for i, ty in enumerate(_TYPES):
+            cols[f"{ty}_sum"] = pa.array(mat[:, i] / MICRO, pa.float64())
+        cols["n_events"] = pa.array(cnt, pa.int64())
+        return pa.table(cols, schema=out_schema)
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: pivot_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+EVENTS_TYPE_PIVOT_SQL = """
+SELECT user_id::BIGINT AS user_id,
+       COALESCE(SUM(CASE WHEN event_type = 'click'
+         THEN CAST(round(value * 1000000, 0) AS BIGINT) END), 0) / 1000000.0 AS click_sum,
+       COALESCE(SUM(CASE WHEN event_type = 'error'
+         THEN CAST(round(value * 1000000, 0) AS BIGINT) END), 0) / 1000000.0 AS error_sum,
+       COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         THEN CAST(round(value * 1000000, 0) AS BIGINT) END), 0) / 1000000.0 AS purchase_sum,
+       COALESCE(SUM(CASE WHEN event_type = 'signup'
+         THEN CAST(round(value * 1000000, 0) AS BIGINT) END), 0) / 1000000.0 AS signup_sum,
+       COALESCE(SUM(CASE WHEN event_type = 'view'
+         THEN CAST(round(value * 1000000, 0) AS BIGINT) END), 0) / 1000000.0 AS view_sum,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode: most common language per document source
+# ---------------------------------------------------------------------------
+
+def source_top_lang(sf_dir: str, buckets: int | None = None):
+    """Most common language per document source with its count (grouped
+    MODE / top-1-by-frequency; ties break to the alphabetically first
+    language so the result is a deterministic total order).
+
+    Scale shape: per-batch (source, lang) count combiner, exchange hashed by
+    source string (stable crc32 of distinct values), vectorized per-partition
+    merge + argmax-per-run.  Exchange rows are bounded by sources x langs per
+    batch, never documents.
+    """
+    from .events_pipeline import _source_hash
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/documents.parquet")
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        src = t["source"].combine_chunks().dictionary_encode()
+        lng = t["lang"].combine_chunks().dictionary_encode()
+        sc = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lc = lng.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(sc):
+            return pa.table(
+                {"source": pa.nulls(0, pa.string()),
+                 "lang": pa.nulls(0, pa.string()),
+                 "cnt": pa.nulls(0, pa.int64()),
+                 "prt": pa.nulls(0, pa.int64())}
+            )
+        nl = len(lng.dictionary)
+        key = sc * nl + lc
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        cnt = np.diff(np.append(starts, len(ks)))
+        uk = ks[starts]
+        src_sel = src.dictionary.take(pa.array(uk // nl))
+        return pa.table(
+            {
+                "source": src_sel.cast(pa.string()),
+                "lang": lng.dictionary.take(pa.array(uk % nl)).cast(pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "prt": pa.array(
+                    hash_prt(_source_hash(src_sel), buckets), pa.int64()
+                ),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("top_lang", pa.string()), ("n_docs", pa.int64())]
+    )
+
+    def argmax_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        src = t["source"].combine_chunks().dictionary_encode()
+        lng = t["lang"].combine_chunks().dictionary_encode()
+        sc = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lc = lng.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = _np(t["cnt"])
+        nl = len(lng.dictionary)
+        # merge partial counts of the same (source, lang)
+        key = sc * nl + lc
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        csum = np.add.reduceat(cnt[order], starts)
+        uk = ks[starts]
+        u_sc, u_lc = uk // nl, uk % nl
+        # alphabetical rank of each lang code for the tiebreak
+        lang_strs = np.array(lng.dictionary.to_pylist())
+        rank_of_code = np.empty(nl, dtype=np.int64)
+        rank_of_code[np.argsort(lang_strs, kind="stable")] = np.arange(nl)
+        # argmax per source: count desc, lang-rank asc
+        sel_order = np.lexsort((rank_of_code[u_lc], -csum, u_sc))
+        s_s = u_sc[sel_order]
+        first = np.flatnonzero(np.concatenate(([True], s_s[1:] != s_s[:-1])))
+        sel = sel_order[first]
+        return pa.table(
+            {
+                "source": src.dictionary.take(pa.array(u_sc[sel])).cast(pa.string()),
+                "top_lang": lng.dictionary.take(pa.array(u_lc[sel])).cast(pa.string()),
+                "n_docs": pa.array(csum[sel], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: argmax_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SOURCE_TOP_LANG_SQL = """
+WITH c AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang AS top_lang, n_docs
+FROM c
+QUALIFY row_number() OVER (
+  PARTITION BY source ORDER BY n_docs DESC, lang
+) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+def doc_sample_hash(sf_dir: str):
+    """Deterministic 1/8 sample of documents by content hash: keep rows
+    whose md5 starts below 0x20 -- the reproducible-sampling shape (same
+    rows on every run, every cluster size, every partitioning; no RNG
+    state to coordinate).
+
+    Scale shape: embarrassingly parallel filter inside map tasks, zero
+    exchanges; selectivity is uniform because md5 is.  The per-row md5 cost
+    is the same measured trade documented at text_pipeline.LangQuality.
+    """
+    from .text_pipeline import md5_fingerprint
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+
+    def sample(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        keep = np.array(
+            [md5_fingerprint(s)[:2] < "20" for s in t["text"].to_pylist()],
+            dtype=bool,
+        )
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"],
+                "n_chars": t["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+DOC_SAMPLE_HASH_SQL = """
+SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE substr(md5(text), 1, 2) < '20'
+"""

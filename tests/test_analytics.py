@@ -1,0 +1,105 @@
+"""Partitioning/batching invariance for the analytics family: the keyed
+exchange's bucket count and the combiner's batch boundaries must never
+change an output bit (same guarantee the rollup and dedup families carry).
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(ds):
+    from tools.verify_correctness import canon, to_pandas
+
+    return canon(to_pandas(ds))
+
+
+def test_quantiles_bucket_invariance(ray_session):
+    from crossai_ts_ray.pipelines.analytics import user_value_quantiles
+
+    a = _canon(user_value_quantiles(SF, buckets=1))
+    b = _canon(user_value_quantiles(SF, buckets=17))
+    assert a.equals(b)
+
+
+def test_topk_bucket_invariance(ray_session):
+    from crossai_ts_ray.pipelines.analytics import topk_events_per_user
+
+    a = _canon(topk_events_per_user(SF, buckets=2))
+    b = _canon(topk_events_per_user(SF, buckets=13))
+    assert a.equals(b)
+    # k rows per user, rank dense from 1
+    assert set(a["rnk"].unique()) <= {1, 2, 3}
+    assert (a.groupby("user_id")["rnk"].max() <= 3).all()
+
+
+def test_pivot_bucket_invariance_and_totals(ray_session):
+    import duckdb
+
+    from crossai_ts_ray.pipelines.analytics import events_type_pivot
+
+    a = _canon(events_type_pivot(SF, buckets=3))
+    b = _canon(events_type_pivot(SF, buckets=29))
+    assert a.equals(b)
+    # row count == distinct users; n_events sums to the table size
+    con = duckdb.connect()
+    n_users, n_rows = con.execute(
+        f"SELECT count(DISTINCT user_id), count(*) FROM '{SF}/events.parquet'"
+    ).fetchone()
+    assert len(a) == n_users
+    assert int(a["n_events"].sum()) == n_rows
+
+
+def test_distinct_matches_pandas(ray_session):
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.analytics import type_user_distinct
+
+    got = _canon(type_user_distinct(SF, buckets=5))
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "user_id"])
+    want = (
+        ev.groupby("event_type")["user_id"]
+        .nunique()
+        .reset_index()
+        .rename(columns={"user_id": "distinct_users"})
+    )
+    want["distinct_users"] = want["distinct_users"].astype("int64")
+    from tools.verify_correctness import canon
+
+    assert canon(want).equals(got)
+
+
+def test_lag_diff_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.analytics import user_event_lag_diff
+
+    got = _canon(user_event_lag_diff(SF, buckets=4))
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    prev = ev.groupby("user_id")["value"].shift(1)
+    want = pd.DataFrame(
+        {
+            "user_id": ev["user_id"].astype("int64"),
+            "event_id": ev["event_id"].astype("int64"),
+            "ts": ev["ts"],
+            "value": ev["value"],
+            "prev_value": prev,
+            "value_diff": ev["value"] - prev,
+        }
+    )
+    from tools.verify_correctness import canon
+
+    want = canon(want)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+        else:
+            assert (a == b).all(), c

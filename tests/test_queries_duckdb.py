@@ -35,6 +35,12 @@ SAMPLE = [
     "ann_cosine_topk_multi", # broadcast query-matrix top-k vs window SQL
     "clean_corpus",          # SimHash pairs -> components -> representative
                              # keep, vs the recursive-CTE closure oracle
+    "q4_order_priority",     # correlated EXISTS semi-join, one keyed exchange
+    "q18_large_orders",      # groupby-HAVING + join-back of rare survivors
+    "user_value_quantiles",  # grouped exact PERCENTILE_CONT (linear interp)
+    "events_type_pivot",     # per-user pivot over the event-type domain
+    "topk_events_per_user",  # grouped top-k rows with rank (row_number <= 3)
+    "type_user_distinct",    # distributed exact COUNT(DISTINCT) per group
 ]
 
 
