@@ -514,6 +514,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_pivot": _analytics("events_type_pivot"),
         "source_top_lang": _analytics("source_top_lang"),
         "doc_sample_hash": _analytics("doc_sample_hash"),
+        # time-series scans: expanding-frame window, sequential IIR smoothing
+        "user_breakout_minmax": _analytics("user_breakout_minmax"),
+        "ewma_hourly": _analytics("ewma_hourly"),
         # multimodal REAL-decode features (rows-only: byte-level codecs have
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
@@ -642,6 +645,10 @@ def oracle_sql() -> dict[str, str]:
         "events_type_pivot": analytics_sql("EVENTS_TYPE_PIVOT_SQL"),
         "source_top_lang": analytics_sql("SOURCE_TOP_LANG_SQL"),
         "doc_sample_hash": analytics_sql("DOC_SAMPLE_HASH_SQL"),
+        "user_breakout_minmax": analytics_sql("USER_BREAKOUT_MINMAX_SQL"),
+        # sequential EWMA recurrence mirrored by a recursive CTE (bitwise:
+        # identical float op order on both sides, no rounding bridge)
+        "ewma_hourly": analytics_sql("EWMA_HOURLY_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),

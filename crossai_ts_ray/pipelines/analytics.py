@@ -765,3 +765,214 @@ SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
 FROM documents
 WHERE substr(md5(text), 1, 2) < '20'
 """
+
+
+# ---------------------------------------------------------------------------
+# Expanding-window min/max per user (breakout detection scan)
+# ---------------------------------------------------------------------------
+
+def user_breakout_minmax(sf_dir: str, buckets: int | None = None):
+    """Each event with the running min/max of the SAME user's STRICTLY
+    PRECEDING values (``MIN/MAX(...) OVER (... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``) -- the breakout/new-high detection scan;
+    the first event per user gets NULLs (empty frame).
+
+    Scale shape: ONE keyed exchange (hash by user); the per-partition pass
+    is a lexsort + per-group shift + cumulative min/max.  The grouped
+    cummax/cummin runs through pandas' C kernels (one call per PARTITION,
+    never per group); min/max are exact comparisons, so no float bridge.
+    """
+    import pandas as pd
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column("prt", pa.array(hash_prt(uid, buckets), pa.int64()))
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("run_min", pa.float64()),
+            ("run_max", pa.float64()),
+        ]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((eid, ts, uid))
+        u_s, v_s = uid[order], v[order]
+        g = pd.Series(v_s).groupby(u_s, sort=False)
+        prev = g.shift(1)
+        pg = prev.groupby(u_s, sort=False)
+        run_min = pg.cummin().to_numpy()
+        run_max = pg.cummax().to_numpy()
+        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "ts": pa.array(ts[order].view("datetime64[us]")),
+                "value": pa.array(v_s, pa.float64()),
+                "run_min": pa.array(run_min, pa.float64(), mask=first),
+                "run_max": pa.array(run_max, pa.float64(), mask=first),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_BREAKOUT_MINMAX_SQL = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       value::DOUBLE AS value,
+       MIN(value) OVER w AS run_min,
+       MAX(value) OVER w AS run_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# EWMA over hourly means per type (sequential IIR recurrence)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.3
+
+
+def ewma_hourly(sf_dir: str, alpha: float = _EWMA_ALPHA):
+    """Exponentially-weighted moving average of the hourly mean value per
+    event type: ``s_t = alpha * x_t + (1 - alpha) * s_{t-1}`` seeded with
+    the first bucket's mean -- the classic time-series smoothing recurrence
+    (same IIR family as the PCEN scan, functions/pcen.py).
+
+    Scale shape: raw events collapse to (type, bucket) int64-micro partial
+    sums inside map tasks; the exchange carries one row per partial; the
+    per-type sequential recurrence runs over HOURLY BUCKETS (domain-bounded:
+    years of history is ~10^4 steps, independent of event count).  The
+    recurrence preserves the oracle's exact float op order, so equality is
+    bitwise with no rounding bridge; the oracle is a recursive CTE.
+    """
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        val_u = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "bucket": pa.nulls(0, pa.int64()),
+                 "sum_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64())}
+            )
+        key = codes * (1 << 44) + bucket
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(val_u[order], starts)
+        n = np.diff(np.append(starts, len(ks)))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bucket": pa.array(bucket[sel], pa.int64()),
+                "sum_u": pa.array(sums, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(
+        partial, batch_format="pyarrow", batch_size=1_048_576
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("hourly_mean", pa.float64()),
+            ("ewma", pa.float64()),
+        ]
+    )
+
+    def ewma_scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        b = _np(g["bucket"])
+        su = _np(g["sum_u"])
+        n = _np(g["n"])
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+        ub = bs[starts]
+        usum = np.add.reduceat(su[order], starts)
+        un = np.add.reduceat(n[order], starts)
+        # mirror the oracle's op order exactly: (BIGINT / 1000000.0) / n
+        x = (usum / 1_000_000.0) / un
+        # the decay factor must be the same DOUBLE the oracle's literal
+        # parses to: `1.0 - 0.3` lands exactly on a rounding tie and can
+        # differ from the literal 0.7 by one ulp, so mirror the literal
+        beta = 0.7 if alpha == _EWMA_ALPHA else 1.0 - alpha
+        s = np.empty_like(x)
+        if len(x):
+            s[0] = x[0]
+            for i in range(1, len(x)):  # sequential by definition; the
+                # series length is hourly buckets, not events
+                s[i] = alpha * x[i] + beta * s[i - 1]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g["event_type"][0].as_py()] * len(ub), pa.string()
+                ),
+                "bucket": pa.array(ub, pa.int64()),
+                "hourly_mean": pa.array(x, pa.float64()),
+                "ewma": pa.array(s, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return parts.groupby("event_type").map_groups(ewma_scan, batch_format="pyarrow")
+
+
+EWMA_HOURLY_SQL = """
+WITH RECURSIVE agg AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS sum_u,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+seq AS (
+  SELECT event_type, bucket, (sum_u / 1000000.0) / n AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM agg
+),
+rec AS (
+  SELECT event_type, bucket, x, rn, x AS ewma FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.bucket, s.x, s.rn,
+         0.3 * s.x + 0.7 * r.ewma
+  FROM seq s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, bucket, x AS hourly_mean, ewma FROM rec
+"""

@@ -73,6 +73,56 @@ def test_distinct_matches_pandas(ray_session):
     assert canon(want).equals(got)
 
 
+def test_breakout_bucket_invariance_and_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.analytics import user_breakout_minmax
+
+    a = _canon(user_breakout_minmax(SF, buckets=2))
+    b = _canon(user_breakout_minmax(SF, buckets=19))
+    assert a.equals(b)
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    prev = ev.groupby("user_id")["value"].shift(1)
+    want_max = prev.groupby(ev["user_id"]).cummax().to_numpy()
+    got = a.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    gm = got["run_max"].to_numpy()
+    assert ((gm == want_max) | (np.isnan(gm) & np.isnan(want_max))).all()
+
+
+def test_ewma_matches_sequential_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.analytics import ewma_hourly
+
+    got = _canon(ewma_hourly(SF))
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["bucket"] = (ev["ts"].astype("int64") // 1_000_000) // 3600
+    ev["vu"] = np.rint(ev["value"].to_numpy() * 1e6).astype("int64")
+    agg = ev.groupby(["event_type", "bucket"]).agg(
+        sum_u=("vu", "sum"), n=("vu", "size")
+    ).reset_index()
+    rows = []
+    for ty, g in agg.groupby("event_type"):
+        g = g.sort_values("bucket")
+        x = (g["sum_u"].to_numpy() / 1_000_000.0) / g["n"].to_numpy()
+        s = np.empty_like(x)
+        s[0] = x[0]
+        for i in range(1, len(x)):
+            s[i] = 0.3 * x[i] + 0.7 * s[i - 1]
+        rows.append(pd.DataFrame(
+            {"event_type": ty, "bucket": g["bucket"].to_numpy(),
+             "hourly_mean": x, "ewma": s}
+        ))
+    from tools.verify_correctness import canon
+
+    want = canon(pd.concat(rows, ignore_index=True))
+    assert (got["ewma"].to_numpy() == want["ewma"].to_numpy()).all()
+
+
 def test_lag_diff_matches_pandas(ray_session):
     import numpy as np
     import pandas as pd

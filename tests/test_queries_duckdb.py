@@ -41,6 +41,9 @@ SAMPLE = [
     "events_type_pivot",     # per-user pivot over the event-type domain
     "topk_events_per_user",  # grouped top-k rows with rank (row_number <= 3)
     "type_user_distinct",    # distributed exact COUNT(DISTINCT) per group
+    "ewma_hourly",           # sequential IIR recurrence vs recursive CTE,
+                             # bitwise (identical float op order)
+    "user_breakout_minmax",  # expanding-frame window min/max scan
 ]
 
 
