@@ -517,6 +517,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-series scans: expanding-frame window, sequential IIR smoothing
         "user_breakout_minmax": _analytics("user_breakout_minmax"),
         "ewma_hourly": _analytics("ewma_hourly"),
+        "user_conversion": _analytics("user_conversion"),
+        "value_histogram": _analytics("value_histogram"),
+        "events_type_unpivot": _analytics("events_type_unpivot"),
+        "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         # multimodal REAL-decode features (rows-only: byte-level codecs have
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
@@ -646,6 +650,10 @@ def oracle_sql() -> dict[str, str]:
         "source_top_lang": analytics_sql("SOURCE_TOP_LANG_SQL"),
         "doc_sample_hash": analytics_sql("DOC_SAMPLE_HASH_SQL"),
         "user_breakout_minmax": analytics_sql("USER_BREAKOUT_MINMAX_SQL"),
+        "user_conversion": analytics_sql("USER_CONVERSION_SQL"),
+        "value_histogram": analytics_sql("VALUE_HISTOGRAM_SQL"),
+        "events_type_unpivot": analytics_sql("EVENTS_TYPE_UNPIVOT_SQL"),
+        "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
         # sequential EWMA recurrence mirrored by a recursive CTE (bitwise:
         # identical float op order on both sides, no rounding bridge)
         "ewma_hourly": analytics_sql("EWMA_HOURLY_SQL"),

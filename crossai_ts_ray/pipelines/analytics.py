@@ -768,6 +768,279 @@ WHERE substr(md5(text), 1, 2) < '20'
 
 
 # ---------------------------------------------------------------------------
+# Funnel conversion: first signup -> first subsequent purchase per user
+# ---------------------------------------------------------------------------
+
+def user_conversion(sf_dir: str, buckets: int | None = None):
+    """Per-user funnel: first signup timestamp, first purchase STRICTLY
+    after it, and the conversion latency in microseconds (NULL when the
+    user never converted; users who never signed up are excluded) -- the
+    event-sequence/funnel shape.
+
+    Scale shape: only the two funnel event types survive the map-side
+    filter, signup rows collapse to per-user min partials per batch, and
+    ONE keyed exchange co-locates each user's signup partials with their
+    purchase rows; the per-partition pass is two vectorized segment
+    reductions (min signup, then min purchase gated by it).  Exchange bytes
+    are bounded by funnel-event rows, never the full stream.
+    """
+    import pyarrow.compute as pc
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def fun_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks()
+        is_s = pc.equal(et, "signup").to_numpy(zero_copy_only=False)
+        is_p = pc.equal(et, "purchase").to_numpy(zero_copy_only=False)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        # signup rows collapse to one min per user per batch
+        su, smin = (uid[is_s], ts[is_s])
+        if len(su):
+            order = np.argsort(su, kind="stable")
+            ks = su[order]
+            starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+            su = ks[starts]
+            smin = np.minimum.reduceat(smin[order], starts)
+        pu, pts = uid[is_p], ts[is_p]
+        u = np.concatenate([su, pu])
+        tt = np.concatenate([smin, pts])
+        kind = np.concatenate(
+            [np.zeros(len(su), np.int8), np.ones(len(pu), np.int8)]
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(tt, pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
+                "prt": pa.array(hash_prt(u, buckets), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("signup_ts", pa.timestamp("us")),
+            ("purchase_ts", pa.timestamp("us")),
+            ("convert_us", pa.int64()),
+        ]
+    )
+
+    def funnel_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"])
+        ts = _np(t["ts_us"])
+        kind = _np(t["kind"])
+        s_mask = kind == 0
+        su, sts = uid[s_mask], ts[s_mask]
+        if not len(su):
+            return pa.Table.from_pylist([], schema=out_schema)
+        order = np.argsort(su, kind="stable")
+        ks = su[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        users = ks[starts]
+        signup = np.minimum.reduceat(sts[order], starts)
+        # purchases gated by their user's first signup
+        pu, pts = uid[~s_mask], ts[~s_mask]
+        pos = np.searchsorted(users, pu)
+        hit = (pos < len(users)) & (users[np.minimum(pos, len(users) - 1)] == pu)
+        after = np.zeros(len(pu), dtype=bool)
+        after[hit] = pts[hit] > signup[pos[hit]]
+        pu, pts, pos = pu[after], pts[after], pos[after]
+        first_p = np.full(len(users), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(first_p, pos, pts)
+        converted = first_p != np.iinfo(np.int64).max
+        miss = ~converted
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "signup_ts": pa.array(signup.view("datetime64[us]")),
+                "purchase_ts": pa.array(
+                    first_p.view("datetime64[us]"), mask=miss
+                ),
+                "convert_us": pa.array(first_p - signup, pa.int64(), mask=miss),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(fun_partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: funnel_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_CONVERSION_SQL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+  GROUP BY e.user_id
+)
+SELECT s.user_id::BIGINT AS user_id, s.signup_ts, p.purchase_ts,
+       epoch_us(p.purchase_ts) - epoch_us(s.signup_ts) AS convert_us
+FROM s LEFT JOIN p USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped histogram over fixed-width value bins
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 25.0
+
+
+def value_histogram(sf_dir: str, width: float = _HIST_WIDTH,
+                    buckets: int | None = None):
+    """Event-count histogram per (event_type, fixed-width value bin) --
+    the EDA distribution sketch, exact (``floor(value / width)`` binning,
+    mirrored in the oracle with the identical double division).
+
+    Scale shape: per-batch (type, bin) count combiner, one keyed exchange
+    hashed on the pair, vectorized per-partition merge -- rows moved are
+    bounded by types x occupied bins per batch.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vbin = np.floor(_np(t["value"]) / width).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "bin": pa.nulls(0, pa.int64()),
+                 "cnt": pa.nulls(0, pa.int64()),
+                 "prt": pa.nulls(0, pa.int64())}
+            )
+        key = codes * (1 << 40) + (vbin - vbin.min())
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        cnt = np.diff(np.append(starts, len(ks)))
+        sel = order[starts]
+        pair_hash = codes[sel] * np.int64(1_000_003) + vbin[sel]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bin": pa.array(vbin[sel], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "prt": pa.array(hash_prt(pair_hash, buckets), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("bin", pa.int64()),
+         ("n_events", pa.int64())]
+    )
+
+    def merge_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vbin = _np(t["bin"])
+        cnt = _np(t["cnt"])
+        key = codes * (1 << 40) + (vbin - vbin.min())
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        csum = np.add.reduceat(cnt[order], starts)
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bin": pa.array(vbin[sel], pa.int64()),
+                "n_events": pa.array(csum, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT event_type, floor(value / 25.0)::BIGINT AS bin,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY event_type, floor(value / 25.0)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unpivot: the wide per-user feature table back to long form
+# ---------------------------------------------------------------------------
+
+def events_type_unpivot(sf_dir: str, buckets: int | None = None):
+    """Long-form (user_id, event_type, type_sum) from the pivoted per-user
+    table -- the UNPIVOT/melt inverse of ``events_type_pivot``, emitting
+    every (user x type) cell including zeros so the pair is lossless.
+
+    Scale shape: rides the pivot (combiner + one exchange), then a
+    zero-exchange vectorized tile per batch (5 rows out per user row in).
+    """
+    wide = events_type_pivot(sf_dir, buckets=buckets)
+    ntypes = len(_TYPES)
+    type_arr = pa.array(list(_TYPES), pa.string())
+
+    def melt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        n = t.num_rows
+        uid = _np(t["user_id"])
+        sums = np.stack(
+            [_np(t[f"{ty}_sum"]) for ty in _TYPES], axis=1
+        ).reshape(-1)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(uid, ntypes), pa.int64()),
+                "event_type": type_arr.take(
+                    pa.array(np.tile(np.arange(ntypes, dtype=np.int64), n))
+                ),
+                "type_sum": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+EVENTS_TYPE_UNPIVOT_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+ty AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+s AS (
+  SELECT user_id, event_type,
+         SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS sum_u
+  FROM events GROUP BY user_id, event_type
+)
+SELECT u.user_id::BIGINT AS user_id, ty.event_type,
+       COALESCE(s.sum_u, 0) / 1000000.0 AS type_sum
+FROM u CROSS JOIN ty
+LEFT JOIN s ON s.user_id = u.user_id AND s.event_type = ty.event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Expanding-window min/max per user (breakout detection scan)
 # ---------------------------------------------------------------------------
 

@@ -625,6 +625,182 @@ def q19_disjunctive_revenue(sf_dir: str):
     return pa.table({"revenue": pa.array([rev_u / MICRO], pa.float64())})
 
 
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item revenue, top customers with dimensions attached
+# ---------------------------------------------------------------------------
+
+_Q10_LO = np.datetime64("1997-01-01T00:00:00.000000").astype(np.int64)
+_Q10_HI = np.datetime64("1998-01-01T00:00:00.000000").astype(np.int64)
+
+
+def q10_returned_revenue(sf_dir: str, k: int = 20, buckets: int | None = None):
+    """Top-``k`` customers by revenue lost to returned items in 1997, with
+    name, account balance and nation attached (TPC-H Q10 shape).
+
+    Scale shape: lineitem collapses to per-orderkey revenue partials inside
+    map tasks (only returnflag='R' rows in the window survive the read
+    filter); ONE partitioned equijoin attaches o_custkey; per-custkey sums
+    merge with per-partition top-k pruning under the global tiebreak
+    (revenue desc, custkey asc), so the global sort sees ``k x partitions``
+    rows; the k winners take the broadcast customer/nation lookups.
+    """
+    import pandas as pd
+    import ray
+
+    if buckets is None:
+        buckets = suggest_buckets(
+            f"{sf_dir}/orders.parquet", f"{sf_dir}/lineitem.parquet"
+        )
+
+    items = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag", "l_shipdate"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ship = _ts_us(t["l_shipdate"])
+        keep = (
+            (ship >= _Q10_LO) & (ship < _Q10_HI)
+            & (pc.equal(t["l_returnflag"].combine_chunks(), "R")
+               .to_numpy(zero_copy_only=False))
+        )
+        t = t.filter(pa.array(keep))
+        ok, s = _sum_runs(
+            _np(t["l_orderkey"]).astype(np.int64),
+            _micros(
+                _np(t["l_extendedprice"]) * (1.0 - _np(t["l_discount"]))
+            ),
+        )
+        return pa.table(
+            {"l_orderkey": pa.array(ok, pa.int64()),
+             "rev_u": pa.array(s, pa.int64())}
+        )
+
+    order_rev = keyed_equijoin(
+        items.map_batches(
+            rev_partial, batch_format="pyarrow", batch_size=1_048_576
+        ),
+        read_parquet_sized(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ),
+        on=("l_orderkey", "o_orderkey"),
+        buckets=buckets,
+        schemas=(
+            pa.schema([("l_orderkey", pa.int64()), ("rev_u", pa.int64())]),
+            pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        ),
+    )
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"c_custkey": pa.nulls(0, pa.int64()),
+                 "rev_u": pa.nulls(0, pa.int64()),
+                 "prt": pa.nulls(0, pa.int64())}
+            )
+        ck, s = _sum_runs(
+            _np(t["o_custkey"]).astype(np.int64), _np(t["rev_u"])
+        )
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck, pa.int64()),
+                "rev_u": pa.array(s, pa.int64()),
+                "prt": pa.array(hash_prt(ck, 32), pa.int64()),
+            }
+        )
+
+    parts = order_rev.map_batches(
+        cust_partial, batch_format="pyarrow", batch_size=1_048_576
+    )
+
+    def merge_topk(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ck, s = _sum_runs(_np(t["c_custkey"]), _np(t["rev_u"]))
+        if len(ck) > k:
+            idx = np.lexsort((ck, -s))[:k]
+            ck, s = ck[idx], s[idx]
+        return pa.table(
+            {"c_custkey": pa.array(ck, pa.int64()),
+             "rev_u": pa.array(s, pa.int64())}
+        )
+
+    topk = (
+        parts.groupby("prt")
+        .map_groups(
+            lambda g: merge_topk(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+        .sort(["rev_u", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+    if not _fits_broadcast(f"{sf_dir}/customer.parquet"):
+        raise ValueError(
+            "q10_returned_revenue: customer exceeds the broadcast guard; "
+            "attach the k winners through keyed_equijoin at that scale "
+            "(top_customers shows the fallback wiring)"
+        )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    ref = ray.put(
+        (
+            ck[order],
+            cust["c_name"].to_numpy()[order],
+            cust["c_acctbal"].to_numpy()[order],
+            cust["c_nationkey"].to_numpy().astype(np.int64)[order],
+            dict(zip(nation["n_nationkey"].astype(np.int64), nation["n_name"])),
+        )
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, names, bal, natk, n_names = ray.get(ref)
+        t = t.combine_chunks()
+        probes = _np(t["c_custkey"])
+        pos = _lookup(keys, probes, "q10 c_custkey")
+        return pa.table(
+            {
+                "c_custkey": pa.array(probes, pa.int64()),
+                "c_name": pa.array(names[pos], pa.string()),
+                "c_acctbal": pa.array(bal[pos], pa.float64()),
+                "n_name": pa.array(
+                    [n_names[x] for x in natk[pos]], pa.string()
+                ),
+                "revenue": pa.array(_np(t["rev_u"]) / MICRO, pa.float64()),
+            }
+        )
+
+    return topk.map_batches(attach, batch_format="pyarrow")
+
+
+Q10_SQL = """
+SELECT o.o_custkey::BIGINT AS c_custkey, any_value(c.c_name) AS c_name,
+       any_value(c.c_acctbal) AS c_acctbal, any_value(n.n_name) AS n_name,
+       SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT))
+         / 1000000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY o.o_custkey
+ORDER BY SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT)) DESC,
+         o.o_custkey
+LIMIT 20
+"""
+
+
 Q19_SQL = """
 SELECT SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 1000000, 0) AS BIGINT))
        / 1000000.0 AS revenue

@@ -123,6 +123,40 @@ def test_ewma_matches_sequential_reference(ray_session):
     assert (got["ewma"].to_numpy() == want["ewma"].to_numpy()).all()
 
 
+def test_conversion_bucket_invariance_and_semantics(ray_session):
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.analytics import user_conversion
+
+    a = _canon(user_conversion(SF, buckets=1))
+    b = _canon(user_conversion(SF, buckets=23))
+    assert a.equals(b)
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    signup_users = set(ev.loc[ev["event_type"] == "signup", "user_id"])
+    assert set(a["user_id"]) == signup_users
+    conv = a.dropna(subset=["purchase_ts"])
+    assert (conv["purchase_ts"] > conv["signup_ts"]).all()
+    assert (conv["convert_us"] > 0).all()
+
+
+def test_unpivot_inverts_pivot(ray_session):
+    from crossai_ts_ray.pipelines.analytics import (
+        _TYPES,
+        events_type_pivot,
+        events_type_unpivot,
+    )
+
+    wide = _canon(events_type_pivot(SF))
+    long = _canon(events_type_unpivot(SF))
+    assert len(long) == len(wide) * len(_TYPES)
+    back = long.pivot(index="user_id", columns="event_type", values="type_sum")
+    for ty in _TYPES:
+        assert (
+            back[ty].sort_index().to_numpy()
+            == wide.sort_values("user_id")[f"{ty}_sum"].to_numpy()
+        ).all()
+
+
 def test_lag_diff_matches_pandas(ray_session):
     import numpy as np
     import pandas as pd

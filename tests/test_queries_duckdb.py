@@ -44,6 +44,8 @@ SAMPLE = [
     "ewma_hourly",           # sequential IIR recurrence vs recursive CTE,
                              # bitwise (identical float op order)
     "user_breakout_minmax",  # expanding-frame window min/max scan
+    "user_conversion",       # funnel: first signup -> first later purchase
+    "q10_returned_revenue",  # join + grouped top-k + dimension attach
 ]
 
 
