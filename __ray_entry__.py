@@ -521,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _analytics("value_histogram"),
         "events_type_unpivot": _analytics("events_type_unpivot"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
+        "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         # multimodal REAL-decode features (rows-only: byte-level codecs have
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
@@ -654,6 +655,7 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": analytics_sql("VALUE_HISTOGRAM_SQL"),
         "events_type_unpivot": analytics_sql("EVENTS_TYPE_UNPIVOT_SQL"),
         "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
+        "segment_nation_rollup": rel_ext_sql("SEGMENT_NATION_ROLLUP_SQL"),
         # sequential EWMA recurrence mirrored by a recursive CTE (bitwise:
         # identical float op order on both sides, no rounding bridge)
         "ewma_hourly": analytics_sql("EWMA_HOURLY_SQL"),

@@ -46,6 +46,7 @@ SAMPLE = [
     "user_breakout_minmax",  # expanding-frame window min/max scan
     "user_conversion",       # funnel: first signup -> first later purchase
     "q10_returned_revenue",  # join + grouped top-k + dimension attach
+    "segment_nation_rollup", # GROUP BY ROLLUP: 3 granularities, one pass
 ]
 
 
