@@ -75,9 +75,11 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     import ray.data as _rd
 
     def _warm_workers(b):
+        import crossai_ts_ray.pipelines.analytics  # noqa: F401
         import crossai_ts_ray.pipelines.ann_pipeline  # noqa: F401
         import crossai_ts_ray.pipelines.events_pipeline  # noqa: F401
         import crossai_ts_ray.pipelines.relational  # noqa: F401
+        import crossai_ts_ray.pipelines.relational_ext  # noqa: F401
         import crossai_ts_ray.pipelines.text_pipeline  # noqa: F401
         import crossai_ts_ray.stages.aligned  # noqa: F401
         import crossai_ts_ray.stages.rollup  # noqa: F401

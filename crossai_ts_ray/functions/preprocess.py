@@ -249,15 +249,27 @@ def _sinc_resample(y: np.ndarray, orig_sr: float, target_sr: float,
     return (gathered * taps * valid).sum(axis=1)
 
 
+_SOXR_FALLBACK = {
+    "soxr_vhq": "kaiser_best",
+    "soxr_hq": "kaiser_best",
+    "soxr_mq": "kaiser_fast",
+    "soxr_lq": "kaiser_fast",
+}
+
+
 def resample(y: np.ndarray, orig_sr: float, target_sr: float,
-             res_type: str = "linear", scale: bool = False) -> np.ndarray:
+             res_type: str = "linear", scale: bool = False,
+             soxr_fallback: bool = False) -> np.ndarray:
     """librosa-style resample dispatch (caits/core/_core_resample.py:14):
     output length ceil(n * target/orig); ``res_type`` 'linear' (np.interp),
     'fft' (Fourier method), 'polyphase' (integer rates),
     'kaiser_best'/'kaiser_fast' (band-limited sinc interpolation, any
     ratio).  soxr modes need the soxr library (absent in this container)
-    and raise with that pointer.  ``scale=True`` rescales so the energy
-    (sum of squares) is approximately preserved."""
+    and raise with that pointer -- UNLESS ``soxr_fallback=True``, which
+    routes them to the quality-matched band-limited sinc kernel
+    (vhq/hq -> kaiser_best, mq/lq -> kaiser_fast; same anti-aliasing
+    contract, NOT bit-identical to libsoxr).  ``scale=True`` rescales so
+    the energy (sum of squares) is approximately preserved."""
     y = np.asarray(y, dtype=np.float64)
     if orig_sr == target_sr:
         return y.copy()
@@ -279,10 +291,16 @@ def resample(y: np.ndarray, orig_sr: float, target_sr: float,
         out = _resample_polyphase(y, up // g, down // g)
     elif res_type in _SINC_MODES:
         out = _sinc_resample(y, orig_sr, target_sr, *_SINC_MODES[res_type])
-    elif res_type in ("soxr_hq", "soxr_vhq", "soxr_mq", "soxr_lq"):
-        raise NotImplementedError(
-            f"res_type={res_type!r} needs the soxr library (absent in this "
-            "container); use 'kaiser_best', 'linear', 'fft' or 'polyphase'"
+    elif res_type in _SOXR_FALLBACK:
+        if not soxr_fallback:
+            raise NotImplementedError(
+                f"res_type={res_type!r} needs the soxr library (absent in "
+                "this container); pass soxr_fallback=True to route to the "
+                f"quality-matched {_SOXR_FALLBACK[res_type]!r} sinc kernel, "
+                "or use 'kaiser_best', 'linear', 'fft' or 'polyphase'"
+            )
+        out = _sinc_resample(
+            y, orig_sr, target_sr, *_SINC_MODES[_SOXR_FALLBACK[res_type]]
         )
     else:
         raise ValueError(f"unknown res_type {res_type!r}")

@@ -310,6 +310,13 @@ def test_resample_fft_mode():
         resample(x, fs, 2 * fs, res_type="soxr_hq")
     with pytest.raises(ValueError):
         resample(x, fs, 2 * fs, res_type="bogus")
+    # opt-in fallback routes soxr modes to the quality-matched sinc kernel
+    fb = resample(x, fs, 2 * fs, res_type="soxr_hq", soxr_fallback=True)
+    kb = resample(x, fs, 2 * fs, res_type="kaiser_best")
+    assert np.array_equal(fb, kb)
+    fb_lq = resample(x, fs, 2 * fs, res_type="soxr_lq", soxr_fallback=True)
+    kf = resample(x, fs, 2 * fs, res_type="kaiser_fast")
+    assert np.array_equal(fb_lq, kf)
     # energy-preserving scale option
     sc = resample(x, fs, 4 * fs, res_type="fft", scale=True)
     assert np.abs((sc**2).sum() - (x**2).sum()) / (x**2).sum() < 0.05
