@@ -67,6 +67,14 @@ def main():
     DataContext.get_current().enable_progress_bars = False
     sf_dir = make_events(rows, f"/tmp/bench_events_{rows}")
 
+    from crossai_ts_ray.pipelines.analytics import (
+        ewma_hourly,
+        topk_events_per_user,
+        user_breakout_minmax,
+        user_event_lag_diff,
+        user_value_quantiles,
+        value_histogram,
+    )
     from crossai_ts_ray.pipelines.events_pipeline import (
         hourly_gapfill,
         hourly_rollup,
@@ -80,14 +88,28 @@ def main():
         ("hourly_rollup", lambda: hourly_rollup(sf_dir)),
         ("gapfill_linear", lambda: hourly_gapfill(sf_dir, "linear")),
         ("sliding_3h", lambda: sliding_hourly(sf_dir, window_buckets=3)),
+        # analytics scans over the same hot-type table: the row-level window
+        # scans (lag, breakout) ship raw rows through ONE keyed exchange;
+        # the rest are combiner-bounded
+        ("lag_diff", lambda: user_event_lag_diff(sf_dir)),
+        ("topk_per_user", lambda: topk_events_per_user(sf_dir)),
+        ("quantiles", lambda: user_value_quantiles(sf_dir)),
+        ("breakout_minmax", lambda: user_breakout_minmax(sf_dir)),
+        ("histogram", lambda: value_histogram(sf_dir)),
+        ("ewma_hourly", lambda: ewma_hourly(sf_dir)),
     ):
+        # row-count-sized outputs (the per-event window scans) are CONSUMED
+        # STREAMING (count()) -- materializing 10M rows on the driver would
+        # measure the object store, not the operator; small outputs
+        # round-trip fully so out_rows is still exact
+        streaming = name in ("lag_diff", "breakout_minmax")
         best = float("inf")
         n_out = 0
         for _ in range(2):
             t0 = time.perf_counter()
-            tbl = dataset_to_table(fn())
+            ds = fn()
+            n_out = ds.count() if streaming else dataset_to_table(ds).num_rows
             best = min(best, time.perf_counter() - t0)
-            n_out = tbl.num_rows
         out["stages"][name] = {
             "sec": round(best, 3),
             "out_rows": n_out,
