@@ -903,7 +903,8 @@ _HIST_WIDTH = 25.0
 
 
 def value_histogram(sf_dir: str, width: float = _HIST_WIDTH,
-                    buckets: int | None = None):
+                    buckets: int | None = None,
+                    combine_batch_rows: int = 1_048_576):
     """Event-count histogram per (event_type, fixed-width value bin) --
     the EDA distribution sketch, exact (``floor(value / width)`` binning,
     mirrored in the oracle with the identical double division).
@@ -912,6 +913,8 @@ def value_histogram(sf_dir: str, width: float = _HIST_WIDTH,
     hashed on the pair, vectorized per-partition merge -- rows moved are
     bounded by types x occupied bins per batch.
     """
+    from .events_pipeline import _source_hash
+
     if buckets is None:
         buckets = suggest_buckets(f"{sf_dir}/events.parquet")
     ev = _read_events(sf_dir, ["event_type", "value"])
@@ -934,10 +937,16 @@ def value_histogram(sf_dir: str, width: float = _HIST_WIDTH,
         starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
         cnt = np.diff(np.append(starts, len(ks)))
         sel = order[starts]
-        pair_hash = codes[sel] * np.int64(1_000_003) + vbin[sel]
+        et_sel = et.take(pa.array(sel)).cast(pa.string())
+        # the partition hash MUST be batch-independent: dictionary codes are
+        # first-appearance-ordered PER BATCH, so hashing them would split the
+        # same (type, bin) group across partitions (duplicate output rows);
+        # hash the stable crc32 of the type string instead
+        with np.errstate(over="ignore"):
+            pair_hash = _source_hash(et_sel) * np.int64(1_000_003) + vbin[sel]
         return pa.table(
             {
-                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "event_type": et_sel,
                 "bin": pa.array(vbin[sel], pa.int64()),
                 "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
                 "prt": pa.array(hash_prt(pair_hash, buckets), pa.int64()),
@@ -973,7 +982,9 @@ def value_histogram(sf_dir: str, width: float = _HIST_WIDTH,
         )
 
     return (
-        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        ev.map_batches(
+            partial, batch_format="pyarrow", batch_size=combine_batch_rows
+        )
         .groupby("prt")
         .map_groups(
             lambda g: merge_partition(g.drop_columns(["prt"])),

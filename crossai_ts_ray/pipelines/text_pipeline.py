@@ -376,6 +376,7 @@ def minhash_signatures(sf_dir: str, num_hashes: int = 64):
 
 
 _SIG_TABLE_DIRS: dict[tuple[str, int], str] = {}
+_RECON_DIRS: list[str] = []  # dedup_clusters recon tables, newest last
 
 
 def persisted_minhash_signatures(
@@ -1184,6 +1185,16 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10, buckets: int = 16):
     import tempfile
 
     recon_root = tempfile.mkdtemp(prefix="crossai_dedup_recon_")
+    # the returned dataset reads these files LAZILY, so the dir cannot be
+    # deleted here; bound the leak instead: keep the two most recent recon
+    # dirs (current call + one still-consumable predecessor), janitor older
+    # ones (review finding -- repeated calls previously accumulated
+    # O(clustered-docs) parquet per call until /tmp filled)
+    _RECON_DIRS.append(recon_root)
+    while len(_RECON_DIRS) > 2:
+        import shutil
+
+        shutil.rmtree(_RECON_DIRS.pop(0), ignore_errors=True)
     (
         pairs_ds.map_batches(edges_routed, batch_format="pyarrow")
         .groupby("prt")

@@ -68,7 +68,12 @@ def estimate_salt(
     its partition ``f x buckets`` times the average; salt by that factor,
     clamped to [1, max_salt].  Below ``hot_threshold`` x average the skew
     isn't worth the salt's right-side replication, so return 1."""
-    tb = left.limit(sample_rows).take_batch(sample_rows, batch_format="pyarrow")
+    try:
+        tb = left.limit(sample_rows).take_batch(
+            sample_rows, batch_format="pyarrow"
+        )
+    except ValueError:  # take_batch raises on an EMPTY dataset (e.g. a
+        return 1        # filter kept nothing) before any len-guard can run
     k = tb[key].to_numpy(zero_copy_only=False)
     if not len(k):
         return 1

@@ -295,6 +295,12 @@ def run_rollup_job(
             if os.path.exists(seg_dir):
                 shutil.rmtree(seg_dir)
             compress_rollup(_rd.read_parquet(src_dir), concurrency=2).write_parquet(seg_tmp)
+            # sidecar: the plain-file fingerprint this copy encodes, so
+            # retention can skip re-encoding untouched partitions
+            from .retention import _plain_fingerprint
+
+            with open(os.path.join(seg_tmp, "_plainfp"), "w") as fh:
+                fh.write(_plain_fingerprint(src_dir))
             os.makedirs(os.path.dirname(seg_dir), exist_ok=True)
             os.rename(seg_tmp, seg_dir)
         # a recomputed partition's rows are fresh: any retention-policy

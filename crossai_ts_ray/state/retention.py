@@ -34,6 +34,7 @@ import glob
 import json
 import os
 import time
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -157,13 +158,31 @@ def _prune_partition_dir(
     }
 
 
+def _plain_fingerprint(pdir: str) -> str:
+    """Cheap content fingerprint of a partition's plain parquet files:
+    sorted (basename, size, row count) triples -- footer reads only."""
+    parts = []
+    for f in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+        parts.append(
+            f"{os.path.basename(f)}:{os.path.getsize(f)}:"
+            f"{pq.read_metadata(f).num_rows}"
+        )
+    return f"{zlib.crc32('|'.join(parts).encode()) & 0xFFFFFFFF:08x}"
+
+
 def _rebuild_compressed_copy(pdir: str) -> None:
     """If this partition has a Gorilla/DoD segment copy
     (``tier=<name>.gorilla/part=<pid>``, run_rollup_job's
     ``compress_finest``), re-encode it from the pruned plain rows so
     ``read_job_output(from_compressed=True)`` stays bitwise-identical to
     the pruned store.  Atomic dir swap; a crash mid-swap is healed on the
-    next run (markers commit only after this succeeds)."""
+    next run (markers commit only after this succeeds).
+
+    A ``_plainfp`` sidecar records the plain-file fingerprint the copy was
+    encoded from, so partitions the prune left untouched skip the full
+    read-reencode-swap (review finding) -- while a crash BETWEEN prune and
+    rebuild still re-encodes on the next run, because the pruned plain
+    files no longer match the stale sidecar."""
     import shutil
 
     tier_dir, part = os.path.split(pdir)
@@ -171,6 +190,13 @@ def _rebuild_compressed_copy(pdir: str) -> None:
     gdir = os.path.join(root, f"{tier}.gorilla", part)
     if not os.path.isdir(gdir):
         return
+    fp = _plain_fingerprint(pdir)
+    fp_file = os.path.join(gdir, "_plainfp")
+    try:
+        if open(fp_file).read().strip() == fp:
+            return  # compressed copy already matches the plain files
+    except OSError:
+        pass  # no sidecar (pre-fix copy or mid-swap crash): rebuild
     from ..stages.codec import CodecStage
 
     int_cols = ["bucket", "count", "sum", "min", "max", "tok_count",
@@ -187,6 +213,8 @@ def _rebuild_compressed_copy(pdir: str) -> None:
             pa.concat_tables(tabs).combine_chunks()
         )
         pq.write_table(segs, os.path.join(tmp, "segments.parquet"))
+    with open(os.path.join(tmp, "_plainfp"), "w") as fh:
+        fh.write(fp)
     shutil.rmtree(gdir)
     os.rename(tmp, gdir)
 
@@ -203,7 +231,14 @@ def apply_retention(out_dir: str, policies: dict[str, int]) -> dict:
     for tier_name, keep_last in policies.items():
         t0 = time.monotonic()
         horizons = tier_horizons(out_dir, tier_name, keep_last)
-        fp = f"keep_last={keep_last}"
+        # the fingerprint must cover the HORIZONS, not just the policy: as
+        # data grows the per-source horizons advance, and a marker recording
+        # only keep_last would skip previously-pruned partitions forever,
+        # leaving rows older than the new horizon alive (review finding)
+        h_sig = zlib.crc32(
+            json.dumps(sorted(horizons.items())).encode()
+        ) & 0xFFFFFFFF
+        fp = f"keep_last={keep_last};h={h_sig:08x}"
         pdirs = sorted(
             glob.glob(os.path.join(out_dir, f"tier={tier_name}", "part=*"))
         )

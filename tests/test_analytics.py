@@ -123,6 +123,19 @@ def test_ewma_matches_sequential_reference(ray_session):
     assert (got["ewma"].to_numpy() == want["ewma"].to_numpy()).all()
 
 
+def test_histogram_batch_invariance(ray_session):
+    # regression: the partition hash must be batch-INDEPENDENT -- per-batch
+    # dictionary codes once split the same (type, bin) across partitions,
+    # emitting duplicate keys with partial counts when the combiner saw
+    # more than one batch
+    from crossai_ts_ray.pipelines.analytics import value_histogram
+
+    a = _canon(value_histogram(SF))
+    b = _canon(value_histogram(SF, combine_batch_rows=64, buckets=13))
+    assert a.equals(b)
+    assert not b.duplicated(subset=["event_type", "bin"]).any()
+
+
 def test_conversion_bucket_invariance_and_semantics(ray_session):
     import pandas as pd
 

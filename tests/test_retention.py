@@ -80,7 +80,8 @@ def test_retention_idempotent_and_resumable(pruned_job):
     third = apply_retention(out, {"t60": KEEP})
     assert third["t60"]["partitions_pruned"] == 1
     assert os.path.exists(marker)
-    assert json.load(open(marker))["policy"] == f"keep_last={KEEP}"
+    # fingerprint = policy + horizon signature (horizons advance with data)
+    assert json.load(open(marker))["policy"].startswith(f"keep_last={KEEP};h=")
     assert_tables_bitwise_equal(before, read_job_output(out, "t60"), "re-prune noop")
 
 
@@ -107,6 +108,77 @@ def test_retention_rebuilds_compressed_copy(ray_session, tmp_path):
     tbl = synth.read_all(d)
     assert_tables_bitwise_equal(
         _oracle_pruned(tbl, TIERS[0], KEEP), plain, "pruned vs oracle"
+    )
+
+
+def test_retention_reprunes_when_horizons_advance(ray_session, tmp_path):
+    """Markers must NOT suppress pruning after the data grows: later ingest
+    advances a source's horizon, and rows older than the NEW horizon must
+    age out even in partitions that were already pruned under the old one
+    (review finding: a keep_last-only fingerprint skipped them forever)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out = str(tmp_path / "job")
+    run_rollup_job(d, out, TIERS, salt_mod=0, batch_size=256)
+    apply_retention(out, {"t60": KEEP})
+    # simulate a later ingest: clone one committed row 100 buckets into the
+    # future for its source -- that source's keep-last horizon advances
+    pdir = sorted(glob.glob(os.path.join(out, "tier=t60", "part=*")))[0]
+    f0 = sorted(glob.glob(os.path.join(pdir, "*.parquet")))[0]
+    t = pq.read_table(f0)
+    row = t.slice(0, 1)
+    src0 = row["source"][0].as_py()
+    new_bucket = int(
+        max(tier_horizons(out, "t60", 1).values())
+    ) + 100
+    row = row.set_column(
+        row.schema.get_field_index("bucket"),
+        "bucket",
+        pa.array([new_bucket], row.schema.field("bucket").type),
+    )
+    pq.write_table(row, os.path.join(pdir, "zz-future.parquet"))
+    res = apply_retention(out, {"t60": KEEP})
+    # fingerprint changed -> no partition skipped behind a stale marker
+    assert res["t60"]["partitions_skipped"] == 0
+    assert res["t60"]["rows_dropped"] > 0  # src0's old buckets age out
+    got = read_job_output(out, "t60")
+    src = got["source"].to_numpy(zero_copy_only=False)
+    bkt = got["bucket"].to_numpy(zero_copy_only=False)
+    assert bkt[src == src0].min() >= new_bucket + 1 - KEEP
+
+
+def test_retention_skips_rebuild_of_untouched_compressed_copy(
+    ray_session, tmp_path
+):
+    """A re-prune that drops nothing must not re-encode the Gorilla copy
+    (review finding): the _plainfp sidecar gates the rebuild."""
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out = str(tmp_path / "job")
+    run_rollup_job(
+        d, out, TIERS, salt_mod=0, batch_size=256, compress_finest=True
+    )
+    apply_retention(out, {"t60": KEEP})
+    segs = sorted(
+        glob.glob(os.path.join(out, "tier=t60.gorilla", "part=*", "*.parquet"))
+    )
+    stat_before = [(os.path.getmtime(s), os.path.getsize(s)) for s in segs]
+    # lose one marker (simulated crash): that partition re-prunes as a
+    # no-op and the sidecar must spare the re-encode
+    marker = sorted(
+        glob.glob(os.path.join(out, "_lineage", "prune-t60-*.json"))
+    )[0]
+    os.unlink(marker)
+    apply_retention(out, {"t60": KEEP})
+    assert [
+        (os.path.getmtime(s), os.path.getsize(s)) for s in segs
+    ] == stat_before
+    # parity still holds
+    assert_tables_bitwise_equal(
+        read_job_output(out, "t60"),
+        read_job_output(out, "t60", from_compressed=True),
+        "compressed copy parity after no-op re-prune",
     )
 
 
