@@ -522,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_unpivot": _analytics("events_type_unpivot"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
+        "customer_order_counts": _rel_ext("customer_order_counts"),
         # multimodal REAL-decode features (rows-only: byte-level codecs have
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
@@ -656,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_unpivot": analytics_sql("EVENTS_TYPE_UNPIVOT_SQL"),
         "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
         "segment_nation_rollup": rel_ext_sql("SEGMENT_NATION_ROLLUP_SQL"),
+        "customer_order_counts": rel_ext_sql("CUSTOMER_ORDER_COUNTS_SQL"),
         # sequential EWMA recurrence mirrored by a recursive CTE (bitwise:
         # identical float op order on both sides, no rounding bridge)
         "ewma_hourly": analytics_sql("EWMA_HOURLY_SQL"),

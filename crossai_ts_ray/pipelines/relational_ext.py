@@ -951,3 +951,112 @@ WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
    OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 25
        AND l.l_quantity BETWEEN 20 AND 30)
 """
+
+
+# ---------------------------------------------------------------------------
+# Q13 half: LEFT OUTER join -- every customer, order-less ones kept at zero
+# ---------------------------------------------------------------------------
+
+def customer_order_counts(sf_dir: str, buckets: int | None = None):
+    """Every customer with its order count and total revenue; customers with
+    no orders appear with ``order_count = 0`` / ``revenue = 0.0`` (LEFT OUTER
+    join semantics -- TPC-H Q13's first half).
+
+    Scale shape: orders collapse to ONE partial row per custkey per batch
+    inside map tasks (int64 count + micro-unit revenue), merge to one row
+    per custkey in their own keyed exchange, then ``keyed_equijoin`` LEFT
+    joins the full customer table (1:1 by construction, so the post-join
+    step is a pure null-coalesce no batch boundary can split).  Nothing
+    broadcasts: both exchanges are hash-partitioned, so 10^9 customers and
+    orders stream through ``buckets`` tasks.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(
+            f"{sf_dir}/customer.parquet", f"{sf_dir}/orders.parquet"
+        )
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def order_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ck = _np(t["o_custkey"]).astype(np.int64)
+        rev_u = np.rint(_np(t["o_totalprice"]) * MICRO).astype(np.int64)
+        keys, r = _sum_runs(ck, rev_u)
+        _, c = _sum_runs(ck, np.ones(len(ck), np.int64))
+        return pa.table(
+            {
+                "o_custkey": pa.array(keys, pa.int64()),
+                "rev_u": pa.array(r, pa.int64()),
+                "cnt": pa.array(c, pa.int64()),
+                "prt": pa.array(hash_prt(keys, buckets), pa.int64()),
+            }
+        )
+
+    def merge_cust(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        keys, r, c = _sum_runs(
+            _np(t["o_custkey"]), _np(t["rev_u"]), _np(t["cnt"])
+        )
+        return pa.table(
+            {
+                "o_custkey": pa.array(keys, pa.int64()),
+                "rev_u": pa.array(r, pa.int64()),
+                "cnt": pa.array(c, pa.int64()),
+            }
+        )
+
+    per_cust = (
+        orders.map_batches(
+            order_partial, batch_format="pyarrow", batch_size=1_048_576
+        )
+        .groupby("prt")
+        .map_groups(merge_cust, batch_format="pyarrow")
+    )
+
+    cust = read_parquet_sized(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    joined = keyed_equijoin(
+        cust,
+        per_cust,
+        on=("c_custkey", "o_custkey"),
+        buckets=buckets,
+        how="left",
+        schemas=(
+            pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+            pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("rev_u", pa.int64()),
+                    ("cnt", pa.int64()),
+                ]
+            ),
+        ),
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        rev = t["rev_u"].fill_null(0).to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].fill_null(0).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_name": t["c_name"],
+                "order_count": pa.array(cnt.astype(np.int64), pa.int64()),
+                "revenue": pa.array(rev / MICRO, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       count(o.o_custkey)::BIGINT AS order_count,
+       COALESCE(SUM(CAST(round(o.o_totalprice * 1000000, 0) AS BIGINT)), 0)
+         / 1000000.0 AS revenue
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+"""

@@ -195,9 +195,16 @@ def test_feature_extract_stage(ray_session):
     )
     out = dataset_to_table(pipe.transform(rd.read_parquet(d).limit(40)))
     assert {"doc_id", "source", "rms", "zcr", "energy"} <= set(out.schema.names)
-    # cross-check one row against the kernel directly
-    row = dataset_to_table(rd.read_parquet(d).limit(1)).to_pylist()[0]
-    got = {r["doc_id"]: r for r in out.to_pylist()}[row["doc_id"]]
+    # cross-check one row against the kernel directly -- pick a doc_id that
+    # is actually IN the limited output (limit(40) takes whichever blocks
+    # finish first, so a separate limit(1) read may land on a different row)
+    rows = {r["doc_id"]: r for r in out.to_pylist()}
+    row = next(
+        r
+        for r in dataset_to_table(rd.read_parquet(d)).to_pylist()
+        if r["doc_id"] in rows
+    )
+    got = rows[row["doc_id"]]
     x = np.array(row["tokens"], dtype=np.float64)
     from crossai_ts_ray.functions.stats import rms_value
 
