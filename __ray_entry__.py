@@ -527,6 +527,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # no SQL oracle; decoder exactness is pytest-verified vs spec
         # fixtures in tests/test_wavcodec.py / test_imagecodec.py)
         "media_features": _media_features_q,
+        # third relational wave: two-nation cross-border revenue, six-table
+        # market-share ratio, count-of-counts distribution, correlated
+        # per-key average threshold, global-scalar + NOT EXISTS anti-join
+        "q7_volume_shipping": _rel_w3("q7_volume_shipping"),
+        "q8_market_share": _rel_w3("q8_market_share"),
+        "q13_customer_distribution": _rel_w3("q13_customer_distribution"),
+        "q17_small_quantity_revenue": _rel_w3("q17_small_quantity_revenue"),
+        "q22_lapsed_customers": _rel_w3("q22_lapsed_customers"),
     }
     return q
 
@@ -583,6 +591,21 @@ def rel_ext_sql(name: str) -> str:
     from crossai_ts_ray.pipelines import relational_ext
 
     return getattr(relational_ext, name)
+
+
+def _rel_w3(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import relational_w3
+
+        return getattr(relational_w3, fn_name)(sf_dir)
+
+    return run
+
+
+def rel_w3_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import relational_w3
+
+    return getattr(relational_w3, name)
 
 
 def _analytics(fn_name: str) -> Callable[[str], Any]:
@@ -689,6 +712,11 @@ def oracle_sql() -> dict[str, str]:
         # stopword hits, \p{L} alpha ratio, arithmetic mean-word-length)
         "lang_quality": text_sql("LANG_QUALITY_SQL"),
         "lang_len_corr": text_sql("LANG_LEN_CORR_SQL"),
+        "q7_volume_shipping": rel_w3_sql("Q7_SQL"),
+        "q8_market_share": rel_w3_sql("Q8_SQL"),
+        "q13_customer_distribution": rel_w3_sql("Q13_SQL"),
+        "q17_small_quantity_revenue": rel_w3_sql("Q17_SQL"),
+        "q22_lapsed_customers": rel_w3_sql("Q22_SQL"),
         "ann_cosine_topk": ann_sql("COSINE_TOPK_SQL"),
         "ann_cosine_topk_multi": ann_sql("COSINE_TOPK_MULTI_SQL"),
         # exact triangle-join near pairs ARE SQL-expressible (quadratic
