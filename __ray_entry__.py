@@ -395,6 +395,12 @@ def _asof_q(sf_dir: str):
     return asof_last_event_value(sf_dir)
 
 
+def _order_event_window_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.events_pipeline import order_event_window
+
+    return order_event_window(sf_dir)
+
+
 _ASOF_SQL = """
 SELECT o.o_orderkey,
        round(
@@ -421,6 +427,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": _user_top_event_q,
         "user_running_total": _user_running_total_q,
         "asof_last_event_value": _asof_q,
+        # RANGE join: per-order 7-day attribution window over the
+        # customer's events (two as-of prefix lookups per bucket)
+        "order_event_window": _order_event_window_q,
         # windowing family (reference sliding_window semantics)
         "window_counts_w16_o8": _window_counts_q,
         "window_agg_tumbling_w16": _window_agg_q(16, 0),
@@ -649,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "user_top_event": _events_sql("USER_TOP_EVENT_SQL"),
         "user_running_total": _events_sql("USER_RUNNING_TOTAL_SQL"),
         "asof_last_event_value": _ASOF_SQL,
+        "order_event_window": _events_sql("ORDER_EVENT_WINDOW_SQL"),
         "window_counts_w16_o8": _WINDOW_COUNTS_SQL,
         "window_agg_tumbling_w16": _window_agg_sql(16, 0),
         "window_agg_sliding_w20_o10": _window_agg_sql(20, 10),

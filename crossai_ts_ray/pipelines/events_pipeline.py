@@ -436,6 +436,188 @@ def asof_last_event_value(sf_dir: str, buckets: int | None = None) -> rd.Dataset
     return both.groupby("prt").map_groups(merge_asof_bucket, batch_format="pyarrow")
 
 
+_WINDOW_7D_US = 7 * 86_400 * 1_000_000
+
+
+def order_event_window(
+    sf_dir: str, window_us: int = _WINDOW_7D_US, buckets: int | None = None
+) -> rd.Dataset:
+    """RANGE join: for each order, the count and value sum of the customer's
+    events inside the attribution window ``[o_orderdate - 7d, o_orderdate)``
+    (the SQL ``JOIN ... ON e.user_id = o.o_custkey AND e.ts BETWEEN ...``
+    shape Ray Data has no native operator for).
+
+    Scale shape: same bucketed large-large layout as the as-of join -- both
+    sides hash-partition on the user key in ONE keyed exchange; each bucket
+    reduces the range predicate to TWO vectorized as-of lookups against
+    per-key cumulative (count, micro-sum) prefixes:
+    ``F(key, x) = #events with t < x``, so
+    ``count = F(T) - F(T - w)`` and likewise for the sum -- no per-order
+    scan, no interval explosion.  Exactness: value sums ride int64
+    micro-unit prefix differences (cum values stay < 2^53, so the float
+    round-trip through merge_asof is lossless)."""
+    import pandas as pd
+
+    from ..sources.readers import suggest_buckets
+
+    if buckets is None:
+        buckets = suggest_buckets(
+            f"{sf_dir}/events.parquet", f"{sf_dir}/orders.parquet"
+        )
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    from ..stages.joins import hash_prt
+
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("t", pa.int64()),
+            ("val_u", pa.int64()),
+            ("okey", pa.int64()),
+            ("side", pa.int8()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        val_u = np.rint(
+            t["value"].to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64)
+        n = len(k)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "t": pa.array(ts, pa.int64()),
+                "val_u": pa.array(val_u, pa.int64()),
+                "okey": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "prt": pa.array(hash_prt(k, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        od = (
+            t["o_orderdate"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n = len(k)
+        return pa.table(
+            {
+                "key": pa.array(k, pa.int64()),
+                "t": pa.array(od, pa.int64()),
+                "val_u": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "okey": t["o_orderkey"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "prt": pa.array(hash_prt(k, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    both = ev.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("ev_count", pa.int64()),
+            ("ev_sum", pa.float64()),
+        ]
+    )
+
+    def range_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        probe = t.filter(pa.array(side == 1))
+        if probe.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        build = t.filter(pa.array(side == 0))
+        ek = build["key"].to_numpy(zero_copy_only=False)
+        et = build["t"].to_numpy(zero_copy_only=False)
+        ev_u = build["val_u"].to_numpy(zero_copy_only=False)
+        # per-key cumulative prefixes in (key, t) order; the stable re-sort
+        # by t below keeps equal-t duplicates of a key in cum order, so the
+        # backward as-of lands on the LAST duplicate (counting all of them)
+        order = np.lexsort((et, ek))
+        ek_s, et_s, ev_s = ek[order], et[order], ev_u[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ek_s[1:] != ek_s[:-1]))
+        ) if len(ek_s) else np.empty(0, np.int64)
+        seg = np.zeros(len(ek_s), np.int64)
+        if len(starts):
+            seg[starts] = 1
+            seg = np.cumsum(seg) - 1
+        cum = np.arange(1, len(ek_s) + 1, dtype=np.int64)
+        cval = np.cumsum(ev_s)
+        if len(starts):
+            base_n = np.concatenate(([0], cum[starts[1:] - 1]))
+            base_v = np.concatenate(([0], cval[starts[1:] - 1]))
+            cum = cum - base_n[seg]
+            cval = cval - base_v[seg]
+        right = pd.DataFrame(
+            {"key": ek_s, "t": et_s, "cum": cum, "cval": cval}
+        ).sort_values("t", kind="stable")
+
+        pk = probe["key"].to_numpy(zero_copy_only=False)
+        pt = probe["t"].to_numpy(zero_copy_only=False)
+        pok = probe["okey"].to_numpy(zero_copy_only=False)
+
+        def F(at: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+            """(#events with t < at, their micro-sum) per probe row."""
+            left = pd.DataFrame({"key": pk, "t": at, "i": np.arange(len(pk))})
+            m = pd.merge_asof(
+                left.sort_values("t", kind="stable"),
+                right,
+                on="t",
+                by="key",
+                direction="backward",
+                allow_exact_matches=False,
+            ).sort_values("i")
+            return (
+                m["cum"].fillna(0).to_numpy(np.int64),
+                m["cval"].fillna(0).to_numpy(np.int64),
+            )
+
+        n_hi, v_hi = F(pt)
+        n_lo, v_lo = F(pt - window_us)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(pok, pa.int64()),
+                "ev_count": pa.array(n_hi - n_lo, pa.int64()),
+                "ev_sum": pa.array((v_hi - v_lo) / 1_000_000.0, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return both.groupby("prt").map_groups(range_bucket, batch_format="pyarrow")
+
+
+ORDER_EVENT_WINDOW_SQL = """
+SELECT o.o_orderkey::BIGINT AS o_orderkey,
+       count(e.ts)::BIGINT AS ev_count,
+       COALESCE(SUM(CAST(round(e.value * 1000000, 0) AS BIGINT)), 0)
+         / 1000000.0 AS ev_sum
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate - INTERVAL 7 DAY
+ AND e.ts < o.o_orderdate
+GROUP BY o.o_orderkey
+"""
+
+
 _SLIDE_SCHEMA = pa.schema(
     [
         ("source", pa.string()),
