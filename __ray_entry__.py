@@ -529,6 +529,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_conversion": _analytics("user_conversion"),
         "value_histogram": _analytics("value_histogram"),
         "events_type_unpivot": _analytics("events_type_unpivot"),
+        # grouped least-squares regression from exact integer moment sums
+        "user_value_trend": _analytics("user_value_trend"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -688,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "user_conversion": analytics_sql("USER_CONVERSION_SQL"),
         "value_histogram": analytics_sql("VALUE_HISTOGRAM_SQL"),
         "events_type_unpivot": analytics_sql("EVENTS_TYPE_UNPIVOT_SQL"),
+        "user_value_trend": analytics_sql("USER_VALUE_TREND_SQL"),
         "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
         "segment_nation_rollup": rel_ext_sql("SEGMENT_NATION_ROLLUP_SQL"),
         "customer_order_counts": rel_ext_sql("CUSTOMER_ORDER_COUNTS_SQL"),

@@ -23,6 +23,7 @@ import pyarrow as pa
 
 from ..sources.readers import read_parquet_sized, suggest_buckets
 from ..stages.joins import hash_prt
+from .relational_ext import _sum_runs
 
 MICRO = 1_000_000.0
 
@@ -1259,4 +1260,142 @@ rec AS (
   FROM seq s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
 )
 SELECT event_type, bucket, x AS hourly_mean, ewma FROM rec
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped linear regression: per-user value trend over time
+# ---------------------------------------------------------------------------
+
+_EPOCH_1990_US = np.datetime64("1990-01-01T00:00:00.000000").astype(np.int64)
+_DAY_US = 86_400 * 1_000_000
+
+
+def user_value_trend(sf_dir: str, buckets: int | None = None):
+    """Per-user least-squares trend of event value over time: slope
+    (value/day), intercept, and point count -- the grouped-regression shape
+    (SQL ``regr_slope``/``regr_intercept``, computed here from EXACT integer
+    sufficient statistics so distributed summation order cannot perturb a
+    bit).
+
+    Scale shape: the per-batch combiner collapses raw events to per-user
+    moment partials (n, Sx, Sy, Sxx, Sxy -- five int64s per user), ONE
+    keyed exchange merges them, and the final math is pure float64 on the
+    exact sums, mirrored operand-for-operand in the oracle.  Integer
+    bounds: x = days since 1990 (< 2^15), y = centi-units; Sxx and Sxy
+    stay in int64 up to ~10^8 rows per user at |value| <= 10^4.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "ts", "value"])
+
+    part_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n", pa.int64()),
+            ("sx", pa.int64()),
+            ("sy", pa.int64()),
+            ("sxx", pa.int64()),
+            ("sxy", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        x = (_ts_us(t["ts"]) - _EPOCH_1990_US) // _DAY_US
+        y = np.rint(_np(t["value"]) * 100.0).astype(np.int64)
+        keys, n, sx, sy, sxx, sxy = (
+            _sum_runs(uid, np.ones(len(uid), np.int64), x, y, x * x, x * y)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(keys, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "sx": pa.array(sx, pa.int64()),
+                "sy": pa.array(sy, pa.int64()),
+                "sxx": pa.array(sxx, pa.int64()),
+                "sxy": pa.array(sxy, pa.int64()),
+                "prt": pa.array(hash_prt(keys, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n", pa.int64()),
+            ("slope_per_day", pa.float64()),
+            ("intercept", pa.float64()),
+        ]
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        keys, n, sx, sy, sxx, sxy = _sum_runs(
+            _np(t["user_id"]), _np(t["n"]), _np(t["sx"]), _np(t["sy"]),
+            _np(t["sxx"]), _np(t["sxy"]),
+        )
+        # float64 on exact integer sums, operand order mirrored in the SQL
+        nf, sxf, syf = (
+            n.astype(np.float64), sx.astype(np.float64), sy.astype(np.float64)
+        )
+        sxxf, sxyf = sxx.astype(np.float64), sxy.astype(np.float64)
+        denom = nf * sxxf - sxf * sxf
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope_c = (nf * sxyf - sxf * syf) / denom
+            slope = slope_c / 100.0
+            intercept = (syf - slope_c * sxf) / nf / 100.0
+        bad = denom == 0.0
+        return pa.table(
+            {
+                "user_id": pa.array(keys, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "slope_per_day": pa.array(
+                    np.where(bad, np.nan, slope), pa.float64(), mask=bad
+                ),
+                "intercept": pa.array(
+                    np.where(bad, np.nan, intercept), pa.float64(), mask=bad
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )
+
+
+USER_VALUE_TREND_SQL = """
+WITH m AS (
+  SELECT user_id,
+         count(*)::BIGINT AS n,
+         CAST(SUM((epoch_us(ts) - epoch_us(TIMESTAMP '1990-01-01'))
+                  // 86400000000) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(((epoch_us(ts) - epoch_us(TIMESTAMP '1990-01-01'))
+                   // 86400000000)
+                  * ((epoch_us(ts) - epoch_us(TIMESTAMP '1990-01-01'))
+                     // 86400000000)) AS DOUBLE) AS sxx,
+         CAST(SUM(((epoch_us(ts) - epoch_us(TIMESTAMP '1990-01-01'))
+                   // 86400000000)
+                  * CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) AS sxy
+  FROM events GROUP BY user_id
+)
+SELECT user_id::BIGINT AS user_id, n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE ((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 100.0
+       END AS slope_per_day,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                 / n / 100.0
+       END AS intercept
+FROM m
 """

@@ -200,3 +200,59 @@ def test_lag_diff_matches_pandas(ray_session):
             assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
         else:
             assert (a == b).all(), c
+
+
+def test_trend_degenerate_and_reference(ray_session, tmp_path):
+    """Single-event and single-day users get NULL slope/intercept; a clean
+    two-point user matches the closed-form line; full-SF output matches a
+    NumPy polyfit reference within float tolerance."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.analytics import user_value_trend
+
+    d = str(tmp_path / "trend")
+    os.makedirs(d, exist_ok=True)
+    day0 = np.datetime64("2000-01-01T12:00:00", "us").astype(np.int64)
+    DAY = 86_400 * 1_000_000
+    ts = np.array(
+        [day0, day0 + DAY,          # user 1: two points, slope 2/day
+         day0,                       # user 2: single point -> NULL
+         day0, day0 + 3600 * 1_000_000],  # user 3: same DAY bin -> NULL
+        dtype=np.int64,
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 2, 3, 3], pa.int64()),
+                "ts": pa.array(ts.view("datetime64[us]")),
+                "value": pa.array([1.0, 3.0, 5.0, 1.0, 9.0], pa.float64()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    got = _canon(user_value_trend(d, buckets=3)).set_index("user_id")
+    assert abs(got.loc[1, "slope_per_day"] - 2.0) < 1e-9
+    # x(2000-01-01) = 3652 days since 1990 (floor-quantized to days)
+    assert abs(got.loc[1, "intercept"] - (1.0 - 2.0 * 3652)) < 1e-6
+    assert np.isnan(got.loc[2, "slope_per_day"])
+    assert np.isnan(got.loc[3, "slope_per_day"])
+
+    # full SF vs NumPy polyfit on day-quantized x / centi-quantized y
+    full = _canon(user_value_trend(SF, buckets=7))
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    e1990 = np.datetime64("1990-01-01T00:00:00", "us").astype(np.int64)
+    x = (ev["ts"].to_numpy("datetime64[us]").astype(np.int64) - e1990) // DAY
+    y = np.rint(ev["value"].to_numpy() * 100.0) / 100.0
+    for uid in full["user_id"].head(5):
+        m = ev["user_id"].to_numpy() == uid
+        ref = np.polyfit(x[m].astype(float), y[m], 1)
+        row = full.set_index("user_id").loc[uid]
+        assert abs(row["slope_per_day"] - ref[0]) < 1e-6
+        assert abs(row["intercept"] - ref[1]) < 1e-3
