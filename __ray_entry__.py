@@ -531,6 +531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_unpivot": _analytics("events_type_unpivot"),
         # grouped least-squares regression from exact integer moment sums
         "user_value_trend": _analytics("user_value_trend"),
+        # HyperLogLog approximate distinct with a bit-exact SQL mirror
+        "approx_distinct_user_days": _analytics("approx_distinct_user_days"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -691,6 +693,9 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": analytics_sql("VALUE_HISTOGRAM_SQL"),
         "events_type_unpivot": analytics_sql("EVENTS_TYPE_UNPIVOT_SQL"),
         "user_value_trend": analytics_sql("USER_VALUE_TREND_SQL"),
+        # the HLL sketch itself is deterministic, so even the APPROXIMATE
+        # estimate has an exact oracle (same hash/rho/sum in SQL bit math)
+        "approx_distinct_user_days": analytics_sql("APPROX_DISTINCT_SQL"),
         "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
         "segment_nation_rollup": rel_ext_sql("SEGMENT_NATION_ROLLUP_SQL"),
         "customer_order_counts": rel_ext_sql("CUSTOMER_ORDER_COUNTS_SQL"),

@@ -1399,3 +1399,141 @@ SELECT user_id::BIGINT AS user_id, n,
        END AS intercept
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: approximate distinct (user, day) pairs with an EXACT oracle
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12
+_EPOCH_DAY_US = 86_400 * 1_000_000
+
+
+def approx_distinct_user_days(sf_dir: str, p: int = _HLL_P, buckets: int = 32):
+    """Approximate count of distinct (user_id, day) pairs over the events
+    stream via a distributed HyperLogLog (stages/sketch.py): per-batch
+    vectorized register partials (<= 2^p rows each), one tiny keyed merge,
+    and a deterministic estimate that the SQL oracle reproduces BIT-FOR-BIT
+    (same splitmix64 hash, exact integer bit-length rho, exact HUGEINT
+    indicator sum, identical float64 op order).
+
+    Scale shape: the sketch is the 100 TB path for COUNT(DISTINCT) -- raw
+    rows never shuffle; each map task ships at most 2^p register rows no
+    matter how many billions of rows it scanned, and register MAX-merge is
+    associative/commutative/idempotent, so block layout and retries cannot
+    change a bit."""
+    from ..stages.sketch import hll_estimate, merge_registers, partial_table
+
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        day = _ts_us(t["ts"]) // _EPOCH_DAY_US
+        keys = uid * 100_000 + day
+        return partial_table(keys, p=p, prt_mod=buckets)
+
+    reg_schema = pa.schema([("bucket", pa.int64()), ("rho", pa.int64())])
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=reg_schema)
+        b, r = merge_registers(_np(t["bucket"]), _np(t["rho"]))
+        return pa.table(
+            {"bucket": pa.array(b, pa.int64()), "rho": pa.array(r, pa.int64())},
+            schema=reg_schema,
+        )
+
+    out_schema = pa.schema([("approx_distinct", pa.float64())])
+
+    def estimate(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        b, r = merge_registers(_np(g["bucket"]), _np(g["rho"]))
+        return pa.table(
+            {"approx_distinct": pa.array([hll_estimate(b, r, p=p)],
+                                         pa.float64())},
+            schema=out_schema,
+        )
+
+    regs = (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )
+    return (
+        regs.map_batches(
+            lambda t: t.append_column(
+                "k", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .map_groups(
+            lambda g: estimate(g.drop_columns(["k"])), batch_format="pyarrow"
+        )
+    )
+
+
+# Exact SQL mirror of the sketch: splitmix64 finalizer via HUGEINT mod-2^64
+# multiplies, rho from the exact bit length (length(bin(w))), indicator sum
+# as HUGEINT, final float64 math in the engine's literal operand order.
+APPROX_DISTINCT_SQL = """
+WITH keys AS (
+  SELECT (user_id * 100000 + epoch_us(ts) // 86400000000)::UBIGINT AS k
+  FROM events
+),
+-- 64x64-bit multiply mod 2^64 without INT128 overflow: split the constant
+-- C = hi*2^32 + lo, so a*C mod 2^64 = (a*lo mod 2^64 + (a*hi mod 2^32)
+-- * 2^32) mod 2^64 (each product < 2^96 fits HUGEINT).
+-- 0xBF58476D1CE4E5B9 = 3210233709 * 2^32 + 484763065
+-- 0x94D049BB133111EB = 2496678331 * 2^32 + 321982955
+m1 AS (
+  SELECT CAST(((CAST(xor(k, k >> 30) AS HUGEINT) * 484763065)
+               % 18446744073709551616
+               + ((CAST(xor(k, k >> 30) AS HUGEINT) * 3210233709)
+                  % 4294967296) * 4294967296)
+              % 18446744073709551616 AS UBIGINT) AS h FROM keys
+),
+m2 AS (
+  SELECT CAST(((CAST(xor(h, h >> 27) AS HUGEINT) * 321982955)
+               % 18446744073709551616
+               + ((CAST(xor(h, h >> 27) AS HUGEINT) * 2496678331)
+                  % 4294967296) * 4294967296)
+              % 18446744073709551616 AS UBIGINT) AS h FROM m1
+),
+hashed AS (SELECT xor(h, h >> 31) AS h FROM m2),
+rw AS (
+  SELECT h >> 52 AS bucket,
+         CAST((CAST(h AS HUGEINT) * 4096) % 18446744073709551616
+              AS UBIGINT) AS w
+  FROM hashed
+),
+reg AS (
+  SELECT bucket,
+         max(CASE WHEN w = 0 THEN 53
+                  ELSE 64 - length(bin(w)) + 1 END)::BIGINT AS rho
+  FROM rw GROUP BY bucket
+),
+s AS (
+  SELECT SUM(CAST(1 AS HUGEINT) << (53 - rho)) AS s_nonzero,
+         count(*)::BIGINT AS nonzero
+  FROM reg
+),
+est AS (
+  SELECT CAST(s_nonzero + (4096 - nonzero) * (CAST(1 AS HUGEINT) << 53)
+              AS DOUBLE) AS s_total,
+         (4096 - nonzero)::BIGINT AS v
+  FROM s
+)
+SELECT round(
+  CASE WHEN (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+            * 9007199254740992.0 / s_total <= 2.5 * 4096.0 AND v > 0
+       THEN 4096.0 * ln(4096.0 / v)
+       ELSE (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+            * 9007199254740992.0 / s_total
+  END + 1e-9, 6) AS approx_distinct
+FROM est
+"""
