@@ -247,6 +247,8 @@ def q7_volume_shipping(
 
     def final(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
         gk = _np(g["gk"]).astype(np.int64)
         keys, r = _sum_runs(gk, _np(g["rev_u"]).astype(np.int64))
         s_nat = keys >> 42
@@ -266,11 +268,21 @@ def q7_volume_shipping(
             schema=out_schema,
         )
 
-    # partials are bounded by nations^2 x years -- the final merge is tiny
+    # partials are bounded by nations^2 x years, so the final merge is ONE
+    # vectorized constant-key pass (a groupby on gk would pay ~1200 Python
+    # map_groups calls for rows that fit one batch)
     return (
         joined.map_batches(pair_partial, batch_format="pyarrow")
-        .groupby("gk")
-        .map_groups(final, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.append_column(
+                "k", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .map_groups(
+            lambda g: final(g.drop_columns(["k"])), batch_format="pyarrow"
+        )
     )
 
 
