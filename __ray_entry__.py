@@ -533,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_trend": _analytics("user_value_trend"),
         # HyperLogLog approximate distinct with a bit-exact SQL mirror
         "approx_distinct_user_days": _analytics("approx_distinct_user_days"),
+        # Bloom semi-join pre-filter; false positives are deterministic
+        # bit math, so even they oracle-match
+        "bloom_prefilter_events": _analytics("bloom_active_purchaser_events"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -696,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         # the HLL sketch itself is deterministic, so even the APPROXIMATE
         # estimate has an exact oracle (same hash/rho/sum in SQL bit math)
         "approx_distinct_user_days": analytics_sql("APPROX_DISTINCT_SQL"),
+        "bloom_prefilter_events": analytics_sql("BLOOM_ACTIVE_SQL"),
         "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
         "segment_nation_rollup": rel_ext_sql("SEGMENT_NATION_ROLLUP_SQL"),
         "customer_order_counts": rel_ext_sql("CUSTOMER_ORDER_COUNTS_SQL"),

@@ -1537,3 +1537,156 @@ SELECT round(
   END + 1e-9, 6) AS approx_distinct
 FROM est
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pre-filter, with exact-oracle false positives
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16_384
+_BLOOM_K = 5
+_BLOOM_CUTOFF = np.datetime64("2001-01-01T00:00:00.000000").astype(np.int64)
+
+
+def bloom_active_purchaser_events(
+    sf_dir: str, m_bits: int = _BLOOM_M, k: int = _BLOOM_K
+):
+    """Count events whose user passes a Bloom filter built from customers
+    with a 2001 order -- the semi-join PRE-FILTER a 100 TB join pipeline
+    runs before its real exchange (stages/bloom.py).
+
+    Scale shape: the build side collapses to per-batch position partials
+    bounded by ``m_bits`` rows each; the union of set positions is bounded
+    by ``m_bits`` (16K rows / 128 KB here) REGARDLESS of build cardinality,
+    so materializing it on the driver and shipping the packed bitmap into
+    probe tasks is safe by construction.  The probe side streams, never
+    shuffles.  The count includes the filter's false positives -- which are
+    deterministic bit math, so the SQL oracle reproduces them exactly."""
+    from ..stages.bloom import pack_bitmap, partial_bits, probe_bitmap
+    from ..util import dataset_to_table
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def build_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        od = _ts_us(t["o_orderdate"])
+        ck = _np(t["o_custkey"]).astype(np.int64)[od >= _BLOOM_CUTOFF]
+        return pa.table(
+            {"p": pa.array(partial_bits(np.unique(ck), m_bits, k), pa.int64())}
+        )
+
+    pos_tbl = dataset_to_table(
+        orders.map_batches(
+            build_partial, batch_format="pyarrow", batch_size=1_048_576
+        ),
+        schema=pa.schema([("p", pa.int64())]),
+    )
+    bm = pack_bitmap(
+        np.unique(pos_tbl["p"].to_numpy(zero_copy_only=False)), m_bits
+    )
+
+    ev = _read_events(sf_dir, ["user_id"])
+    part_schema = pa.schema(
+        [("bloom_pass", pa.int64()), ("total_events", pa.int64())]
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        ok = probe_bitmap(uid, bm, m_bits, k)
+        return pa.table(
+            {
+                "bloom_pass": pa.array([int(ok.sum())], pa.int64()),
+                "total_events": pa.array([len(uid)], pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        return pa.table(
+            {
+                "bloom_pass": pa.array(
+                    [int(_np(g["bloom_pass"]).sum())], pa.int64()
+                ),
+                "total_events": pa.array(
+                    [int(_np(g["total_events"]).sum())], pa.int64()
+                ),
+            },
+            schema=part_schema,
+        )
+
+    return (
+        ev.map_batches(probe, batch_format="pyarrow", batch_size=1_048_576)
+        .map_batches(
+            lambda t: t.append_column(
+                "g", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .map_groups(
+            lambda g: final(g.drop_columns(["g"])), batch_format="pyarrow"
+        )
+    )
+
+
+def _bloom_mulmod_sql(e: str, hi: int, lo: int) -> str:
+    return (
+        f"CAST(((CAST({e} AS HUGEINT) * {lo}) % 18446744073709551616 + "
+        f"((CAST({e} AS HUGEINT) * {hi}) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _bloom_mix_sql(e: str) -> str:
+    """splitmix64 finalizer as one nested SQL expression (same constants as
+    stages/sketch.mix64, 64x64 multiplies split into 32-bit halves)."""
+    a1 = f"xor({e}, ({e}) >> 30)"
+    b1 = _bloom_mulmod_sql(a1, 3210233709, 484763065)
+    a2 = f"xor({b1}, ({b1}) >> 27)"
+    b2 = _bloom_mulmod_sql(a2, 2496678331, 321982955)
+    return f"xor({b2}, ({b2}) >> 31)"
+
+
+def _bloom_pos_sql() -> str:
+    return (
+        "CAST(((CAST(h1 AS HUGEINT) + i * CAST(h2 AS HUGEINT)) "
+        "% 18446744073709551616) % 16384 AS BIGINT)"
+    )
+
+
+BLOOM_ACTIVE_SQL = f"""
+WITH build AS (
+  SELECT DISTINCT o_custkey::UBIGINT AS key FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+),
+bh AS (
+  SELECT {_bloom_mix_sql('key')} AS h1,
+         {_bloom_mix_sql('xor(key, 11400714819323198485::UBIGINT)')} AS h2
+  FROM build
+),
+pos AS (
+  SELECT DISTINCT {_bloom_pos_sql()} AS p
+  FROM bh, generate_series(0, 4) t(i)
+),
+ph AS (
+  SELECT event_id,
+         {_bloom_mix_sql('(user_id::UBIGINT)')} AS h1,
+         {_bloom_mix_sql('xor(user_id::UBIGINT, 11400714819323198485::UBIGINT)')} AS h2
+  FROM events
+),
+pp AS (
+  SELECT event_id, {_bloom_pos_sql()} AS p
+  FROM ph, generate_series(0, 4) t(i)
+),
+hits AS (
+  SELECT event_id, count(*) AS nhit
+  FROM pp JOIN pos USING (p)
+  GROUP BY event_id
+)
+SELECT (SELECT count(*)::BIGINT FROM hits WHERE nhit = 5) AS bloom_pass,
+       (SELECT count(*)::BIGINT FROM events) AS total_events
+"""
