@@ -68,3 +68,54 @@ def test_pipeline_superset_of_exact_semijoin(ray_session):
     assert got["bloom_pass"] <= total
     fp = (got["bloom_pass"] - exact) / max(total - exact, 1)
     assert fp < 0.01, (got["bloom_pass"], exact)
+
+
+def test_keyed_equijoin_bloom_bitwise_identical(ray_session):
+    """The opt-in pre-filter must never change a join's output: false
+    positives are removed by the join, false negatives don't exist."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from crossai_ts_ray.sources.readers import read_parquet_sized
+    from crossai_ts_ray.stages.joins import keyed_equijoin
+    from tools.verify_correctness import canon, to_pandas
+
+    sf = "/root/testdata/sf0.001"
+    schemas = (
+        pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]),
+        pa.schema([("c_custkey", pa.int64()), ("c_acctbal", pa.float64())]),
+    )
+
+    def run(**kw):
+        orders = read_parquet_sized(
+            f"{sf}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        )
+        # selective right side: ~half the customers
+        cust = read_parquet_sized(
+            f"{sf}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+        ).filter(lambda r: r["c_custkey"] % 2 == 0)
+        return canon(to_pandas(keyed_equijoin(
+            orders, cust, on=("o_custkey", "c_custkey"), buckets=7,
+            schemas=schemas, **kw,
+        )))
+
+    plain = run()
+    bloomed = run(bloom_prefilter=16_384)
+    pd.testing.assert_frame_equal(plain, bloomed)
+    assert len(plain) > 0
+
+
+def test_keyed_equijoin_bloom_rejects_left_join(ray_session):
+    import pytest
+
+    from crossai_ts_ray.sources.readers import read_parquet_sized
+    from crossai_ts_ray.stages.joins import keyed_equijoin
+
+    sf = "/root/testdata/sf0.001"
+    orders = read_parquet_sized(f"{sf}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey"])
+    cust = read_parquet_sized(f"{sf}/customer.parquet",
+                              columns=["c_custkey"])
+    with pytest.raises(ValueError, match="inner"):
+        keyed_equijoin(orders, cust, on=("o_custkey", "c_custkey"),
+                       how="left", bloom_prefilter=True)
