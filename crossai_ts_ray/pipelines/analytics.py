@@ -1690,3 +1690,131 @@ hits AS (
 SELECT (SELECT count(*)::BIGINT FROM hits WHERE nhit = 5) AS bloom_pass,
        (SELECT count(*)::BIGINT FROM events) AS total_events
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: per-user frequency estimates with bounded counters
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 1024
+
+
+def cms_user_event_counts(
+    sf_dir: str, d: int = _CMS_D, w: int = _CMS_W, buckets: int | None = None
+):
+    """Per-user event-count estimates from a Count-Min sketch
+    (stages/sketch.py): counters are bounded by ``d x w`` int64s no matter
+    how many billions of rows stream past, merge by plain addition
+    (order-insensitive), and the min-of-d estimate NEVER underestimates.
+    The whole path is deterministic integer math, so the approximate
+    answers -- including any collision overestimates -- match the SQL
+    oracle exactly.
+
+    Scale shape: pass 1 collapses each batch to at most d*w counter
+    increments and materializes the merged d x w table (16 KB here --
+    bounded by construction, like the Bloom bitmap); pass 2 computes the
+    distinct probe keys through one keyed exchange and estimates inside map
+    tasks against the broadcast counter array."""
+    from ..stages.sketch import cms_estimate, cms_partial
+    from ..util import dataset_to_table
+
+    ev = _read_events(sf_dir, ["user_id"])
+
+    cnt_schema = pa.schema(
+        [("row", pa.int64()), ("bucket", pa.int64()), ("cnt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        rj, bj, cj = cms_partial(uid, d, w)
+        return pa.table(
+            {
+                "row": pa.array(rj, pa.int64()),
+                "bucket": pa.array(bj, pa.int64()),
+                "cnt": pa.array(cj, pa.int64()),
+            },
+            schema=cnt_schema,
+        )
+
+    tbl = dataset_to_table(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576),
+        schema=cnt_schema,
+    )
+    counter = np.zeros((d, w), np.int64)
+    np.add.at(
+        counter,
+        (
+            _np(tbl["row"]).astype(np.int64),
+            _np(tbl["bucket"]).astype(np.int64),
+        ),
+        _np(tbl["cnt"]).astype(np.int64),
+    )
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+
+    def uniq_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        u = np.unique(_np(t["user_id"]).astype(np.int64))
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "prt": pa.array(hash_prt(u, buckets), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("est_count", pa.int64())]
+    )
+
+    def estimate_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        u = np.unique(_np(t["user_id"]).astype(np.int64))
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "est_count": pa.array(cms_estimate(counter, u), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(
+            uniq_partial, batch_format="pyarrow", batch_size=1_048_576
+        )
+        .groupby("prt")
+        .map_groups(
+            lambda g: estimate_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _cms_pos_sql(key_expr: str) -> str:
+    """Bucket id for CMS hash row i: mix64(key + i*golden) % 1024."""
+    e = (
+        f"CAST((CAST({key_expr} AS HUGEINT) + i * 11400714819323198485) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+    return f"CAST(({_bloom_mix_sql(e)}) % 1024 AS BIGINT)"
+
+
+CMS_USER_COUNTS_SQL = f"""
+WITH counters AS (
+  SELECT i, {_cms_pos_sql('user_id::UBIGINT')} AS bucket,
+         count(*)::BIGINT AS cnt
+  FROM events, generate_series(0, 3) t(i)
+  GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT user_id FROM events),
+pb AS (
+  SELECT user_id, i, {_cms_pos_sql('user_id::UBIGINT')} AS bucket
+  FROM probe, generate_series(0, 3) t(i)
+)
+SELECT pb.user_id::BIGINT AS user_id, min(c.cnt)::BIGINT AS est_count
+FROM pb JOIN counters c USING (i, bucket)
+GROUP BY pb.user_id
+"""

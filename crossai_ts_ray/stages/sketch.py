@@ -110,3 +110,58 @@ def partial_table(keys: np.ndarray, p: int = 12, prt_mod: int = 32) -> pa.Table:
             "prt": pa.array(b % prt_mod, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: frequency estimation with bounded counters
+# ---------------------------------------------------------------------------
+
+_CMS_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def cms_buckets(keys: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(n, d) bucket ids: row j hashes ``mix64(key + j*golden)`` mod w --
+    d independent-enough hash rows from one mixer, all integer math,
+    mirrored exactly in SQL."""
+    k = keys.astype(np.int64).view(np.uint64)
+    cols = []
+    with np.errstate(over="ignore"):
+        for j in range(d):
+            cols.append(
+                (mix64((k + np.uint64(j) * _CMS_GOLDEN).view(np.int64))
+                 % np.uint64(w)).astype(np.int64)
+            )
+    return np.stack(cols, axis=1)
+
+
+def cms_partial(keys: np.ndarray, d: int, w: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-batch counter increments as (row, bucket, count) triples --
+    at most d*w rows regardless of batch size.  Merge = plain sum
+    (order-insensitive int64)."""
+    if not len(keys):
+        z = np.empty(0, np.int64)
+        return z, z, z
+    b = cms_buckets(keys, d, w)
+    rows_out, buckets_out, counts_out = [], [], []
+    for j in range(d):
+        cnt = np.bincount(b[:, j], minlength=w)
+        nz = np.flatnonzero(cnt)
+        rows_out.append(np.full(len(nz), j, np.int64))
+        buckets_out.append(nz.astype(np.int64))
+        counts_out.append(cnt[nz].astype(np.int64))
+    return (
+        np.concatenate(rows_out),
+        np.concatenate(buckets_out),
+        np.concatenate(counts_out),
+    )
+
+
+def cms_estimate(counter: np.ndarray, probe_keys: np.ndarray) -> np.ndarray:
+    """min over d rows of the probe key's counters (the CMS upper-bound
+    estimate; never underestimates)."""
+    d, w = counter.shape
+    b = cms_buckets(probe_keys, d, w)
+    est = counter[0, b[:, 0]]
+    for j in range(1, d):
+        est = np.minimum(est, counter[j, b[:, j]])
+    return est

@@ -76,3 +76,52 @@ def test_pipeline_matches_exact_at_sf(ray_session):
             FROM '{sf}/events.parquet'"""
     ).fetchone()[0]
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_cms_never_underestimates_and_shard_invariance():
+    from crossai_ts_ray.stages.sketch import (
+        cms_estimate, cms_partial,
+    )
+
+    rng = np.random.default_rng(5)
+    # zipf-ish frequencies over 2000 keys, small w to force collisions
+    keys = rng.zipf(1.5, size=100_000) % 2_000
+    keys = keys.astype(np.int64)
+    d, w = 4, 256
+
+    def build(shards):
+        counter = np.zeros((d, w), np.int64)
+        for s in shards:
+            rj, bj, cj = cms_partial(s, d, w)
+            np.add.at(counter, (rj, bj), cj)
+        return counter
+
+    c1 = build([keys])
+    c2 = build(np.array_split(keys, 13))
+    assert np.array_equal(c1, c2)  # sum-merge is order/shard-insensitive
+
+    uniq, true = np.unique(keys, return_counts=True)
+    est = cms_estimate(c1, uniq)
+    assert (est >= true).all()  # CMS never underestimates
+    # with 100k rows in 256 buckets collisions are guaranteed, but the
+    # min-of-4 keeps the heavy hitters near-exact
+    top = np.argsort(true)[-10:]
+    assert (est[top] <= true[top] * 1.5).all()
+
+
+def test_cms_pipeline_exact_when_sparse(ray_session):
+    """150 users in 1024 buckets: the estimate is exact for (nearly) all
+    users; every estimate is >= the true count regardless."""
+    import duckdb
+
+    from crossai_ts_ray.pipelines.analytics import cms_user_event_counts
+    from tools.verify_correctness import to_pandas
+
+    sf = "/root/testdata/sf0.001"
+    got = to_pandas(cms_user_event_counts(sf)).set_index("user_id")
+    true = duckdb.sql(
+        f"SELECT user_id, count(*) c FROM '{sf}/events.parquet' GROUP BY 1"
+    ).df().set_index("user_id")
+    for uid, row in true.iterrows():
+        assert got.loc[uid, "est_count"] >= row["c"]
+    assert (got["est_count"].sort_index() == true["c"].sort_index()).mean() > 0.9
