@@ -401,6 +401,12 @@ def _order_event_window_q(sf_dir: str):
     return order_event_window(sf_dir)
 
 
+def _hourly_anomalies_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.events_pipeline import hourly_anomalies
+
+    return hourly_anomalies(sf_dir)
+
+
 _ASOF_SQL = """
 SELECT o.o_orderkey,
        round(
@@ -430,6 +436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # RANGE join: per-order 7-day attribution window over the
         # customer's events (two as-of prefix lookups per bucket)
         "order_event_window": _order_event_window_q,
+        # rolling 24h z-score anomaly alerts over the hourly rollup
+        "hourly_anomalies": _hourly_anomalies_q,
         # windowing family (reference sliding_window semantics)
         "window_counts_w16_o8": _window_counts_q,
         "window_agg_tumbling_w16": _window_agg_q(16, 0),
@@ -669,6 +677,7 @@ def oracle_sql() -> dict[str, str]:
         "user_running_total": _events_sql("USER_RUNNING_TOTAL_SQL"),
         "asof_last_event_value": _ASOF_SQL,
         "order_event_window": _events_sql("ORDER_EVENT_WINDOW_SQL"),
+        "hourly_anomalies": _events_sql("HOURLY_ANOMALIES_SQL"),
         "window_counts_w16_o8": _WINDOW_COUNTS_SQL,
         "window_agg_tumbling_w16": _window_agg_sql(16, 0),
         "window_agg_sliding_w20_o10": _window_agg_sql(20, 10),

@@ -981,3 +981,107 @@ SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
        ) / 1000000.0 AS running_total
 FROM events
 """
+
+
+def hourly_anomalies(sf_dir: str, window: int = 24, nsig: float = 3.0) -> rd.Dataset:
+    """Rolling z-score anomaly detection over the hourly rollup: a bucket is
+    anomalous when its value sum deviates more than ``nsig`` trailing-window
+    standard deviations from the trailing-``window``-row mean (frame =
+    ``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``, full frames only)
+    -- the classic streaming-telemetry alert shape.
+
+    Exactness: values quantize to centi-units, rolling sums and
+    sum-of-squares ride int64 cumulative differences (bit-equal to the
+    oracle's windowed integer SUMs under any association), and the
+    mean/variance/threshold float math mirrors the SQL operand-for-operand
+    -- so even the knife-edge ``|v - mean| > 3*std`` comparison cannot
+    diverge.  Scale shape: runs on ROLLUP rows (one per source-hour,
+    bounded by retention, never raw events), one group per source like the
+    EWMA scan."""
+    hourly = hourly_rollup(sf_dir)
+
+    out_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("bucket", pa.int64()),
+            ("val_sum", pa.float64()),
+            ("mean24", pa.float64()),
+            ("z", pa.float64()),
+        ]
+    )
+
+    w = window
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows < w:
+            return pa.Table.from_pylist([], schema=out_schema)
+        bucket = g["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(bucket, kind="stable")
+        b = bucket[order]
+        vs = g["val_sum"].to_numpy(zero_copy_only=False)[order]
+        vc = np.rint(vs * 100.0).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(vc)))
+        cumq = np.concatenate(([0], np.cumsum(vc * vc)))
+        s = cum[w:] - cum[:-w]
+        q = cumq[w:] - cumq[:-w]
+        v_end = vc[w - 1:]
+        sf8 = s.astype(np.float64)
+        var = (q.astype(np.float64) - sf8 * sf8 / float(w)) / float(w)
+        mean_c = sf8 / float(w)
+        with np.errstate(invalid="ignore"):
+            std = np.sqrt(var)
+            dev = np.abs(v_end.astype(np.float64) - mean_c)
+            flag = (var > 0) & (dev > nsig * std)
+        if not flag.any():
+            return pa.Table.from_pylist([], schema=out_schema)
+        idx = np.flatnonzero(flag)
+        src = g["source"][0].as_py()
+        return pa.table(
+            {
+                "source": pa.array([src] * len(idx), pa.string()),
+                "bucket": pa.array(b[w - 1:][idx], pa.int64()),
+                "val_sum": pa.array(vs[w - 1:][idx], pa.float64()),
+                "mean24": pa.array(mean_c[idx] / 100.0, pa.float64()),
+                "z": pa.array(
+                    (v_end[idx].astype(np.float64) - mean_c[idx]) / std[idx],
+                    pa.float64(),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return hourly.groupby("source").map_groups(scan, batch_format="pyarrow")
+
+
+HOURLY_ANOMALIES_SQL = """
+WITH agg AS (
+  SELECT event_type AS source,
+         (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         round(sum(value), 6) AS val_sum
+  FROM events GROUP BY 1, 2
+),
+q AS (
+  SELECT source, bucket, val_sum,
+         CAST(round(val_sum * 100, 0) AS BIGINT) AS vc,
+         row_number() OVER (PARTITION BY source ORDER BY bucket) AS rn,
+         SUM(CAST(round(val_sum * 100, 0) AS BIGINT)) OVER w AS s,
+         SUM(CAST(round(val_sum * 100, 0) AS BIGINT)
+             * CAST(round(val_sum * 100, 0) AS BIGINT)) OVER w AS qq
+  FROM agg
+  WINDOW w AS (PARTITION BY source ORDER BY bucket
+               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT source, bucket, val_sum,
+       CAST(s AS DOUBLE) / 24.0 / 100.0 AS mean24,
+       (CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / 24.0)
+         / sqrt((CAST(qq AS DOUBLE)
+                 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 24.0) / 24.0) AS z
+FROM q
+WHERE rn >= 24
+  AND (CAST(qq AS DOUBLE)
+       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 24.0) / 24.0 > 0
+  AND abs(CAST(vc AS DOUBLE) - CAST(s AS DOUBLE) / 24.0)
+      > 3.0 * sqrt((CAST(qq AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / 24.0) / 24.0)
+"""

@@ -86,3 +86,49 @@ def test_range_join_bucket_invariance(ray_session):
     b = canon(to_pandas(order_event_window(sf, buckets=19)))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) == 1500
+
+
+def test_hourly_anomalies_planted_spike(ray_session, tmp_path):
+    """A planted 10x spike after 30 flat hours must be flagged; the flat
+    hours must not be."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.events_pipeline import hourly_anomalies
+    from tools.verify_correctness import canon, to_pandas
+
+    d = str(tmp_path / "anom")
+    os.makedirs(d, exist_ok=True)
+    base = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+    HOUR_US = 3600 * 1_000_000
+    n_hours = 40
+    # one event per hour; values ~10 with tiny deterministic jitter, one
+    # 100.0 spike at hour 30
+    ts = base + np.arange(n_hours, dtype=np.int64) * HOUR_US
+    vals = 10.0 + 0.01 * (np.arange(n_hours) % 7)
+    vals[30] = 100.0
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(np.ones(n_hours, np.int64)),
+                "event_id": pa.array(np.arange(n_hours, dtype=np.int64)),
+                "event_type": pa.array(["t"] * n_hours),
+                "ts": pa.array(ts.view("datetime64[us]")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    got = canon(to_pandas(hourly_anomalies(d)))
+    spike_bucket = (base // 1_000_000) // 3600 + 30
+    assert spike_bucket in set(got["bucket"])
+    row = got.set_index("bucket").loc[spike_bucket]
+    assert row["z"] > 3.0
+    assert abs(row["val_sum"] - 100.0) < 1e-9
+    # nothing outside the spike's influence window is flagged
+    assert (got["bucket"] == spike_bucket).all() or (
+        got["bucket"] >= spike_bucket
+    ).all()
