@@ -547,6 +547,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Count-Min frequency estimates; min-of-d never underestimates and
         # collision overestimates oracle-match exactly
         "cms_user_event_counts": _analytics("cms_user_event_counts"),
+        # one-sided CUSUM drift alerts (recursive-CTE mirror, bitwise)
+        "cusum_hourly_drift": _analytics("cusum_hourly_drift"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -713,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_user_days": analytics_sql("APPROX_DISTINCT_SQL"),
         "bloom_prefilter_events": analytics_sql("BLOOM_ACTIVE_SQL"),
         "cms_user_event_counts": analytics_sql("CMS_USER_COUNTS_SQL"),
+        "cusum_hourly_drift": analytics_sql("CUSUM_HOURLY_SQL"),
         "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
         "segment_nation_rollup": rel_ext_sql("SEGMENT_NATION_ROLLUP_SQL"),
         "customer_order_counts": rel_ext_sql("CUSTOMER_ORDER_COUNTS_SQL"),

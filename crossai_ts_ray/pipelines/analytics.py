@@ -1818,3 +1818,157 @@ SELECT pb.user_id::BIGINT AS user_id, min(c.cnt)::BIGINT AS est_count
 FROM pb JOIN counters c USING (i, bucket)
 GROUP BY pb.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection over hourly means (spike detector's complement)
+# ---------------------------------------------------------------------------
+
+
+def cusum_hourly_drift(sf_dir: str):
+    """One-sided CUSUM change detection per event type over hourly mean
+    values: ``s_i = max(0, s_{i-1} + (x_i - mu) - 0.5*sigma)``, alert when
+    ``s_i > 4*sigma`` -- the classic drift detector (catches slow upward
+    shifts the per-bucket z-score misses; complements hourly_anomalies).
+
+    Exactness: x is the oracle-exact hourly mean; mu/sigma come from
+    centi-quantized int64 sums (order-insensitive), and the sequential
+    recurrence preserves the oracle's float op order exactly (recursive-CTE
+    mirror, no rounding bridge).  Scale shape: same as ewma_hourly -- the
+    per-type scan runs over hourly buckets (domain-bounded), never raw
+    events."""
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        val_u = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "bucket": pa.nulls(0, pa.int64()),
+                 "sum_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64())}
+            )
+        key = codes * (1 << 44) + bucket
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(val_u[order], starts)
+        n = np.diff(np.append(starts, len(ks)))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bucket": pa.array(bucket[sel], pa.int64()),
+                "sum_u": pa.array(sums, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(
+        partial, batch_format="pyarrow", batch_size=1_048_576
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("hourly_mean", pa.float64()),
+            ("cusum", pa.float64()),
+        ]
+    )
+
+    def cusum_scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        b = _np(g["bucket"])
+        su = _np(g["sum_u"])
+        nn = _np(g["n"])
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+        ub = bs[starts]
+        usum = np.add.reduceat(su[order], starts)
+        un = np.add.reduceat(nn[order], starts)
+        x = (usum / 1_000_000.0) / un          # oracle-exact hourly mean
+        # HALF-AWAY rounding (DuckDB round()), not np.rint's half-even:
+        # hourly means of few-decimal values DO land exactly on .5 ties
+        v = x * 100.0
+        xc = np.where(
+            v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)
+        ).astype(np.int64)
+        n = len(xc)
+        if n == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        # per-source mu/sigma from exact integer sums, float math mirrored
+        sx = float(int(xc.sum()))
+        sxx = float(int((xc * xc).sum()))
+        mu = sx / n
+        sig = float(np.sqrt((sxx - sx * sx / n) / n))
+        s = np.empty(n, np.float64)
+        s[0] = max(0.0, (float(xc[0]) - mu) - 0.5 * sig)
+        for i in range(1, n):  # sequential by definition; series length is
+            # hourly buckets, not events
+            s[i] = max(0.0, s[i - 1] + (float(xc[i]) - mu) - 0.5 * sig)
+        flag = s > 4.0 * sig
+        idx = np.flatnonzero(flag)
+        src = g["event_type"][0].as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([src] * len(idx), pa.string()),
+                "bucket": pa.array(ub[idx], pa.int64()),
+                "hourly_mean": pa.array(x[idx], pa.float64()),
+                "cusum": pa.array(s[idx] / 100.0, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return parts.groupby("event_type").map_groups(
+        cusum_scan, batch_format="pyarrow"
+    )
+
+
+CUSUM_HOURLY_SQL = """
+WITH RECURSIVE agg AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS sum_u,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, bucket,
+         (sum_u / 1000000.0) / n AS x,
+         CAST(round((sum_u / 1000000.0) / n * 100, 0) AS BIGINT) AS xc,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM agg
+),
+st AS (
+  SELECT event_type, count(*)::BIGINT AS n,
+         CAST(SUM(xc) AS DOUBLE) AS sx,
+         CAST(SUM(xc * xc) AS DOUBLE) AS sxx
+  FROM x GROUP BY 1
+),
+params AS (
+  SELECT event_type, sx / n AS mu,
+         sqrt((sxx - sx * sx / n) / n) AS sig
+  FROM st
+),
+rec AS (
+  SELECT x.event_type, x.bucket, x.x, x.rn,
+         greatest(0.0, (CAST(x.xc AS DOUBLE) - p.mu) - 0.5 * p.sig) AS s
+  FROM x JOIN params p USING (event_type)
+  WHERE x.rn = 1
+  UNION ALL
+  SELECT x.event_type, x.bucket, x.x, x.rn,
+         greatest(0.0, r.s + (CAST(x.xc AS DOUBLE) - p.mu) - 0.5 * p.sig)
+  FROM x
+  JOIN rec r ON x.event_type = r.event_type AND x.rn = r.rn + 1
+  JOIN params p ON p.event_type = x.event_type
+)
+SELECT rec.event_type, rec.bucket, rec.x AS hourly_mean,
+       rec.s / 100.0 AS cusum
+FROM rec JOIN params p USING (event_type)
+WHERE rec.s > 4.0 * p.sig
+"""

@@ -256,3 +256,43 @@ def test_trend_degenerate_and_reference(ray_session, tmp_path):
         row = full.set_index("user_id").loc[uid]
         assert abs(row["slope_per_day"] - ref[0]) < 1e-6
         assert abs(row["intercept"] - ref[1]) < 1e-3
+
+
+def test_cusum_planted_drift(ray_session, tmp_path):
+    """A sustained +2 level shift after hour 60 must raise CUSUM alerts in
+    the shifted region and none before it."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.analytics import cusum_hourly_drift
+
+    d = str(tmp_path / "cusum")
+    os.makedirs(d, exist_ok=True)
+    base = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+    HOUR_US = 3600 * 1_000_000
+    n = 120
+    ts = base + np.arange(n, dtype=np.int64) * HOUR_US
+    vals = 10.0 + 0.5 * np.sin(np.arange(n))  # bounded noise
+    vals[60:] += 2.0                           # sustained drift
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(np.ones(n, np.int64)),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "event_type": pa.array(["t"] * n),
+                "ts": pa.array(ts.view("datetime64[us]")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    got = _canon(cusum_hourly_drift(d))
+    base_bucket = (base // 1_000_000) // 3600
+    assert len(got) > 0
+    # every alert is in the shifted region
+    assert (got["bucket"] >= base_bucket + 60).all()
+    # and the drift IS eventually caught
+    assert got["bucket"].min() <= base_bucket + 90
