@@ -1972,3 +1972,138 @@ SELECT rec.event_type, rec.bucket, rec.x AS hourly_mean,
 FROM rec JOIN params p USING (event_type)
 WHERE rec.s > 4.0 * p.sig
 """
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing (level + trend) over hourly means
+# ---------------------------------------------------------------------------
+
+_HOLT_ALPHA, _HOLT_GAMMA = 0.5, 0.3
+
+
+def holt_hourly(sf_dir: str):
+    """Holt's linear (double-exponential) smoothing per event type over the
+    hourly mean series: ``l_i = 0.5*x_i + 0.5*(l_{i-1} + b_{i-1})``,
+    ``b_i = 0.3*(l_i - l_{i-1}) + 0.7*b_{i-1}``, one-step forecast
+    ``l_i + b_i`` -- the trend-aware big sibling of ewma_hourly, with the
+    same bitwise recursive-CTE oracle discipline (identical float op order,
+    the decay factors written as the literals the oracle parses, two
+    mutually-recursive states carried through the CTE).
+
+    Scale shape: identical to ewma_hourly -- combiner-bounded partials, one
+    keyed exchange, a per-type sequential scan over hourly buckets (bounded
+    by retention, not event count)."""
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        val_u = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "bucket": pa.nulls(0, pa.int64()),
+                 "sum_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64())}
+            )
+        key = codes * (1 << 44) + bucket
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bucket": pa.array(bucket[sel], pa.int64()),
+                "sum_u": pa.array(
+                    np.add.reduceat(val_u[order], starts), pa.int64()
+                ),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(ks))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ev.map_batches(
+        partial, batch_format="pyarrow", batch_size=1_048_576
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("hourly_mean", pa.float64()),
+            ("level", pa.float64()),
+            ("trend", pa.float64()),
+            ("forecast", pa.float64()),
+        ]
+    )
+
+    def holt_scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        b = _np(g["bucket"])
+        su = _np(g["sum_u"])
+        nn = _np(g["n"])
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+        ub = bs[starts]
+        usum = np.add.reduceat(su[order], starts)
+        un = np.add.reduceat(nn[order], starts)
+        x = (usum / 1_000_000.0) / un
+        n = len(x)
+        if n == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        lv = np.empty(n, np.float64)
+        tr = np.empty(n, np.float64)
+        lv[0], tr[0] = x[0], 0.0
+        for i in range(1, n):  # sequential recurrence over hourly buckets
+            lv[i] = 0.5 * x[i] + 0.5 * (lv[i - 1] + tr[i - 1])
+            tr[i] = 0.3 * (lv[i] - lv[i - 1]) + 0.7 * tr[i - 1]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g["event_type"][0].as_py()] * n, pa.string()
+                ),
+                "bucket": pa.array(ub, pa.int64()),
+                "hourly_mean": pa.array(x, pa.float64()),
+                "level": pa.array(lv, pa.float64()),
+                "trend": pa.array(tr, pa.float64()),
+                "forecast": pa.array(lv + tr, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return parts.groupby("event_type").map_groups(
+        holt_scan, batch_format="pyarrow"
+    )
+
+
+HOLT_HOURLY_SQL = """
+WITH RECURSIVE agg AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS sum_u,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, bucket, (sum_u / 1000000.0) / n AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM agg
+),
+rec AS (
+  SELECT event_type, bucket, x, rn, x AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM x WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.bucket, s.x, s.rn,
+         0.5 * s.x + 0.5 * (r.l + r.b) AS l,
+         0.3 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b AS b
+  FROM x s JOIN rec r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, bucket, x AS hourly_mean, l AS level, b AS trend,
+       l + b AS forecast
+FROM rec
+"""

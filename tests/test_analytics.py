@@ -296,3 +296,41 @@ def test_cusum_planted_drift(ray_session, tmp_path):
     assert (got["bucket"] >= base_bucket + 60).all()
     # and the drift IS eventually caught
     assert got["bucket"].min() <= base_bucket + 90
+
+
+def test_holt_tracks_linear_trend(ray_session, tmp_path):
+    """On a perfectly linear series Holt's trend converges to the true
+    slope and the one-step forecast tracks the next value."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.analytics import holt_hourly
+
+    d = str(tmp_path / "holt")
+    os.makedirs(d, exist_ok=True)
+    base = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+    HOUR_US = 3600 * 1_000_000
+    n = 100
+    ts = base + np.arange(n, dtype=np.int64) * HOUR_US
+    vals = 5.0 + 2.0 * np.arange(n)  # exact slope 2/hour
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(np.ones(n, np.int64)),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "event_type": pa.array(["t"] * n),
+                "ts": pa.array(ts.view("datetime64[us]")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    got = _canon(holt_hourly(d)).sort_values("bucket")
+    assert abs(got["trend"].iloc[-1] - 2.0) < 1e-6
+    # forecast at i predicts x_{i+1}
+    fc = got["forecast"].to_numpy()[:-1]
+    nxt = got["hourly_mean"].to_numpy()[1:]
+    assert np.abs(fc[-20:] - nxt[-20:]).max() < 1e-4
