@@ -551,6 +551,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_hourly_drift": _analytics("cusum_hourly_drift"),
         # Holt level+trend smoothing with one-step forecast (bitwise CTE)
         "holt_hourly_forecast": _analytics("holt_hourly"),
+        # row-level sessionization (segmented-cumsum session assignment)
+        "user_session_ids": _analytics("user_session_ids"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -719,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_event_counts": analytics_sql("CMS_USER_COUNTS_SQL"),
         "cusum_hourly_drift": analytics_sql("CUSUM_HOURLY_SQL"),
         "holt_hourly_forecast": analytics_sql("HOLT_HOURLY_SQL"),
+        "user_session_ids": analytics_sql("USER_SESSION_IDS_SQL"),
         "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
         "segment_nation_rollup": rel_ext_sql("SEGMENT_NATION_ROLLUP_SQL"),
         "customer_order_counts": rel_ext_sql("CUSTOMER_ORDER_COUNTS_SQL"),

@@ -2107,3 +2107,96 @@ SELECT event_type, bucket, x AS hourly_mean, l AS level, b AS trend,
        l + b AS forecast
 FROM rec
 """
+
+
+# ---------------------------------------------------------------------------
+# Row-level sessionization: session id per event
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+def user_session_ids(sf_dir: str, gap_s: int = _SESSION_GAP_S,
+                     buckets: int | None = None):
+    """Assign each event its user's session id (0-based): a new session
+    starts after a silence gap > ``gap_s`` -- the row-level output of the
+    sessionization scan (events_pipeline.user_sessions returns only the
+    per-user counts; downstream feature pipelines need the assignment
+    itself).
+
+    Scale shape: ONE keyed exchange (hash by user), then one vectorized
+    segmented pass per partition -- gap markers via diff, session ids via
+    segmented cumsum; no per-user Python call."""
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("session_id", pa.int64()),
+        ]
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        new_user = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        gap = np.concatenate(
+            ([0], ((~new_user[1:]) & (np.diff(t_s) > gap_s * 1_000_000))
+             .astype(np.int64))
+        )
+        cum = np.cumsum(gap)
+        starts = np.flatnonzero(new_user)
+        base = cum[starts]
+        seg_len = np.diff(np.append(starts, len(u_s)))
+        session = cum - np.repeat(base, seg_len)
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "ts": pa.array(t_s.view("datetime64[us]")),
+                "session_id": pa.array(session, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )
+
+
+USER_SESSION_IDS_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       SUM(gap) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )::BIGINT AS session_id
+FROM g
+"""

@@ -334,3 +334,20 @@ def test_holt_tracks_linear_trend(ray_session, tmp_path):
     fc = got["forecast"].to_numpy()[:-1]
     nxt = got["hourly_mean"].to_numpy()[1:]
     assert np.abs(fc[-20:] - nxt[-20:]).max() < 1e-4
+
+
+def test_session_ids_consistent_with_session_counts(ray_session):
+    """Row-level assignment must agree with the session-count scan: per
+    user, max(session_id) + 1 == sessions."""
+    from crossai_ts_ray.pipelines.analytics import user_session_ids
+    from crossai_ts_ray.pipelines.events_pipeline import user_sessions
+
+    ids = _canon(user_session_ids(SF, buckets=5))
+    counts = _canon(user_sessions(SF, buckets=3)).set_index("user_id")
+    per_user = ids.groupby("user_id")["session_id"].max() + 1
+    for uid, n in per_user.items():
+        assert counts.loc[uid, "sessions"] == n
+    # session ids are dense 0..max within each user
+    for uid, g in ids.groupby("user_id"):
+        s = sorted(g["session_id"].unique())
+        assert s == list(range(len(s)))

@@ -68,7 +68,9 @@ def main():
     sf_dir = make_events(rows, f"/tmp/bench_events_{rows}")
 
     from crossai_ts_ray.pipelines.analytics import (
+        cusum_hourly_drift,
         ewma_hourly,
+        holt_hourly,
         topk_events_per_user,
         user_breakout_minmax,
         user_event_lag_diff,
@@ -76,6 +78,7 @@ def main():
         value_histogram,
     )
     from crossai_ts_ray.pipelines.events_pipeline import (
+        hourly_anomalies,
         hourly_gapfill,
         hourly_rollup,
         sliding_hourly,
@@ -97,6 +100,11 @@ def main():
         ("breakout_minmax", lambda: user_breakout_minmax(sf_dir)),
         ("histogram", lambda: value_histogram(sf_dir)),
         ("ewma_hourly", lambda: ewma_hourly(sf_dir)),
+        # round-4 late additions: anomaly/drift/forecast scans -- all run
+        # on rollup rows (source x hour), never raw events
+        ("anomalies_24h", lambda: hourly_anomalies(sf_dir)),
+        ("cusum_drift", lambda: cusum_hourly_drift(sf_dir)),
+        ("holt_forecast", lambda: holt_hourly(sf_dir)),
     ):
         # row-count-sized outputs (the per-event window scans) are CONSUMED
         # STREAMING (count()) -- materializing 10M rows on the driver would
