@@ -553,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_hourly_forecast": _analytics("holt_hourly"),
         # row-level sessionization (segmented-cumsum session assignment)
         "user_session_ids": _analytics("user_session_ids"),
+        # additive seasonal decomposition (hour-of-day profile + residual)
+        "seasonal_residuals_hourly": _analytics("seasonal_residuals_hourly"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -722,6 +724,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_hourly_drift": analytics_sql("CUSUM_HOURLY_SQL"),
         "holt_hourly_forecast": analytics_sql("HOLT_HOURLY_SQL"),
         "user_session_ids": analytics_sql("USER_SESSION_IDS_SQL"),
+        "seasonal_residuals_hourly": analytics_sql("SEASONAL_RESIDUALS_SQL"),
         "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
         "segment_nation_rollup": rel_ext_sql("SEGMENT_NATION_ROLLUP_SQL"),
         "customer_order_counts": rel_ext_sql("CUSTOMER_ORDER_COUNTS_SQL"),

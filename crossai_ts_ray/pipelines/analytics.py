@@ -2200,3 +2200,145 @@ SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
        )::BIGINT AS session_id
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition: hour-of-day profile + residual per bucket
+# ---------------------------------------------------------------------------
+
+
+def _half_away_c(x: np.ndarray) -> np.ndarray:
+    """Centi-quantize with SQL round() semantics (half AWAY from zero --
+    hourly means DO land exactly on .5 ties where np.rint diverges)."""
+    v = x * 100.0
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+        np.int64
+    )
+
+
+def seasonal_residuals_hourly(sf_dir: str):
+    """Additive seasonal decomposition of the hourly mean series per event
+    type: each bucket's mean minus its hour-of-day (0..23) profile mean --
+    the de-seasonalized residual an anomaly detector would run on when the
+    signal has a daily cycle.
+
+    Exactness: means are the oracle-exact hourly x; the profile rides
+    centi-quantized int64 sums per (source, hour-of-day); the residual
+    float math mirrors the SQL operand-for-operand.  Scale shape: same
+    per-type scan as the EWMA/Holt family -- the 24-bin profile and the
+    residuals are computed inside ONE group pass over rollup rows."""
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        val_u = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "bucket": pa.nulls(0, pa.int64()),
+                 "sum_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64())}
+            )
+        key = codes * (1 << 44) + bucket
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bucket": pa.array(bucket[sel], pa.int64()),
+                "sum_u": pa.array(
+                    np.add.reduceat(val_u[order], starts), pa.int64()
+                ),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(ks))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ev.map_batches(
+        partial, batch_format="pyarrow", batch_size=1_048_576
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("hod", pa.int64()),
+            ("hourly_mean", pa.float64()),
+            ("seasonal_mean", pa.float64()),
+            ("residual", pa.float64()),
+        ]
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        b = _np(g["bucket"])
+        su = _np(g["sum_u"])
+        nn = _np(g["n"])
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+        ub = bs[starts]
+        usum = np.add.reduceat(su[order], starts)
+        un = np.add.reduceat(nn[order], starts)
+        x = (usum / 1_000_000.0) / un
+        if not len(x):
+            return pa.Table.from_pylist([], schema=out_schema)
+        xc = _half_away_c(x)
+        hod = ub % 24
+        # exact integer per-hod sums (bincount's float weights would round)
+        sums = np.zeros(24, np.int64)
+        np.add.at(sums, hod, xc)
+        cnt = np.bincount(hod, minlength=24).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # hods absent from this source never appear in hod[] below
+            prof = sums.astype(np.float64) / cnt.astype(np.float64)
+        seasonal = prof[hod]
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g["event_type"][0].as_py()] * len(ub), pa.string()
+                ),
+                "bucket": pa.array(ub, pa.int64()),
+                "hod": pa.array(hod, pa.int64()),
+                "hourly_mean": pa.array(x, pa.float64()),
+                "seasonal_mean": pa.array(seasonal / 100.0, pa.float64()),
+                "residual": pa.array(
+                    (xc.astype(np.float64) - seasonal) / 100.0, pa.float64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return parts.groupby("event_type").map_groups(scan, batch_format="pyarrow")
+
+
+SEASONAL_RESIDUALS_SQL = """
+WITH agg AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS sum_u,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, bucket, (sum_u / 1000000.0) / n AS x,
+         CAST(round((sum_u / 1000000.0) / n * 100, 0) AS BIGINT) AS xc,
+         bucket % 24 AS hod
+  FROM agg
+),
+p AS (
+  SELECT event_type, hod, CAST(SUM(xc) AS DOUBLE) AS sxc,
+         count(*)::BIGINT AS c
+  FROM x GROUP BY 1, 2
+)
+SELECT x.event_type, x.bucket, x.hod, x.x AS hourly_mean,
+       p.sxc / p.c / 100.0 AS seasonal_mean,
+       (CAST(x.xc AS DOUBLE) - p.sxc / p.c) / 100.0 AS residual
+FROM x JOIN p USING (event_type, hod)
+"""

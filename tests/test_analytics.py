@@ -351,3 +351,46 @@ def test_session_ids_consistent_with_session_counts(ray_session):
     for uid, g in ids.groupby("user_id"):
         s = sorted(g["session_id"].unique())
         assert s == list(range(len(s)))
+
+
+def test_seasonal_residuals_remove_planted_cycle(ray_session, tmp_path):
+    """A pure 24h sinusoid decomposes into (profile == signal, residual ~0);
+    a spike shows up in the residual, not the profile."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.analytics import seasonal_residuals_hourly
+
+    d = str(tmp_path / "seas")
+    os.makedirs(d, exist_ok=True)
+    base = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+    HOUR_US = 3600 * 1_000_000
+    n = 24 * 20  # 20 full days
+    ts = base + np.arange(n, dtype=np.int64) * HOUR_US
+    hod = np.arange(n) % 24
+    vals = 50.0 + 10.0 * np.sin(2 * np.pi * hod / 24)
+    vals = np.round(vals, 2)
+    vals[100] += 30.0  # spike
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(np.ones(n, np.int64)),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "event_type": pa.array(["t"] * n),
+                "ts": pa.array(ts.view("datetime64[us]")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    got = _canon(seasonal_residuals_hourly(d)).sort_values("bucket")
+    res = got["residual"].to_numpy()
+    # all non-spike residuals are tiny (the spike leaks 30/20 = 1.5 into
+    # its own hod's profile)
+    spike_idx = 100
+    others = np.delete(res, spike_idx)
+    assert np.abs(others).max() < 2.0
+    assert res[spike_idx] > 25.0
