@@ -555,6 +555,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_session_ids": _analytics("user_session_ids"),
         # additive seasonal decomposition (hour-of-day profile + residual)
         "seasonal_residuals_hourly": _analytics("seasonal_residuals_hourly"),
+        # autocorrelation at lags 1..24 (self-join-on-lag oracle)
+        "acf_hourly": _analytics("acf_hourly"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -725,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_hourly_forecast": analytics_sql("HOLT_HOURLY_SQL"),
         "user_session_ids": analytics_sql("USER_SESSION_IDS_SQL"),
         "seasonal_residuals_hourly": analytics_sql("SEASONAL_RESIDUALS_SQL"),
+        "acf_hourly": analytics_sql("ACF_HOURLY_SQL"),
         "q10_returned_revenue": rel_ext_sql("Q10_SQL"),
         "segment_nation_rollup": rel_ext_sql("SEGMENT_NATION_ROLLUP_SQL"),
         "customer_order_counts": rel_ext_sql("CUSTOMER_ORDER_COUNTS_SQL"),

@@ -2342,3 +2342,164 @@ SELECT x.event_type, x.bucket, x.hod, x.x AS hourly_mean,
        (CAST(x.xc AS DOUBLE) - p.sxc / p.c) / 100.0 AS residual
 FROM x JOIN p USING (event_type, hod)
 """
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function: ACF at lags 1..24 per event type
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 24
+
+
+def acf_hourly(sf_dir: str, max_lag: int = _ACF_MAX_LAG):
+    """Pearson autocorrelation of the hourly mean series at lags 1..24 per
+    event type, pairing only buckets where both endpoints exist (gaps pair
+    nothing; the SQL mirror is a self-join on ``bucket = bucket - lag``) --
+    the diagnostic that finds the daily cycle seasonal_residuals_hourly
+    removes.
+
+    Exactness: centi-quantized int64 moment sums per (source, lag); the
+    correlation float math runs on exact integers, mirrored
+    operand-for-operand; degenerate lags (zero variance at either endpoint)
+    yield NULL.  Scale shape: per-type scan over rollup rows; each lag's
+    pairing is one vectorized searchsorted against the sorted bucket
+    array."""
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        val_u = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "bucket": pa.nulls(0, pa.int64()),
+                 "sum_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64())}
+            )
+        key = codes * (1 << 44) + bucket
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bucket": pa.array(bucket[sel], pa.int64()),
+                "sum_u": pa.array(
+                    np.add.reduceat(val_u[order], starts), pa.int64()
+                ),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(ks))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ev.map_batches(
+        partial, batch_format="pyarrow", batch_size=1_048_576
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("lag", pa.int64()),
+            ("n_pairs", pa.int64()),
+            ("acf", pa.float64()),
+        ]
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        b = _np(g["bucket"])
+        su = _np(g["sum_u"])
+        nn = _np(g["n"])
+        order = np.argsort(b, kind="stable")
+        ub = b[order]
+        starts = np.flatnonzero(np.concatenate(([True], ub[1:] != ub[:-1])))
+        ub = ub[starts]
+        usum = np.add.reduceat(su[order], starts)
+        un = np.add.reduceat(nn[order], starts)
+        x = (usum / 1_000_000.0) / un
+        xc = _half_away_c(x)
+        src = g["event_type"][0].as_py()
+        lags, npairs, acfs, mask = [], [], [], []
+        for lag in range(1, max_lag + 1):
+            want = ub - lag
+            pos = np.searchsorted(ub, want)
+            hit = (pos < len(ub)) & (ub[np.minimum(pos, len(ub) - 1)] == want)
+            xa = xc[hit]                # current bucket
+            xb = xc[pos[hit]]           # bucket - lag
+            n = len(xa)
+            if n == 0:
+                continue  # the oracle's inner join emits no zero-pair lag
+            lags.append(lag)
+            npairs.append(n)
+            nf = float(n)
+            sx = float(int(xa.sum()))
+            sy = float(int(xb.sum()))
+            sxx = float(int((xa * xa).sum()))
+            syy = float(int((xb * xb).sum()))
+            sxy = float(int((xa * xb).sum()))
+            va = nf * sxx - sx * sx
+            vb = nf * syy - sy * sy
+            if va > 0 and vb > 0:
+                acfs.append(
+                    (nf * sxy - sx * sy) / (np.sqrt(va) * np.sqrt(vb))
+                )
+                mask.append(False)
+            else:
+                acfs.append(np.nan)
+                mask.append(True)
+        return pa.table(
+            {
+                "event_type": pa.array([src] * len(lags), pa.string()),
+                "lag": pa.array(lags, pa.int64()),
+                "n_pairs": pa.array(npairs, pa.int64()),
+                "acf": pa.array(
+                    np.array(acfs, np.float64), pa.float64(),
+                    mask=np.array(mask, bool),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return parts.groupby("event_type").map_groups(scan, batch_format="pyarrow")
+
+
+ACF_HOURLY_SQL = """
+WITH agg AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS sum_u,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, bucket,
+         CAST(round((sum_u / 1000000.0) / n * 100, 0) AS BIGINT) AS xc
+  FROM agg
+),
+lags AS (SELECT unnest(generate_series(1, 24)) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, a.xc AS xa, b.xc AS xb
+  FROM x a
+  CROSS JOIN lags l
+  JOIN x b ON b.event_type = a.event_type AND b.bucket = a.bucket - l.lag
+),
+s AS (
+  SELECT event_type, lag, count(*)::BIGINT AS n,
+         CAST(SUM(xa) AS DOUBLE) AS sx, CAST(SUM(xb) AS DOUBLE) AS sy,
+         CAST(SUM(xa * xa) AS DOUBLE) AS sxx,
+         CAST(SUM(xb * xb) AS DOUBLE) AS syy,
+         CAST(SUM(xa * xb) AS DOUBLE) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n AS n_pairs,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+       END AS acf
+FROM s
+"""

@@ -394,3 +394,38 @@ def test_seasonal_residuals_remove_planted_cycle(ray_session, tmp_path):
     others = np.delete(res, spike_idx)
     assert np.abs(others).max() < 2.0
     assert res[spike_idx] > 25.0
+
+
+def test_acf_detects_planted_period(ray_session, tmp_path):
+    """A 24h sinusoid has ACF ~ +1 at lag 24 and ~ -1 at lag 12."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.analytics import acf_hourly
+
+    d = str(tmp_path / "acf")
+    os.makedirs(d, exist_ok=True)
+    base = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+    HOUR_US = 3600 * 1_000_000
+    n = 24 * 15
+    ts = base + np.arange(n, dtype=np.int64) * HOUR_US
+    vals = np.round(50.0 + 10.0 * np.sin(2 * np.pi * np.arange(n) / 24), 2)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(np.ones(n, np.int64)),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "event_type": pa.array(["t"] * n),
+                "ts": pa.array(ts.view("datetime64[us]")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    got = _canon(acf_hourly(d)).set_index("lag")
+    assert got.loc[24, "acf"] > 0.99
+    assert got.loc[12, "acf"] < -0.99
+    assert abs(got.loc[6, "acf"]) < 0.05  # quarter period ~ uncorrelated
