@@ -1854,3 +1854,157 @@ SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
 FROM documents
 QUALIFY row_number() OVER (PARTITION BY substr(text, 1, 40) ORDER BY doc_id) = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model perplexity per document
+# ---------------------------------------------------------------------------
+
+
+def doc_unigram_perplexity(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+    """Per-document perplexity under a corpus-trained unigram language
+    model: train = whitespace word counts over the whole corpus, score =
+    ``exp(-mean log p(word))`` per doc -- the model-based quality signal a
+    training-data pipeline ranks documents by (low-perplexity text is
+    "normal", high-perplexity text is noise or boilerplate).
+
+    Exactness: per-word log-probabilities quantize ONCE to micro-int
+    (identical doubles on both sides -- cnt/N is exact-int division), so
+    per-doc sums are order-insensitive int64 and the final exp mirrors the
+    oracle operand-for-operand.  Scale shape: pass 1 collapses batches to
+    per-batch word-count partials and merges them in ONE hash(word)
+    exchange (vocab-bounded); the scored vocab broadcasts into pass 2's
+    map tasks (vocabulary grows ~log(corpus), the classic broadcast-side
+    table); pass 2 streams documents and never shuffles."""
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_prt
+    from ..util import dataset_to_table
+
+    docs = _read_docs(sf_dir)
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        words = pc.list_flatten(pc.split_pattern(t["text"], pattern=" "))
+        arr = np.asarray(words.to_pylist(), dtype=object)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        h = np.array(
+            [__import__("zlib").crc32(w.encode()) for w in uniq],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "word": pa.array(uniq.tolist(), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            }
+        )
+
+    vocab_schema = pa.schema([("word", pa.string()), ("cnt", pa.int64())])
+
+    def merge_vocab(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=vocab_schema)
+        w = np.asarray(t["word"].to_pylist(), dtype=object)
+        c = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        ws, cs = w[order], c[order]
+        starts = np.flatnonzero(np.concatenate(([True], ws[1:] != ws[:-1])))
+        return pa.table(
+            {
+                "word": pa.array(ws[starts].tolist(), pa.string()),
+                "cnt": pa.array(
+                    np.add.reduceat(cs, starts).astype(np.int64), pa.int64()
+                ),
+            },
+            schema=vocab_schema,
+        )
+
+    vocab_tbl = dataset_to_table(
+        docs.map_batches(word_partial, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge_vocab(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        ),
+        schema=vocab_schema,
+    )
+    vw = np.asarray(vocab_tbl["word"].to_pylist(), dtype=object)
+    vc = vocab_tbl["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vw, kind="stable")
+    vw, vc = vw[order], vc[order]
+    total = float(int(vc.sum()))
+    # micro-int log-probs: ln on the identical double both sides compute
+    lp = np.log(vc.astype(np.float64) / total) * 1_000_000.0
+    lp_u = np.where(lp >= 0, np.floor(lp + 0.5), np.ceil(lp - 0.5)).astype(
+        np.int64
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_words", pa.int64()),
+            ("perplexity", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        lists = pc.split_pattern(t["text"], pattern=" ")
+        nw = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = np.asarray(
+            pc.list_flatten(lists).to_pylist(), dtype=object
+        )
+        pos = np.searchsorted(vw, flat)
+        # every word is in the corpus vocab by construction; fail loudly
+        # if a lookup ever misses (would mean tokenization drift)
+        hit = (pos < len(vw)) & (vw[np.minimum(pos, len(vw) - 1)] == flat)
+        if not hit.all():
+            raise ValueError(
+                f"vocab miss: {flat[~hit][:3].tolist()} (tokenization drift)"
+            )
+        tok_lp = lp_u[pos]
+        ends = np.cumsum(nw)
+        starts = np.concatenate(([0], ends[:-1]))
+        csum = np.concatenate(([0], np.cumsum(tok_lp)))
+        s = csum[ends] - csum[starts]
+        nwf = nw.astype(np.float64)
+        # libm exp differs from DuckDB's by 1 ulp on some inputs: bridge with
+        # the house epsilon-biased 6dp rounding (both sides)
+        ppl = np.round(np.exp(-((s / 1_000_000.0) / nwf)) + 1e-9, 6)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_words": pa.array(nw.astype(np.int64), pa.int64()),
+                "perplexity": pa.array(ppl, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+DOC_PERPLEXITY_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+v AS (SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY 1),
+tot AS (SELECT SUM(cnt)::BIGINT AS n FROM v),
+lp AS (
+  SELECT word,
+         CAST(round(ln(CAST(cnt AS DOUBLE) / n) * 1000000, 0) AS BIGINT)
+           AS lp_u
+  FROM v, tot
+),
+d AS (
+  SELECT w.doc_id, SUM(lp.lp_u) AS s, count(*)::BIGINT AS nw
+  FROM w JOIN lp USING (word) GROUP BY 1
+)
+SELECT doc_id::BIGINT AS doc_id, nw AS n_words,
+       round(exp(-((CAST(s AS DOUBLE) / 1000000.0) / nw)) + 1e-9, 6)
+         AS perplexity
+FROM d
+"""

@@ -525,3 +525,42 @@ def test_ivf_topk_recall_and_partial_probe(ray_session):
     # nprobe = all cells -> exact result (IVF degenerates to brute force)
     full = dataset_to_table(ivf_topk(SF, k=10, nprobe=10**6))
     assert full["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+
+
+def test_perplexity_semantics(ray_session, tmp_path):
+    """Uniform-vocabulary doc has perplexity == vocab size; a doc of one
+    repeated common word scores lower than a doc of rare words."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.text_pipeline import doc_unigram_perplexity
+    from tools.verify_correctness import canon, to_pandas
+
+    d = str(tmp_path / "ppl")
+    os.makedirs(d, exist_ok=True)
+    # corpus: 'a' x 8, 'b' x 4, 'c' x 2, 'd' x 2  (N=16)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a a a a a a a a",   # common word only
+                        "b b b b c c d d",   # mixed
+                        "c d",               # rare words only
+                    ]
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = canon(to_pandas(doc_unigram_perplexity(d))).set_index("doc_id")
+    # N=18: a=8, b=4, c=3, d=3.  p(a)=8/18 -> ppl(doc1)=18/8=2.25;
+    # doc3 = one c + one d, p=3/18 each -> ppl = 6
+    assert abs(got.loc[1, "perplexity"] - 2.25) < 1e-4
+    assert abs(got.loc[3, "perplexity"] - 6.0) < 1e-4
+    assert got.loc[1, "perplexity"] < got.loc[2, "perplexity"] < got.loc[3, "perplexity"]
+    assert got.loc[2, "n_words"] == 8
