@@ -460,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_regex": _text("token_counts_regex"),
         # corpus-trained unigram LM perplexity (micro-int log-prob sums)
         "doc_unigram_perplexity": _text("doc_unigram_perplexity"),
+        # top-3 TF-IDF terms per doc (exact int64 tf * idf_u scores)
+        "doc_tfidf_top_terms": _text("doc_tfidf_top_terms"),
         "lang_len_corr": _text("lang_len_corr"),
         "lang_quality": _text("lang_quality"),  # heuristic lang-ID + quality
         # score (rows-only: stopword-table heuristics aren't SQL)
@@ -745,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_exact": text_sql("CLEAN_CORPUS_EXACT_SQL"),
         "token_counts_regex": text_sql("TOKEN_COUNTS_REGEX_SQL"),
         "doc_unigram_perplexity": text_sql("DOC_PERPLEXITY_SQL"),
+        "doc_tfidf_top_terms": text_sql("DOC_TFIDF_SQL"),
         # mod-2^64 Horner rolling hash reproduced with HUGEINT list_reduce
         "doc_fingerprints": text_sql("DOC_FINGERPRINTS_SQL"),
         # FNV-1a byte-shingle SimHash reproduced with UBIGINT/HUGEINT bit math

@@ -2008,3 +2008,158 @@ SELECT doc_id::BIGINT AS doc_id, nw AS n_words,
          AS perplexity
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top terms per document
+# ---------------------------------------------------------------------------
+
+
+def doc_tfidf_top_terms(sf_dir: str, k: int = 3, buckets: int = 32) -> rd.Dataset:
+    """Each document's ``k`` highest-TF-IDF whitespace terms (ties broken by
+    word ascending -- a total order, so the result is deterministic and
+    SQL-oracle-checkable): tf = in-doc count, idf = ln(D / df) over the
+    whole corpus.
+
+    Exactness: idf quantizes ONCE to micro-int per vocab word (identical
+    doubles both sides), so scores are exact int64 products ``tf * idf_u``
+    and the top-k selection can never flip on float noise.  Scale shape:
+    document-frequency partials merge in ONE hash(word) exchange
+    (vocab-bounded); the scored idf table broadcasts into the streaming
+    per-doc scoring pass; D comes from Parquet metadata (no extra scan)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..stages.joins import hash_prt
+    from ..util import dataset_to_table
+
+    docs = _read_docs(sf_dir)
+    n_docs = _read_docs(sf_dir, columns=("doc_id",)).count()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lists = pc.split_pattern(t["text"], pattern=" ")
+        nw = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(lists).to_pylist(), dtype=object)
+        doc_rep = np.repeat(np.arange(len(nw)), nw)
+        # distinct (doc, word) -> per-word doc counts within the batch
+        pairs = pd.DataFrame({"d": doc_rep, "w": flat}).drop_duplicates()
+        cnt = pairs.groupby("w", sort=False).size()
+        uniq = cnt.index.to_numpy(dtype=object)
+        h = np.array(
+            [__import__("zlib").crc32(w.encode()) for w in uniq],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "word": pa.array(uniq.tolist(), pa.string()),
+                "df": pa.array(cnt.to_numpy().astype(np.int64), pa.int64()),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            }
+        )
+
+    df_schema = pa.schema([("word", pa.string()), ("df", pa.int64())])
+
+    def merge_df(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=df_schema)
+        w = np.asarray(t["word"].to_pylist(), dtype=object)
+        c = t["df"].to_numpy(zero_copy_only=False)
+        order = np.argsort(w, kind="stable")
+        ws, cs = w[order], c[order]
+        starts = np.flatnonzero(np.concatenate(([True], ws[1:] != ws[:-1])))
+        return pa.table(
+            {
+                "word": pa.array(ws[starts].tolist(), pa.string()),
+                "df": pa.array(
+                    np.add.reduceat(cs, starts).astype(np.int64), pa.int64()
+                ),
+            },
+            schema=df_schema,
+        )
+
+    df_tbl = dataset_to_table(
+        docs.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge_df(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        ),
+        schema=df_schema,
+    )
+    vw = np.asarray(df_tbl["word"].to_pylist(), dtype=object)
+    vdf = df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vw, kind="stable")
+    vw, vdf = vw[order], vdf[order]
+    idf = np.log(float(n_docs) / vdf.astype(np.float64)) * 1_000_000.0
+    idf_u = np.where(
+        idf >= 0, np.floor(idf + 0.5), np.ceil(idf - 0.5)
+    ).astype(np.int64)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("word", pa.string()),
+            ("tfidf", pa.float64()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        lists = pc.split_pattern(t["text"], pattern=" ")
+        nw = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = np.asarray(pc.list_flatten(lists).to_pylist(), dtype=object)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_rep = np.repeat(dids, nw)
+        tf = (
+            pd.DataFrame({"d": doc_rep, "w": flat})
+            .groupby(["d", "w"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        pos = np.searchsorted(vw, tf["w"].to_numpy(dtype=object))
+        score_u = tf["tf"].to_numpy().astype(np.int64) * idf_u[pos]
+        tf["score_u"] = score_u
+        top = (
+            tf.sort_values(["d", "score_u", "w"],
+                           ascending=[True, False, True], kind="mergesort")
+            .groupby("d", sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(top["d"].to_numpy(np.int64), pa.int64()),
+                "word": pa.array(top["w"].tolist(), pa.string()),
+                "tfidf": pa.array(
+                    top["score_u"].to_numpy(np.int64) / 1_000_000.0,
+                    pa.float64(),
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+DOC_TFIDF_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+dfreq AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*)::BIGINT AS d FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.word,
+         tf.tf * CAST(round(ln(CAST(d AS DOUBLE) / df) * 1000000, 0)
+                      AS BIGINT) AS score_u
+  FROM tf CROSS JOIN nd JOIN dfreq USING (word)
+)
+SELECT doc_id::BIGINT AS doc_id, word, score_u / 1000000.0 AS tfidf
+FROM sc
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY score_u DESC, word
+) <= 3
+"""

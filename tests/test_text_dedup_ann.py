@@ -564,3 +564,43 @@ def test_perplexity_semantics(ray_session, tmp_path):
     assert abs(got.loc[3, "perplexity"] - 6.0) < 1e-4
     assert got.loc[1, "perplexity"] < got.loc[2, "perplexity"] < got.loc[3, "perplexity"]
     assert got.loc[2, "n_words"] == 8
+
+
+def test_tfidf_prefers_rare_terms(ray_session, tmp_path):
+    """A term unique to one doc outranks corpus-wide terms; k and tiebreak
+    are deterministic."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.text_pipeline import doc_tfidf_top_terms
+    from tools.verify_correctness import canon, to_pandas
+
+    d = str(tmp_path / "tfidf")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "common common zebra",
+                        "common common common",
+                        "common yak yak",
+                    ]
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = canon(to_pandas(doc_tfidf_top_terms(d))).set_index(
+        ["doc_id", "word"]
+    )
+    # 'zebra' (df=1) tops doc 1 despite tf=1 < tf(common)=2
+    d1 = got.loc[1].sort_values("tfidf", ascending=False)
+    assert d1.index[0] == "zebra"
+    # 'common' appears in every doc -> idf = ln(1) = 0 -> score 0
+    assert got.loc[(2, "common"), "tfidf"] == 0.0
+    d3 = got.loc[3].sort_values("tfidf", ascending=False)
+    assert d3.index[0] == "yak"
