@@ -561,6 +561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_residuals_hourly": _analytics("seasonal_residuals_hourly"),
         # autocorrelation at lags 1..24 (self-join-on-lag oracle)
         "acf_hourly": _analytics("acf_hourly"),
+        # LTTB visualization downsample (rows-only: sequential argmax
+        # chain; invariants + hand-computed cases pinned in pytest)
+        "lttb_downsample": _analytics("lttb_hourly"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),

@@ -2503,3 +2503,119 @@ SELECT event_type, lag, n AS n_pairs,
        END AS acf
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling: largest-triangle-three-buckets per source
+# ---------------------------------------------------------------------------
+
+
+def lttb_hourly(sf_dir: str, n_out: int = 200):
+    """Downsample each event type's hourly mean series to ``n_out`` points
+    with Largest-Triangle-Three-Buckets (Steinarsson 2013) -- the standard
+    visualization downsampler: endpoints kept, each middle bucket
+    contributes the point forming the largest triangle with the previously
+    selected point and the next bucket's centroid, so peaks and troughs
+    survive where uniform striding would alias them.
+
+    No SQL oracle by design (the selection is a sequential argmax chain);
+    output invariants (subsequence, endpoints, peak preservation, exact
+    hand-computed cases) are pinned in tests/test_analytics.py.  Scale
+    shape: per-type scan over rollup rows; the selection loop runs n_out
+    iterations with a vectorized area argmax per bucket."""
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        val_u = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "bucket": pa.nulls(0, pa.int64()),
+                 "sum_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64())}
+            )
+        key = codes * (1 << 44) + bucket
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bucket": pa.array(bucket[sel], pa.int64()),
+                "sum_u": pa.array(
+                    np.add.reduceat(val_u[order], starts), pa.int64()
+                ),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(ks))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ev.map_batches(
+        partial, batch_format="pyarrow", batch_size=1_048_576
+    )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("hourly_mean", pa.float64()),
+        ]
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        b = _np(g["bucket"])
+        su = _np(g["sum_u"])
+        nn = _np(g["n"])
+        order = np.argsort(b, kind="stable")
+        ub = b[order]
+        starts = np.flatnonzero(np.concatenate(([True], ub[1:] != ub[:-1])))
+        ub = ub[starts]
+        usum = np.add.reduceat(su[order], starts)
+        un = np.add.reduceat(nn[order], starts)
+        y = (usum / 1_000_000.0) / un
+        x = ub.astype(np.float64)
+        n = len(x)
+        src = g["event_type"][0].as_py()
+        if n <= n_out:
+            keep = np.arange(n)
+        else:
+            every = (n - 2) / (n_out - 2)
+            keep_list = [0]
+            a = 0
+            for i in range(n_out - 2):
+                rs = int(np.floor(i * every)) + 1
+                re_ = int(np.floor((i + 1) * every)) + 1
+                ns = re_
+                ne = min(int(np.floor((i + 2) * every)) + 1, n)
+                if ns < ne:
+                    avg_x = x[ns:ne].mean()
+                    avg_y = y[ns:ne].mean()
+                else:  # last bucket: use the final point
+                    avg_x, avg_y = x[n - 1], y[n - 1]
+                seg_x, seg_y = x[rs:re_], y[rs:re_]
+                area = np.abs(
+                    (x[a] - avg_x) * (seg_y - y[a])
+                    - (x[a] - seg_x) * (avg_y - y[a])
+                )
+                a = rs + int(np.argmax(area))
+                keep_list.append(a)
+            keep_list.append(n - 1)
+            keep = np.array(keep_list, np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array([src] * len(keep), pa.string()),
+                "bucket": pa.array(ub[keep], pa.int64()),
+                "hourly_mean": pa.array(y[keep], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return parts.groupby("event_type").map_groups(scan, batch_format="pyarrow")

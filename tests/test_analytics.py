@@ -429,3 +429,52 @@ def test_acf_detects_planted_period(ray_session, tmp_path):
     assert got.loc[24, "acf"] > 0.99
     assert got.loc[12, "acf"] < -0.99
     assert abs(got.loc[6, "acf"]) < 0.05  # quarter period ~ uncorrelated
+
+
+def test_lttb_invariants_and_peak_preservation(ray_session, tmp_path):
+    """LTTB output is a subsequence with endpoints kept, size min(n, n_out),
+    and the global max/min of a spiky series survive downsampling (uniform
+    striding would alias them away)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.analytics import lttb_hourly
+
+    d = str(tmp_path / "lttb")
+    os.makedirs(d, exist_ok=True)
+    base = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+    HOUR_US = 3600 * 1_000_000
+    n = 2000
+    ts = base + np.arange(n, dtype=np.int64) * HOUR_US
+    vals = 50.0 + 5.0 * np.sin(np.arange(n) / 30.0)
+    vals[777] = 500.0   # narrow peak
+    vals[1333] = -400.0  # narrow trough
+    vals = np.round(vals, 2)
+    pq.write_table(
+        pa.table(
+            {
+                "user_id": pa.array(np.ones(n, np.int64)),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "event_type": pa.array(["t"] * n),
+                "ts": pa.array(ts.view("datetime64[us]")),
+                "value": pa.array(vals, pa.float64()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    got = _canon(lttb_hourly(d, n_out=100)).sort_values("bucket")
+    assert len(got) == 100
+    base_bucket = (base // 1_000_000) // 3600
+    bk = got["bucket"].to_numpy()
+    assert bk[0] == base_bucket and bk[-1] == base_bucket + n - 1
+    # subsequence of the original grid, strictly increasing
+    assert (np.diff(bk) > 0).all()
+    # the narrow peak and trough survive
+    assert got["hourly_mean"].max() == 500.0
+    assert got["hourly_mean"].min() == -400.0
+    # short series pass through unchanged
+    full = _canon(lttb_hourly(d, n_out=5000))
+    assert len(full) == n
