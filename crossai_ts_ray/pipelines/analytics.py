@@ -1305,7 +1305,12 @@ def user_value_trend(sf_dir: str, buckets: int | None = None):
         t = t.combine_chunks()
         uid = _np(t["user_id"]).astype(np.int64)
         x = (_ts_us(t["ts"]) - _EPOCH_1990_US) // _DAY_US
-        y = np.rint(_np(t["value"]) * 100.0).astype(np.int64)
+        # HALF-AWAY (SQL round()): 3-decimal values land exactly on .5
+        # centi-ties where np.rint's half-even diverges
+        yv = _np(t["value"]) * 100.0
+        y = np.where(
+            yv >= 0, np.floor(yv + 0.5), np.ceil(yv - 0.5)
+        ).astype(np.int64)
         keys, n, sx, sy, sxx, sxy = (
             _sum_runs(uid, np.ones(len(uid), np.int64), x, y, x * x, x * y)
         )

@@ -1020,7 +1020,12 @@ def hourly_anomalies(sf_dir: str, window: int = 24, nsig: float = 3.0) -> rd.Dat
         order = np.argsort(bucket, kind="stable")
         b = bucket[order]
         vs = g["val_sum"].to_numpy(zero_copy_only=False)[order]
-        vc = np.rint(vs * 100.0).astype(np.int64)
+        # HALF-AWAY (SQL round()): 6dp val_sums land exactly on .5
+        # centi-ties where np.rint's half-even diverges
+        vcf = vs * 100.0
+        vc = np.where(
+            vcf >= 0, np.floor(vcf + 0.5), np.ceil(vcf - 0.5)
+        ).astype(np.int64)
         cum = np.concatenate(([0], np.cumsum(vc)))
         cumq = np.concatenate(([0], np.cumsum(vc * vc)))
         s = cum[w:] - cum[:-w]
