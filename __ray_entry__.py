@@ -564,6 +564,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LTTB visualization downsample (rows-only: sequential argmax
         # chain; invariants + hand-computed cases pinned in pytest)
         "lttb_downsample": _analytics("lttb_hourly"),
+        # semi-structured family: vectorized JSON field extraction
+        # (Arrow regex kernel) + bounded-histogram grouped stats, and the
+        # HDR-histogram quantile sketch with an integer-exact SQL mirror
+        "props_key_stats": _semistruct("props_key_stats"),
+        "hdr_value_quantiles": _semistruct("hdr_value_quantiles"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -667,6 +672,21 @@ def analytics_sql(name: str) -> str:
     return getattr(analytics, name)
 
 
+def _semistruct(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import semistruct
+
+        return getattr(semistruct, fn_name)(sf_dir)
+
+    return run
+
+
+def semistruct_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import semistruct
+
+    return getattr(semistruct, name)
+
+
 def text_sql(name: str) -> str:
     from crossai_ts_ray.pipelines import text_pipeline
 
@@ -741,6 +761,11 @@ def oracle_sql() -> dict[str, str]:
         # sequential EWMA recurrence mirrored by a recursive CTE (bitwise:
         # identical float op order on both sides, no rounding bridge)
         "ewma_hourly": analytics_sql("EWMA_HOURLY_SQL"),
+        # JSON extraction mirrored by json_extract_string; the HDR sketch
+        # bucket/rank/midpoint rules are integer-exact on both sides
+        # (bit_length via printf('%b'))
+        "props_key_stats": semistruct_sql("PROPS_KEY_STATS_SQL"),
+        "hdr_value_quantiles": semistruct_sql("HDR_VALUE_QUANTILES_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
