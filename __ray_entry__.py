@@ -579,6 +579,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # third relational wave: two-nation cross-border revenue, six-table
         # market-share ratio, count-of-counts distribution, correlated
         # per-key average threshold, global-scalar + NOT EXISTS anti-join
+        # fourth relational wave: aggregate-then-global-max with ties
+        # (Q15), grouped COUNT(DISTINCT) over a filtered dimension join
+        # (Q16 on this schema), correlated per-key argmin (Q2 shape)
+        "q15_top_supplier": _rel_w4("q15_top_supplier"),
+        "part_supplier_variety": _rel_w4("part_supplier_variety"),
+        "q2_min_price_supplier": _rel_w4("q2_min_price_supplier"),
         "q7_volume_shipping": _rel_w3("q7_volume_shipping"),
         "q8_market_share": _rel_w3("q8_market_share"),
         "q13_customer_distribution": _rel_w3("q13_customer_distribution"),
@@ -655,6 +661,21 @@ def rel_w3_sql(name: str) -> str:
     from crossai_ts_ray.pipelines import relational_w3
 
     return getattr(relational_w3, name)
+
+
+def _rel_w4(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import relational_w4
+
+        return getattr(relational_w4, fn_name)(sf_dir)
+
+    return run
+
+
+def rel_w4_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import relational_w4
+
+    return getattr(relational_w4, name)
 
 
 def _analytics(fn_name: str) -> Callable[[str], Any]:
@@ -796,6 +817,9 @@ def oracle_sql() -> dict[str, str]:
         # stopword hits, \p{L} alpha ratio, arithmetic mean-word-length)
         "lang_quality": text_sql("LANG_QUALITY_SQL"),
         "lang_len_corr": text_sql("LANG_LEN_CORR_SQL"),
+        "q15_top_supplier": rel_w4_sql("Q15_SQL"),
+        "part_supplier_variety": rel_w4_sql("Q16_SQL"),
+        "q2_min_price_supplier": rel_w4_sql("Q2_SQL"),
         "q7_volume_shipping": rel_w3_sql("Q7_SQL"),
         "q8_market_share": rel_w3_sql("Q8_SQL"),
         "q13_customer_distribution": rel_w3_sql("Q13_SQL"),
