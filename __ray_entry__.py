@@ -569,6 +569,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HDR-histogram quantile sketch with an integer-exact SQL mirror
         "props_key_stats": _semistruct("props_key_stats"),
         "hdr_value_quantiles": _semistruct("hdr_value_quantiles"),
+        # distributed full-data Lloyd k-means (rows-only: iterative float
+        # fitting; pinned vs a single-process NumPy reference in
+        # tests/test_kmeans.py)
+        "kmeans_embeddings": _kmeans_q,
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -691,6 +695,12 @@ def analytics_sql(name: str) -> str:
     from crossai_ts_ray.pipelines import analytics
 
     return getattr(analytics, name)
+
+
+def _kmeans_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.ann_pipeline import kmeans_embeddings
+
+    return kmeans_embeddings(sf_dir)
 
 
 def _semistruct(fn_name: str) -> Callable[[str], Any]:

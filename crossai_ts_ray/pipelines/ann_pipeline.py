@@ -987,3 +987,162 @@ def ivf_topk(
         .sort(["sim", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed full-data k-means (Lloyd) over the embedding column
+# ---------------------------------------------------------------------------
+
+def _kmeans_partials_schema(dim: int) -> pa.Schema:
+    return pa.schema(
+        [("cluster", pa.int64()), ("n", pa.int64()),
+         ("vsum", pa.list_(pa.float64(), dim)), ("sse", pa.float64()),
+         ("min_vid", pa.int64())]
+    )
+
+
+def _kmeans_iterate(ds, c_ref, dim: int):
+    """One Lloyd E+partial-M step: per-batch (cluster, count, vector-sum,
+    sse) partials.  Rows leaving each map task: k per batch — independent
+    of input size; the driver merge is k x n_batches, tiny."""
+    schema = _kmeans_partials_schema(dim)
+
+    def partials(t: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=schema)
+        X, ids = _emb_matrix(t)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+        xc = X @ C.T
+        cn = (C * C).sum(axis=1)
+        d2 = (X * X).sum(axis=1, keepdims=True) - 2.0 * xc + cn[None, :]
+        assign = np.argmin(d2, axis=1)
+        order = np.argsort(assign, kind="stable")
+        a_s = assign[order]
+        starts = np.flatnonzero(np.concatenate(([True], a_s[1:] != a_s[:-1])))
+        n = np.diff(np.append(starts, len(a_s))).astype(np.int64)
+        Xs = X[order]
+        vs = np.add.reduceat(Xs, starts, axis=0)
+        sse = np.add.reduceat(
+            np.take_along_axis(d2, assign[:, None], axis=1).ravel()[order],
+            starts,
+        )
+        return pa.table(
+            {
+                "cluster": pa.array(a_s[starts], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vs.ravel(), pa.float64()), dim
+                ),
+                "sse": pa.array(sse, pa.float64()),
+                "min_vid": pa.array(
+                    np.minimum.reduceat(
+                        ids.astype(np.int64)[order], starts
+                    ),
+                    pa.int64(),
+                ),
+            },
+            schema=schema,
+        )
+
+    return ds.map_batches(partials, batch_format="pyarrow")
+
+
+def _kmeans_merge(pt: pa.Table, k: int, dim: int):
+    """Deterministic driver merge of per-batch partials: rows sort by
+    (cluster, min_vid) so float sums are order-stable no matter which task
+    finished first."""
+    cl = pt["cluster"].to_numpy(zero_copy_only=False)
+    mv = pt["min_vid"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((mv, cl))
+    cl_s = cl[order]
+    n_s = pt["n"].to_numpy(zero_copy_only=False)[order]
+    sse_s = pt["sse"].to_numpy(zero_copy_only=False)[order]
+    flat = pt["vsum"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    vs_s = flat.reshape(len(cl), dim)[order]
+    counts = np.zeros(k, np.int64)
+    sums = np.zeros((k, dim), np.float64)
+    sse = np.zeros(k, np.float64)
+    starts = np.flatnonzero(np.concatenate(([True], cl_s[1:] != cl_s[:-1])))
+    uc = cl_s[starts]
+    counts[uc] = np.add.reduceat(n_s, starts)
+    sums[uc] = np.add.reduceat(vs_s, starts, axis=0)
+    sse[uc] = np.add.reduceat(sse_s, starts)
+    return counts, sums, sse
+
+
+def _farthest_first_init(sm: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic farthest-first traversal init on the bounded sample:
+    seed with row 0, then greedily add the point maximizing distance to
+    the chosen set (first index on ties).  No RNG — reruns and the test
+    reference are bit-identical — and planted well-separated clusters get
+    one seed each, unlike uniform sampling."""
+    k = min(k, len(sm))
+    idx = [0]
+    d2 = ((sm - sm[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        idx.append(nxt)
+        d2 = np.minimum(d2, ((sm - sm[nxt]) ** 2).sum(axis=1))
+    return sm[np.array(idx)].copy()
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
+    """Distributed full-data Lloyd k-means over the embedding column:
+    per-cluster (n, sse, centroid-norm) after ``iters`` iterations from a
+    deterministic seeded-sample init.
+
+    Scale shape: each iteration is ONE streaming pass — centroids
+    broadcast via ``ray.put`` (read per task, never re-shipped per batch),
+    batches emit k partial rows (count, vector sum, sse), and the driver
+    reduces k x n_batches rows in a deterministic (cluster, min-vec-id)
+    sort order so float summation cannot depend on task completion order.
+    Communication per pass is O(k x dim x batches), independent of row
+    count; the input re-reads per iteration (at cluster scale you'd
+    persist the column once — the read is already column-pruned).
+
+    Rows-only query: iterative float fitting has no SQL oracle; pytest
+    pins it against a single-process NumPy Lloyd reference on planted
+    blobs (tests/test_kmeans.py).
+    """
+    import pyarrow.parquet as pq
+
+    from ..util import dataset_to_table
+
+    path = f"{sf_dir}/embeddings.parquet"
+    pf = pq.ParquetFile(path)
+    sample_t = next(
+        pf.iter_batches(batch_size=4096, columns=["vec_id", "embedding"])
+    )
+    sm, _ = _emb_matrix(pa.Table.from_batches([sample_t]))
+    dim = sm.shape[1]
+    C = _farthest_first_init(sm, k)
+
+    def read():
+        return read_parquet_sized(path, columns=["vec_id", "embedding"])
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+        pt = dataset_to_table(_kmeans_iterate(read(), c_ref, dim))
+        counts, sums, _ = _kmeans_merge(pt, k, dim)
+        nz = counts > 0
+        C[nz] = sums[nz] / counts[nz, None]
+        # empty clusters keep their previous centroid (deterministic)
+
+    c_ref = ray.put(C)
+    pt = dataset_to_table(_kmeans_iterate(read(), c_ref, dim))
+    counts, _, sse = _kmeans_merge(pt, k, dim)
+    cnorm = np.sqrt((C * C).sum(axis=1))
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "sse": pa.array(np.round(sse + 1e-9, 6), pa.float64()),
+            "centroid_norm": pa.array(
+                np.round(cnorm + 1e-9, 6), pa.float64()
+            ),
+        }
+    )
