@@ -573,6 +573,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fitting; pinned vs a single-process NumPy reference in
         # tests/test_kmeans.py)
         "kmeans_embeddings": _kmeans_q,
+        # cohort retention matrix (weekly actives by first-active week)
+        "cohort_retention": _analytics("cohort_retention"),
+        # n-gram family over the corpus: global vocabulary head and
+        # bigram statistics, both with per-partition top-k pre-pruning
+        "token_vocab_topk": _text("token_vocab_topk"),
+        "token_bigram_topk": _text("token_bigram_topk"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -797,6 +803,9 @@ def oracle_sql() -> dict[str, str]:
         # (bit_length via printf('%b'))
         "props_key_stats": semistruct_sql("PROPS_KEY_STATS_SQL"),
         "hdr_value_quantiles": semistruct_sql("HDR_VALUE_QUANTILES_SQL"),
+        "cohort_retention": analytics_sql("COHORT_RETENTION_SQL"),
+        "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),
+        "token_bigram_topk": text_sql("TOKEN_BIGRAM_TOPK_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),

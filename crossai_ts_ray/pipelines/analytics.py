@@ -2624,3 +2624,143 @@ def lttb_hourly(sf_dir: str, n_out: int = 200):
         )
 
     return parts.groupby("event_type").map_groups(scan, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix: weekly active users by signup cohort
+# ---------------------------------------------------------------------------
+
+def cohort_retention(sf_dir: str, buckets: int | None = None,
+                     week_s: int = 604_800):
+    """Classic retention matrix: users grouped by first-active week
+    (cohort), counted per weeks-since-cohort (age) -- the
+    product-analytics shape behind every retention curve.
+
+    Scale shape: batches dedupe (user, week) pairs before ONE hash(user)
+    exchange; a user's whole history lands in one partition, so cohort
+    (min week) and every (cohort, age) contribution compute vectorized
+    there and the per-partition counts are additive.  The final merge
+    moves only cohorts x ages rows per partition.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("week", pa.int64()), ("prt", pa.int64())]
+    )
+
+    def pair_dedupe(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=pair_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        wk = (_ts_us(t["ts"]) // 1_000_000) // week_s
+        key = uid * (1 << 20) + (wk - wk.min())
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        first = np.concatenate(([True], ks[1:] != ks[:-1]))
+        sel = order[first]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "week": pa.array(wk[sel], pa.int64()),
+                "prt": pa.array(hash_prt(uid[sel], buckets), pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    part_schema = pa.schema(
+        [("cohort", pa.int64()), ("age", pa.int64()), ("cnt", pa.int64()),
+         ("prt2", pa.int64())]
+    )
+
+    def cohort_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        uid = _np(t["user_id"])
+        wk = _np(t["week"])
+        order = np.lexsort((wk, uid))
+        u_s, w_s = uid[order], wk[order]
+        # re-dedupe across batch partials of the same user, then cohort =
+        # each user's first (sorted) week
+        keep = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (w_s[1:] != w_s[:-1]))
+        )
+        u_d, w_d = u_s[keep], w_s[keep]
+        dstarts = np.flatnonzero(
+            np.concatenate(([True], u_d[1:] != u_d[:-1]))
+        )
+        dn = np.diff(np.append(dstarts, len(u_d)))
+        cohort = np.repeat(w_d[dstarts], dn)
+        age = w_d - cohort
+        key = cohort * (1 << 20) + age
+        korder = np.argsort(key, kind="stable")
+        ks = key[korder]
+        kstarts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        cnt = np.diff(np.append(kstarts, len(ks)))
+        uk = ks[kstarts]
+        return pa.table(
+            {
+                "cohort": pa.array(uk >> 20, pa.int64()),
+                "age": pa.array(uk & ((1 << 20) - 1), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "prt2": pa.array(hash_prt(uk, 16), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("cohort", pa.int64()), ("age", pa.int64()),
+         ("active_users", pa.int64())]
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        cohort = _np(t["cohort"])
+        age = _np(t["age"])
+        cnt = _np(t["cnt"])
+        key = cohort * (1 << 20) + age
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(cnt[order], starts)
+        uk = ks[starts]
+        return pa.table(
+            {
+                "cohort": pa.array(uk >> 20, pa.int64()),
+                "age": pa.array(uk & ((1 << 20) - 1), pa.int64()),
+                "active_users": pa.array(sums, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(pair_dedupe, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: cohort_partial(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+        .groupby("prt2")
+        .map_groups(
+            lambda g: final(g.drop_columns(["prt2"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH wk AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 604800 AS week
+  FROM events
+),
+f AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id)
+SELECT f.cohort::BIGINT AS cohort, (wk.week - f.cohort)::BIGINT AS age,
+       count(*)::BIGINT AS active_users
+FROM wk JOIN f USING (user_id) GROUP BY 1, 2
+"""

@@ -2163,3 +2163,228 @@ QUALIFY row_number() OVER (
   PARTITION BY doc_id ORDER BY score_u DESC, word
 ) <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Global token-frequency top-k and bigram statistics (n-gram family)
+# ---------------------------------------------------------------------------
+
+def _topk_prune_words(t: pa.Table, k: int, cols: list[str]) -> pa.Table:
+    """Keep a partition's top-k rows by (cnt desc, words asc) -- a total
+    order, so per-partition pruning before the global merge can never drop
+    a global winner (any global top-k row is a top-k row of its
+    partition)."""
+    if t.num_rows <= k:
+        return t
+    df = t.to_pandas()
+    df = df.sort_values(
+        ["cnt"] + cols, ascending=[False] + [True] * len(cols),
+        kind="mergesort",
+    ).head(k)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def token_vocab_topk(sf_dir: str, k: int = 50, buckets: int = 32) -> rd.Dataset:
+    """The corpus's ``k`` most frequent whitespace tokens with counts
+    (ties broken by token ascending) -- the global vocabulary head a
+    tokenizer-training or data-audit pipeline inspects first.
+
+    Scale shape: per-batch Arrow ``value_counts`` collapses each batch to
+    its distinct words BEFORE the one hash(word) exchange (vocab-bounded);
+    partitions merge counts vectorized and pre-prune to their local top-k
+    (safe under the total order), so the constant-key final merge sees
+    only buckets x k rows.
+    """
+    from ..stages.joins import hash_prt
+
+    docs = _read_docs(sf_dir, columns=("text",))
+
+    part_schema = pa.schema(
+        [("word", pa.string()), ("cnt", pa.int64()), ("prt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        words = pc.list_flatten(
+            pc.split_pattern(t["text"], pattern=" ")
+        )
+        if len(words) == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        vc = pc.value_counts(words)
+        uniq = vc.field("values")
+        cnt = vc.field("counts").cast(pa.int64())
+        h = np.array(
+            [__import__("zlib").crc32(w.encode()) for w in uniq.to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "word": uniq,
+                "cnt": cnt,
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema([("word", pa.string()), ("cnt", pa.int64())])
+
+    def merge_prune(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        words = t["word"]
+        codes = words.dictionary_encode().combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        ks = idx[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(cnt[order], starts)
+        sel = order[starts]
+        merged = pa.table(
+            {
+                "word": codes.take(pa.array(sel)).cast(pa.string()),
+                "cnt": pa.array(sums, pa.int64()),
+            },
+            schema=out_schema,
+        )
+        return _topk_prune_words(merged, k, ["word"])
+
+    pruned = (
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge_prune(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+    return pruned.sort(["cnt", "word"], descending=[True, False]).limit(k)
+
+
+TOKEN_VOCAB_TOPK_SQL = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, count(*)::BIGINT AS cnt FROM w GROUP BY word
+ORDER BY cnt DESC, word ASC LIMIT 50
+"""
+
+
+def token_bigram_topk(sf_dir: str, k: int = 30, buckets: int = 32) -> rd.Dataset:
+    """The corpus's ``k`` most frequent in-document token bigrams -- the
+    n-gram statistic under phrase mining / contamination checks.
+
+    Scale shape: bigram extraction is pure Arrow offset arithmetic (take
+    flat values at i and i+1, document boundaries masked out -- no Python
+    over rows); each batch collapses to distinct (w1, w2) counts via one
+    joined-string ``value_counts``; then the same vocab-bounded exchange +
+    pruned merge as ``token_vocab_topk``.
+    """
+    from ..stages.joins import hash_prt
+
+    docs = _read_docs(sf_dir, columns=("text",))
+    SEP = "\x1f"  # unit separator: cannot occur in whitespace tokens
+
+    part_schema = pa.schema(
+        [("pair", pa.string()), ("cnt", pa.int64()), ("prt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lists = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.values
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        # positions whose successor is in the SAME document: all except
+        # each document's last token (and empty docs contribute nothing)
+        keep = np.ones(n, bool)
+        last = offs[1:] - 1
+        keep[last[last >= 0]] = False
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        w1 = flat.take(pa.array(idx))
+        w2 = flat.take(pa.array(idx + 1))
+        joined = pc.binary_join_element_wise(w1, w2, SEP)
+        vc = pc.value_counts(joined)
+        uniq = vc.field("values")
+        cnt = vc.field("counts").cast(pa.int64())
+        h = np.array(
+            [__import__("zlib").crc32(w.encode()) for w in uniq.to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "pair": uniq,
+                "cnt": cnt,
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    mid_schema = pa.schema([("pair", pa.string()), ("cnt", pa.int64())])
+    out_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def merge_prune(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=mid_schema)
+        codes = t["pair"].dictionary_encode().combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        ks = idx[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(cnt[order], starts)
+        sel = order[starts]
+        merged = pa.table(
+            {
+                "pair": codes.take(pa.array(sel)).cast(pa.string()),
+                "cnt": pa.array(sums, pa.int64()),
+            },
+            schema=mid_schema,
+        )
+        return _topk_prune_words(merged, k, ["pair"])
+
+    def split_pair(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        parts = pc.split_pattern(t["pair"], pattern=SEP)
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "cnt": t["cnt"],
+            },
+            schema=out_schema,
+        )
+
+    pruned = (
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge_prune(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+        .map_batches(split_pair, batch_format="pyarrow")
+    )
+    return pruned.sort(["cnt", "w1", "w2"],
+                       descending=[True, False, False]).limit(k)
+
+
+TOKEN_BIGRAM_TOPK_SQL = """
+WITH tok AS (SELECT string_split(text, ' ') AS words FROM documents),
+big AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2
+  FROM tok, LATERAL unnest(generate_series(1, len(words) - 1)) AS t(i)
+)
+SELECT w1, w2, count(*)::BIGINT AS cnt FROM big GROUP BY 1, 2
+ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 30
+"""

@@ -1,0 +1,93 @@
+"""Token n-gram top-k and cohort retention: partition/batch invariance,
+semantics, and DuckDB value parity at sf0.001."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(ds):
+    from tools.verify_correctness import canon, to_pandas
+
+    return canon(to_pandas(ds))
+
+
+def test_vocab_topk_bucket_invariance(ray_session):
+    from crossai_ts_ray.pipelines.text_pipeline import token_vocab_topk
+
+    a = _canon(token_vocab_topk(SF, buckets=1))
+    b = _canon(token_vocab_topk(SF, buckets=17))
+    assert a.equals(b)
+    # counts are non-increasing in rank order
+    srt = a.sort_values(["cnt", "word"], ascending=[False, True])
+    assert (srt["cnt"].diff().dropna() <= 0).all()
+
+
+def test_bigram_topk_bucket_invariance_and_pandas(ray_session):
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.text_pipeline import token_bigram_topk
+
+    a = _canon(token_bigram_topk(SF, buckets=1))
+    b = _canon(token_bigram_topk(SF, buckets=13))
+    assert a.equals(b)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["text"])
+    pairs: dict[tuple[str, str], int] = {}
+    for txt in docs["text"]:
+        w = txt.split(" ")
+        for i in range(len(w) - 1):
+            pairs[(w[i], w[i + 1])] = pairs.get((w[i], w[i + 1]), 0) + 1
+    ref = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = sorted(
+        zip(zip(a["w1"], a["w2"]), a["cnt"]),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert [(k, int(v)) for k, v in got] == [(k, v) for k, v in ref]
+
+
+def test_cohort_retention_semantics(ray_session):
+    import duckdb
+
+    from crossai_ts_ray.pipelines.analytics import cohort_retention
+
+    a = _canon(cohort_retention(SF, buckets=1))
+    b = _canon(cohort_retention(SF, buckets=23))
+    assert a.equals(b)
+    # age-0 actives per cohort == cohort sizes; total distinct users match
+    con = duckdb.connect()
+    n_users = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()[0]
+    age0 = a[a["age"] == 0]["active_users"].sum()
+    assert int(age0) == n_users
+    # retention never exceeds the cohort's age-0 size
+    base = a[a["age"] == 0].set_index("cohort")["active_users"]
+    for _, row in a.iterrows():
+        assert row["active_users"] <= base[row["cohort"]]
+
+
+def test_token_cohort_duckdb_gate(ray_session):
+    import duckdb
+    import pandas.testing as pdt
+
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    sql = E.oracle_sql()
+    con = duckdb.connect()
+    for t in (
+        "events region nation customer supplier part orders lineitem "
+        "documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    for name in ("cohort_retention", "token_vocab_topk",
+                 "token_bigram_topk"):
+        mine = _canon(qs[name](SF))
+        oracle = _canon(con.execute(sql[name]).df())
+        assert mine.shape == oracle.shape, name
+        pdt.assert_frame_equal(mine, oracle, check_dtype=False)
