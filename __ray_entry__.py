@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _kmeans_q,
         # cohort retention matrix (weekly actives by first-active week)
         "cohort_retention": _analytics("cohort_retention"),
+        # PERCENT_RANK + NTILE window functions (exact integer-ratio SQL)
+        "value_percent_rank": _analytics("value_percent_rank"),
         # n-gram family over the corpus: global vocabulary head and
         # bigram statistics, both with per-partition top-k pre-pruning
         "token_vocab_topk": _text("token_vocab_topk"),
@@ -804,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "props_key_stats": semistruct_sql("PROPS_KEY_STATS_SQL"),
         "hdr_value_quantiles": semistruct_sql("HDR_VALUE_QUANTILES_SQL"),
         "cohort_retention": analytics_sql("COHORT_RETENTION_SQL"),
+        "value_percent_rank": analytics_sql("VALUE_PERCENT_RANK_SQL"),
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),
         "token_bigram_topk": text_sql("TOKEN_BIGRAM_TOPK_SQL"),
         "text_stats": _TEXT_STATS_SQL,

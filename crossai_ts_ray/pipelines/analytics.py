@@ -2764,3 +2764,109 @@ SELECT f.cohort::BIGINT AS cohort, (wk.week - f.cohort)::BIGINT AS age,
        count(*)::BIGINT AS active_users
 FROM wk JOIN f USING (user_id) GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# PERCENT_RANK + NTILE window functions per event type
+# ---------------------------------------------------------------------------
+
+def value_percent_rank(sf_dir: str, tiles: int = 4,
+                       buckets: int | None = None):
+    """Every event with its PERCENT_RANK and NTILE(4) within its event
+    type, ordered by (value, event_id) -- the rank-normalization window
+    shape (feature scaling, decile reports).
+
+    Exactness: percent_rank = (rank-1)/(n-1) where rank counts PEERS
+    below (SQL semantics: ties share a rank); both ints, the division is
+    the identical IEEE op in the oracle.  NTILE follows SQL's rule:
+    the first ``n % tiles`` tiles get ``n // tiles + 1`` rows, assigned
+    in (value, event_id) order -- pure integer math.
+
+    Scale shape: one hash(event_type) exchange; each partition holds its
+    types' full row sets (output = input rows, consumed streaming).  A
+    hot type serializes its partition sort -- the same trade the other
+    row-level window scans in this family make; at cluster scale you'd
+    range-partition by value per type instead.
+    """
+    from .events_pipeline import _source_hash
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "event_type", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return t.append_column(
+            "prt", pa.array(hash_prt(_source_hash(et), buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("pct_rank", pa.float64()),
+         ("tile", pa.int64())]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((eid, v, codes))
+        c_s, v_s, e_s = codes[order], v[order], eid[order]
+        starts = np.flatnonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))
+        n = np.diff(np.append(starts, len(c_s)))
+        grp = np.repeat(np.arange(len(starts)), n)
+        pos = np.arange(len(c_s)) - np.repeat(starts, n)  # 0-based row pos
+        # SQL RANK(): ties on value share the FIRST peer's position
+        new_val = np.concatenate(
+            ([True], (v_s[1:] != v_s[:-1]) | (c_s[1:] != c_s[:-1]))
+        )
+        rank0 = pos[np.maximum.accumulate(
+            np.where(new_val, np.arange(len(c_s)), 0)
+        )]
+        gn = np.repeat(n, n)
+        with np.errstate(invalid="ignore"):
+            pct = np.where(gn > 1, rank0 / (gn - 1.0), 0.0)
+        # NTILE: first (n % tiles) tiles take (n // tiles + 1) rows
+        q, r = gn // tiles, gn % tiles
+        cut = r * (q + 1)
+        tile = np.where(
+            pos < cut,
+            pos // np.maximum(q + 1, 1),
+            np.where(q > 0, r + (pos - cut) // np.maximum(q, 1), pos),
+        ) + 1
+        return pa.table(
+            {
+                "event_id": pa.array(e_s, pa.int64()),
+                "event_type": et.take(pa.array(order)).cast(pa.string()),
+                "value": pa.array(v_s, pa.float64()),
+                "pct_rank": pa.array(pct, pa.float64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+VALUE_PERCENT_RANK_SQL = """
+SELECT event_id::BIGINT AS event_id, event_type, value,
+       percent_rank() OVER (PARTITION BY event_type
+                            ORDER BY value) AS pct_rank,
+       ntile(4) OVER (PARTITION BY event_type
+                      ORDER BY value, event_id)::BIGINT AS tile
+FROM events
+"""

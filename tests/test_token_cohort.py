@@ -91,3 +91,17 @@ def test_token_cohort_duckdb_gate(ray_session):
         oracle = _canon(con.execute(sql[name]).df())
         assert mine.shape == oracle.shape, name
         pdt.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_percent_rank_invariance_and_semantics(ray_session):
+    from crossai_ts_ray.pipelines.analytics import value_percent_rank
+
+    a = _canon(value_percent_rank(SF, buckets=1))
+    b = _canon(value_percent_rank(SF, buckets=19))
+    assert a.equals(b)
+    assert (a["pct_rank"] >= 0).all() and (a["pct_rank"] <= 1).all()
+    assert set(a["tile"].unique()) <= {1, 2, 3, 4}
+    # NTILE balance: within each type, tile sizes differ by at most 1
+    sizes = a.groupby(["event_type", "tile"]).size()
+    for et, grp in sizes.groupby(level=0):
+        assert grp.max() - grp.min() <= 1
