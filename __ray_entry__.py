@@ -581,6 +581,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram statistics, both with per-partition top-k pre-pruning
         "token_vocab_topk": _text("token_vocab_topk"),
         "token_bigram_topk": _text("token_bigram_topk"),
+        # persisted inverted index: conjunctive term search reads ONLY
+        # each term's hash partition (the text-search sibling of the
+        # partitioned LSH/IVF ANN indexes)
+        "inverted_index_search": _text("inverted_index_search"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -809,6 +813,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percent_rank": analytics_sql("VALUE_PERCENT_RANK_SQL"),
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),
         "token_bigram_topk": text_sql("TOKEN_BIGRAM_TOPK_SQL"),
+        "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),

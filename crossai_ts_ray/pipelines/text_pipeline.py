@@ -2388,3 +2388,163 @@ big AS (
 SELECT w1, w2, count(*)::BIGINT AS cnt FROM big GROUP BY 1, 2
 ORDER BY cnt DESC, w1 ASC, w2 ASC LIMIT 30
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted inverted index + partition-pruned conjunctive term search
+# ---------------------------------------------------------------------------
+
+_INV_INDEX_DIRS: dict = {}
+_INV_PARTS = 64
+
+
+def build_inverted_index(sf_dir: str, partitions: int = _INV_PARTS) -> str:
+    """Build (once per process) a term -> postings inverted index
+    PERSISTED as Parquet partitioned by ``pp = hash(term) % partitions``
+    and return its root — the text-search sibling of the ANN LSH index
+    (``ann_pipeline.build_lsh_index``).
+
+    Postings rows are (word, doc_id, tf); a term lookup reads ONLY its
+    hash partition (1/partitions of the index), never the corpus.  At
+    production scale the root lives on shared storage, built once and
+    queried many times; nothing materializes in the object store."""
+    import os
+    import shutil
+    import tempfile
+    import zlib
+
+    from ..stages.joins import hash_prt
+
+    ck = (sf_dir, partitions)
+    hit = _INV_INDEX_DIRS.get(ck)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+    root = tempfile.mkdtemp(prefix="crossai_inv_idx_")
+
+    def postings(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lists = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.values
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(doc_ids, np.diff(offs))
+        # count (word, doc) term frequencies: join doc id onto the word
+        # string so ONE value_counts does the whole batch in C++
+        joined = pc.binary_join_element_wise(
+            flat, pa.array(doc_of.astype("U"), pa.string()), "\x1f"
+        )
+        vc = pc.value_counts(joined)
+        pairs = vc.field("values")
+        tf = vc.field("counts").cast(pa.int64())
+        parts = pc.split_pattern(pairs, pattern="\x1f")
+        words = pc.list_element(parts, 0)
+        docs = pc.cast(pc.list_element(parts, 1), pa.int64())
+        h = np.array(
+            [zlib.crc32(w.encode()) for w in words.to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "word": words,
+                "doc_id": docs,
+                "tf": tf,
+                "pp": pa.array(hash_prt(h, partitions), pa.int64()),
+            }
+        )
+
+    try:
+        _read_docs(sf_dir).map_batches(
+            postings, batch_format="pyarrow", batch_size=1_048_576
+        ).write_parquet(root, partition_cols=["pp"])
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    _INV_INDEX_DIRS[ck] = root
+    return root
+
+
+def inverted_index_search(
+    sf_dir: str, terms: tuple[str, ...] = ("data", "fast"),
+    partitions: int = _INV_PARTS,
+) -> rd.Dataset:
+    """Documents containing ALL ``terms``, with their summed term
+    frequency — conjunctive search over the persisted inverted index.
+
+    Scale shape: each term reads ONLY its hash partition of the index
+    (1/partitions of postings, column-pruned); the conjunction is a
+    keyed equijoin per additional term hashed on doc_id, so a stop-word
+    term costs its postings size, never a corpus scan."""
+    import os
+    import zlib
+
+    from ..stages.joins import hash_prt, keyed_equijoin
+
+    if len(terms) == 0:
+        raise ValueError("need at least one term")
+    root = build_inverted_index(sf_dir, partitions)
+
+    def term_postings(term: str, col: str) -> rd.Dataset:
+        pp = int(
+            hash_prt(
+                np.array([zlib.crc32(term.encode())], np.int64), partitions
+            )[0]
+        )
+        part_dir = os.path.join(root, f"pp={pp}")
+        ds = read_parquet_sized(part_dir, columns=["word", "doc_id", "tf"])
+        return ds.map_batches(
+            lambda t, _term=term, _col=col: t.filter(
+                pc.equal(t["word"], _term)
+            ).select(["doc_id", "tf"]).rename_columns(["doc_id", _col]),
+            batch_format="pyarrow",
+        )
+
+    acc = term_postings(terms[0], "tf_0")
+    acc_schema = pa.schema([("doc_id", pa.int64()), ("tf_0", pa.int64())])
+    for i, term in enumerate(terms[1:], start=1):
+        nxt = term_postings(term, f"tf_{i}")
+        acc = keyed_equijoin(
+            acc, nxt, on=("doc_id", "doc_id"), buckets=16,
+            schemas=(
+                acc_schema,
+                pa.schema(
+                    [("doc_id", pa.int64()), (f"tf_{i}", pa.int64())]
+                ),
+            ),
+        )
+        acc_schema = acc_schema.append(pa.field(f"tf_{i}", pa.int64()))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("total_tf", pa.int64())]
+    )
+    tf_cols = [f"tf_{i}" for i in range(len(terms))]
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        total = np.zeros(t.num_rows, np.int64)
+        for c in tf_cols:
+            total += t[c].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "total_tf": pa.array(total, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return acc.map_batches(finish, batch_format="pyarrow")
+
+
+INVERTED_INDEX_SEARCH_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id,
+       (len(list_filter(words, w -> w = 'data'))
+        + len(list_filter(words, w -> w = 'fast')))::BIGINT AS total_tf
+FROM tok
+WHERE list_contains(words, 'data') AND list_contains(words, 'fast')
+"""

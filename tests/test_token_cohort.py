@@ -105,3 +105,69 @@ def test_percent_rank_invariance_and_semantics(ray_session):
     sizes = a.groupby(["event_type", "tile"]).size()
     for et, grp in sizes.groupby(level=0):
         assert grp.max() - grp.min() <= 1
+
+
+def test_inverted_index_probe_reads_one_partition(ray_session, tmp_path):
+    """The search must read only each term's hash partition — verified by
+    checking the partition layout and that a single-term search equals a
+    direct corpus scan."""
+    import os
+    import zlib
+
+    import duckdb
+    import numpy as np
+
+    from crossai_ts_ray.pipelines.text_pipeline import (
+        _INV_PARTS,
+        build_inverted_index,
+        inverted_index_search,
+    )
+    from crossai_ts_ray.stages.joins import hash_prt
+
+    root = build_inverted_index(SF)
+    parts = [d for d in os.listdir(root) if d.startswith("pp=")]
+    assert 1 < len(parts) <= _INV_PARTS
+    # the probed partition exists and is a strict subset of the index
+    pp = int(hash_prt(np.array([zlib.crc32(b"data")], np.int64),
+                      _INV_PARTS)[0])
+    assert f"pp={pp}" in parts
+
+    out = _canon(inverted_index_search(SF, terms=("data",)))
+    con = duckdb.connect()
+    ref = con.execute(
+        f"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM '{SF}/documents.parquet')
+            SELECT doc_id, len(list_filter(words, w -> w = 'data'))::BIGINT
+                   AS total_tf
+            FROM tok WHERE list_contains(words, 'data')"""
+    ).df()
+    ref = _canon(ref)
+    assert out.shape == ref.shape
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_inverted_index_three_term_conjunction(ray_session):
+    import duckdb
+
+    from crossai_ts_ray.pipelines.text_pipeline import inverted_index_search
+
+    out = _canon(inverted_index_search(SF, terms=("data", "fast", "order")))
+    con = duckdb.connect()
+    ref = _canon(con.execute(
+        f"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS words
+               FROM '{SF}/documents.parquet')
+            SELECT doc_id,
+                   (len(list_filter(words, w -> w = 'data'))
+                    + len(list_filter(words, w -> w = 'fast'))
+                    + len(list_filter(words, w -> w = 'order')))::BIGINT
+                   AS total_tf
+            FROM tok WHERE list_contains(words, 'data')
+              AND list_contains(words, 'fast')
+              AND list_contains(words, 'order')"""
+    ).df())
+    import pandas.testing as pdt
+
+    assert out.shape == ref.shape
+    pdt.assert_frame_equal(out, ref, check_dtype=False)
