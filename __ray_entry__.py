@@ -577,6 +577,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _analytics("cohort_retention"),
         # PERCENT_RANK + NTILE window functions (exact integer-ratio SQL)
         "value_percent_rank": _analytics("value_percent_rank"),
+        # robust dispersion (median absolute deviation) per user
+        "user_value_mad": _analytics("user_value_mad"),
+        # Gini inequality coefficient per type (exact integer ranks)
+        "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
         # bigram statistics, both with per-partition top-k pre-pruning
         "token_vocab_topk": _text("token_vocab_topk"),
@@ -811,6 +815,8 @@ def oracle_sql() -> dict[str, str]:
         "hdr_value_quantiles": semistruct_sql("HDR_VALUE_QUANTILES_SQL"),
         "cohort_retention": analytics_sql("COHORT_RETENTION_SQL"),
         "value_percent_rank": analytics_sql("VALUE_PERCENT_RANK_SQL"),
+        "user_value_mad": analytics_sql("USER_VALUE_MAD_SQL"),
+        "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),
         "token_bigram_topk": text_sql("TOKEN_BIGRAM_TOPK_SQL"),
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),

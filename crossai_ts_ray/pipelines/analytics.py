@@ -2870,3 +2870,196 @@ SELECT event_id::BIGINT AS event_id, event_type, value,
                       ORDER BY value, event_id)::BIGINT AS tile
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Robust stats: per-user median absolute deviation (MAD)
+# ---------------------------------------------------------------------------
+
+def user_value_mad(sf_dir: str, buckets: int | None = None):
+    """Per-user median absolute deviation of value (with the median) --
+    the robust dispersion measure outlier pipelines prefer to stddev.
+
+    Scale shape: ONE hash(user) exchange; each partition computes every
+    user's median (quantile_cont semantics), then the median of absolute
+    deviations, both via vectorized segment indexing -- no per-group
+    Python.  Exactness: the deviations ``abs(v - med)`` are the identical
+    IEEE ops in the oracle, and both medians use the same floor/ceil lerp
+    as SQL quantile_cont (same bridge as user_value_quantiles).
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n", pa.int64()),
+         ("med", pa.float64()), ("mad", pa.float64())]
+    )
+
+    def _seg_median(v_sorted: np.ndarray, starts: np.ndarray,
+                    n: np.ndarray) -> np.ndarray:
+        pos = (n - 1).astype(np.float64) * 0.5
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.ceil(pos).astype(np.int64)
+        frac = pos - lo
+        vlo = v_sorted[starts + lo]
+        vhi = v_sorted[starts + hi]
+        return vlo + (vhi - vlo) * frac
+
+    def mad_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((v, uid))
+        u_s, v_s = uid[order], v[order]
+        starts = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
+        n = np.diff(np.append(starts, len(u_s)))
+        med = _seg_median(v_s, starts, n)
+        dev = np.abs(v_s - np.repeat(med, n))
+        # re-sort deviations within each user segment
+        order2 = np.lexsort((dev, u_s))
+        d_s = dev[order2]
+        mad = _seg_median(d_s, starts, n)
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts], pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "med": pa.array(_round6(med), pa.float64()),
+                "mad": pa.array(_round6(mad), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: mad_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_VALUE_MAD_SQL = """
+WITH m AS (
+  SELECT user_id, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id::BIGINT AS user_id, count(*)::BIGINT AS n,
+       round(any_value(m.med) + 1e-9, 6) AS med,
+       round(quantile_cont(abs(e.value - m.med), 0.5) + 1e-9, 6) AS mad
+FROM events e JOIN m USING (user_id)
+GROUP BY e.user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient per event type (exact integer rank arithmetic)
+# ---------------------------------------------------------------------------
+
+def gini_by_type(sf_dir: str, buckets: int | None = None):
+    """Gini inequality coefficient of value per event type:
+    ``sum((2 rn - n - 1) * c) / (n * sum(c))`` over values sorted by
+    (value, event_id) within the type, with values centi-quantized to
+    int64 so BOTH the weighted sum and the total are exact integers --
+    the float division at the end is the identical IEEE op in the
+    oracle, no summation-order bridge needed.
+
+    Scale shape: one hash(type) exchange, vectorized per-partition sort
+    (same hot-type trade as the other rank scans).  Guard: the weighted
+    sum needs ``n * max_c * n < 2^63`` -- fails loudly past that.
+    """
+    from .events_pipeline import _source_hash
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "event_type", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return t.append_column(
+            "prt", pa.array(hash_prt(_source_hash(et), buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n", pa.int64()),
+         ("gini", pa.float64())]
+    )
+
+    def gini_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = _np(t["event_id"]).astype(np.int64)
+        c = _half_away_c(_np(t["value"]))
+        if (c < 0).any():
+            raise ValueError("gini_by_type requires non-negative values")
+        order = np.lexsort((eid, c, codes))
+        c_g, c_v = codes[order], c[order]
+        starts = np.flatnonzero(np.concatenate(([True], c_g[1:] != c_g[:-1])))
+        n = np.diff(np.append(starts, len(c_g)))
+        if (n.astype(np.float64) ** 2 * max(c_v.max(), 1) >= 2**62).any():
+            raise ValueError("gini weighted sum would overflow int64")
+        rn = np.arange(len(c_g)) - np.repeat(starts, n) + 1  # 1-based rank
+        gn = np.repeat(n, n)
+        w = (2 * rn - gn - 1) * c_v
+        wsum = np.add.reduceat(w, starts)
+        csum = np.add.reduceat(c_v, starts)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            gini = np.where(
+                csum > 0, wsum / (n.astype(np.float64) * csum), 0.0
+            )
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+                "gini": pa.array(_round6(gini), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: gini_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+GINI_BY_TYPE_SQL = """
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(CASE WHEN value >= 0 THEN floor(value * 100.0 + 0.5)
+              ELSE ceil(value * 100.0 - 0.5) END AS BIGINT) AS cv
+  FROM events
+), r AS (
+  SELECT event_type, cv,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cv, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type, max(n)::BIGINT AS n,
+       round(CASE WHEN sum(cv) > 0 THEN
+                sum((2 * rn - n - 1) * cv)::DOUBLE
+                / (max(n)::DOUBLE * sum(cv))
+             ELSE 0.0 END + 1e-9, 6) AS gini
+FROM r GROUP BY event_type
+"""

@@ -171,3 +171,27 @@ def test_inverted_index_three_term_conjunction(ray_session):
 
     assert out.shape == ref.shape
     pdt.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_mad_gini_invariance_and_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.analytics import gini_by_type, user_value_mad
+
+    a = _canon(user_value_mad(SF, buckets=1))
+    b = _canon(user_value_mad(SF, buckets=21))
+    assert a.equals(b)
+    # MAD vs a pandas reference (same linear-interp median)
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "value"])
+    for uid, grp in list(ev.groupby("user_id"))[:10]:
+        med = np.percentile(grp["value"], 50, method="linear")
+        mad = np.percentile(np.abs(grp["value"] - med), 50, method="linear")
+        row = a[a["user_id"] == uid].iloc[0]
+        assert abs(row["med"] - round(med + 1e-9, 6)) < 1e-12
+        assert abs(row["mad"] - round(mad + 1e-9, 6)) < 1e-12
+
+    g1 = _canon(gini_by_type(SF, buckets=1))
+    g2 = _canon(gini_by_type(SF, buckets=17))
+    assert g1.equals(g2)
+    assert ((g1["gini"] >= 0) & (g1["gini"] <= 1)).all()
