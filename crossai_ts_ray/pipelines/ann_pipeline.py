@@ -1119,6 +1119,7 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
     )
     sm, _ = _emb_matrix(pa.Table.from_batches([sample_t]))
     dim = sm.shape[1]
+    k = min(k, len(sm))  # keep C, merge arrays and output consistently sized
     C = _farthest_first_init(sm, k)
 
     def read():

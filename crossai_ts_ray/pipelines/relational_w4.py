@@ -27,7 +27,7 @@ from ..sources.readers import read_parquet_sized, suggest_buckets
 from ..stages.joins import hash_prt, keyed_equijoin
 from ..util import dataset_to_table
 from .relational import MICRO, _fits_broadcast, _micros
-from .relational_ext import _lookup, _np, _ts_us
+from .relational_ext import _np, _ts_us
 
 # ---------------------------------------------------------------------------
 # Q15 shape: revenue per supplier in a quarter -> suppliers at the global max
@@ -119,12 +119,14 @@ def q15_top_supplier(sf_dir: str, buckets: int | None = None):
     )
     # candidate set is <= one row per partition — driver-side is bounded
     ct = dataset_to_table(cands)
-    sk = ct["skey"].to_numpy(zero_copy_only=False)
-    rev = ct["rev_u"].to_numpy(zero_copy_only=False)
-    if len(rev) == 0:  # no shipments in the window: empty result
+    # zero matching rows can surface as a zero-COLUMN table through the
+    # exchange, so probe the schema before the columns
+    if ct.num_rows == 0 or "skey" not in ct.schema.names:
         winners = np.empty(0, np.int64)
         win_rev = float("nan")
     else:
+        sk = ct["skey"].to_numpy(zero_copy_only=False)
+        rev = ct["rev_u"].to_numpy(zero_copy_only=False)
         mx = rev.max()
         winners = np.sort(sk[rev == mx])
         win_rev = float(mx) / MICRO
@@ -136,6 +138,8 @@ def q15_top_supplier(sf_dir: str, buckets: int | None = None):
 
     def attach(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
+        if len(winners) == 0:  # empty window: empty result, like the oracle
+            return pa.Table.from_pylist([], schema=out_schema)
         skv = _np(t["s_suppkey"]).astype(np.int64)
         pos = np.searchsorted(winners, skv)
         hit = (pos < len(winners)) & (
@@ -210,16 +214,19 @@ def part_supplier_variety(
          ("prt", pa.int64())]
     )
 
-    part = pd.read_parquet(
-        f"{sf_dir}/part.parquet",
-        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    # brand dictionary is tiny (25 values at every TPC-H scale) and ships
+    # with every task either way; derive it from ONE column read so the
+    # full partkey -> (code, size) map only materializes driver-side in
+    # the broadcast arm the stat guard approved
+    import pyarrow.parquet as pq
+
+    brands = np.sort(
+        np.unique(
+            pq.read_table(f"{sf_dir}/part.parquet", columns=["p_brand"])[
+                "p_brand"
+            ].to_numpy(zero_copy_only=False)
+        )
     )
-    keep = (part["p_brand"] != _Q16_EXCL_BRAND) & (
-        part["p_type"] != _Q16_EXCL_TYPE
-    )
-    # brand dictionary is tiny (25 values) and ships with every task either
-    # way; only the partkey -> (code, size) map is guard-sensitive
-    brands = np.sort(part["p_brand"].unique())
 
     def dedupe_triples(
         sk: np.ndarray, bcode: np.ndarray, size: np.ndarray
@@ -228,6 +235,10 @@ def part_supplier_variety(
             # the (group, suppkey) bit-packing below assumes 32-bit
             # suppkeys (TPC-H sf100 tops out at ~1M); widen loudly
             raise ValueError("suppkey exceeds 32-bit packing range")
+        if len(size) and (size.max() >= 64 or size.min() < 0):
+            # size rides the low 6 bits of the group key; out-of-range
+            # sizes would silently corrupt (brand, size) groups
+            raise ValueError("p_size outside [0, 64) packing range")
         key = (bcode * 64 + size) * (1 << 32) + sk
         order = np.argsort(key, kind="stable")
         ks = key[order]
@@ -244,6 +255,13 @@ def part_supplier_variety(
         )
 
     if broadcast:
+        part = pd.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        )
+        keep = (part["p_brand"] != _Q16_EXCL_BRAND) & (
+            part["p_type"] != _Q16_EXCL_TYPE
+        )
         sel_part = part.loc[keep]
         pkeys = sel_part["p_partkey"].to_numpy(np.int64)
         order = np.argsort(pkeys)
@@ -255,6 +273,8 @@ def part_supplier_variety(
 
         def triples(t: pa.Table) -> pa.Table:
             t = t.combine_chunks()
+            if len(pkeys) == 0:  # filters excluded every part
+                return pa.Table.from_pylist([], schema=triple_schema)
             pk = _np(t["l_partkey"]).astype(np.int64)
             pos = np.searchsorted(pkeys, pk)
             hit = (pos < len(pkeys)) & (

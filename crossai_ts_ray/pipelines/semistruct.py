@@ -43,21 +43,35 @@ _QS = (0.5, 0.9)
 
 
 def extract_int_field(col: pa.ChunkedArray | pa.Array, key: str) -> pa.Array:
-    """Vectorized integer-field extraction from a JSON string column.
+    """Vectorized integer-field extraction from a flat JSON string column.
 
     Arrow's RE2 ``extract_regex`` runs the whole batch in C++ — no Python
-    per row.  Handles whitespace and sign; rows where the key is absent or
-    non-integer come back NULL (mirroring SQL ``json_extract_string``'s
-    NULL).  At cluster scale this kernel is the swap-in point for a real
-    JSON parser; the regex is correct for non-nested values, which is the
-    contract of the events.props payload.
+    per row.  Contract (the events.props payload): FLAT objects whose
+    ``key`` holds a plain integer.  Rows missing the key come back NULL
+    (like SQL ``json_extract_string``); rows where the key holds anything
+    that is NOT a plain integer (floats, exponents, quoted numbers) FAIL
+    LOUDLY — a regex cannot reproduce json_extract's cast semantics for
+    those, and silently diverging from the oracle is worse than raising.
+    Nested objects are outside the contract (RE2 has no recursion); at
+    cluster scale this kernel is the swap-in seam for a real JSON parser.
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    pat = '"' + key + '"\\s*:\\s*(?P<v>-?\\d+)'
-    st = pc.extract_regex(col, pat)
-    # struct field -> string -> int64; nulls propagate
-    return pc.cast(pc.struct_field(st, "v"), pa.int64())
+    # capture the WHOLE value token (up to , or }), then validate it
+    pat = '"' + key + '"\\s*:\\s*(?P<v>[^,}]*)'
+    tok = pc.utf8_trim_whitespace(
+        pc.struct_field(pc.extract_regex(col, pat), "v")
+    )
+    is_int = pc.match_substring_regex(tok, r"^-?\d+$")
+    bad = pc.and_(pc.is_valid(tok), pc.invert(is_int))
+    if pc.any(bad).as_py():
+        ex = pc.filter(col, bad)[0].as_py()
+        raise ValueError(
+            f"extract_int_field('{key}'): non-integer JSON value in "
+            f"e.g. {ex!r}; the regex kernel only mirrors "
+            "json_extract_string for plain-integer fields"
+        )
+    return pc.cast(tok, pa.int64())
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +110,10 @@ def props_key_stats(sf_dir: str, buckets: int = 32,
         kv = pc.filter(k, valid).to_numpy(zero_copy_only=False)
         et = t["event_type"].combine_chunks().dictionary_encode()
         codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if kv.max() - kv.min() >= (1 << 40):
+            # k rides the low 40 bits of the sort key; silently merging
+            # distinct values would corrupt counts -- fail loudly
+            raise ValueError("props field span exceeds 2^40 packing range")
         key = codes * (1 << 40) + (kv - kv.min())
         order = np.argsort(key, kind="stable")
         ks = key[order]
@@ -135,6 +153,8 @@ def props_key_stats(sf_dir: str, buckets: int = 32,
         cnt = _np(t["cnt"])
         order = np.lexsort((kv, codes))
         c_s, k_s, n_s = codes[order], kv[order], cnt[order]
+        if k_s.max() - k_s.min() >= (1 << 40):
+            raise ValueError("props field span exceeds 2^40 packing range")
         # merge duplicate (type, k) rows from different batches first
         pair = c_s * (1 << 40) + (k_s - k_s.min())
         pstarts = np.flatnonzero(
@@ -375,7 +395,8 @@ _HDR_BID = f"""CASE WHEN {_HDR_C} < 32 THEN {_HDR_C}
          | ({_HDR_C} >> (length(printf('%b', {_HDR_C})) - 5)) END"""
 
 _HDR_EST = """CASE WHEN bid < 32 THEN bid / 100.0
-    ELSE (((bid & 31) << ((bid >> 5) - 5)) + (1 << ((bid >> 5) - 6)))
+    ELSE (((bid & 31) << ((bid >> 5) - 5))
+          + (CAST(1 AS BIGINT) << ((bid >> 5) - 6)))
          / 100.0 END"""
 
 

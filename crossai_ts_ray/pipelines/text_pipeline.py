@@ -2492,6 +2492,17 @@ def inverted_index_search(
             )[0]
         )
         part_dir = os.path.join(root, f"pp={pp}")
+        if not os.path.isdir(part_dir):
+            # no postings hashed to this partition: the term is absent
+            # from the corpus -> empty result, like the oracle
+            return rd.from_arrow(
+                pa.Table.from_pylist(
+                    [],
+                    schema=pa.schema(
+                        [("doc_id", pa.int64()), (col, pa.int64())]
+                    ),
+                )
+            )
         ds = read_parquet_sized(part_dir, columns=["word", "doc_id", "tf"])
         return ds.map_batches(
             lambda t, _term=term, _col=col: t.filter(

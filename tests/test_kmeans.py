@@ -97,3 +97,31 @@ def test_kmeans_real_table_and_invariants(ray_session):
     # deterministic: a second run is bit-identical
     out2 = kmeans_embeddings(SF, k=5, iters=3).to_pandas()
     assert out.equals(out2)
+
+
+def test_kmeans_k_exceeds_rows(ray_session, tmp_path):
+    """k larger than the table: clusters clamp to row count, no crash."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.ann_pipeline import kmeans_embeddings
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    X = np.random.default_rng(1).normal(size=(5, 8)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(5, dtype=np.int64)),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(X.ravel(), pa.float32()), 8
+                ),
+                "label": pa.array(np.zeros(5, np.int32)),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    out = kmeans_embeddings(str(d), k=8, iters=2).to_pandas()
+    assert len(out) == 5
+    assert int(out["n"].sum()) == 5

@@ -85,3 +85,39 @@ def test_w4_duckdb_gate(ray_session):
         oracle = _canon(con.execute(sql[name]).df())
         assert mine.shape == oracle.shape, name
         pdt.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_q15_empty_window_returns_empty(ray_session, tmp_path):
+    """No shipments in the window -> empty result, not an IndexError."""
+    import shutil
+
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.relational_w4 import q15_top_supplier
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in ("supplier",):
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    li = li[li["l_shipdate"] < pd.Timestamp("1995-06-01")]
+    li.to_parquet(d / "lineitem.parquet", index=False)
+    out = _canon(q15_top_supplier(str(d), buckets=4))
+    assert len(out) == 0
+
+
+def test_q16_all_parts_filtered_returns_empty(ray_session, tmp_path):
+    import shutil
+
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.relational_w4 import part_supplier_variety
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    shutil.copy(f"{SF}/lineitem.parquet", d / "lineitem.parquet")
+    part = pd.read_parquet(f"{SF}/part.parquet")
+    part["p_type"] = "MEDIUM"  # the exclusion filter drops every part
+    part.to_parquet(d / "part.parquet", index=False)
+    out = _canon(part_supplier_variety(str(d), buckets=4, broadcast=True))
+    assert len(out) == 0

@@ -21,6 +21,8 @@ def _canon(ds):
 
 
 def test_extract_int_field_kernel():
+    import pytest
+
     from crossai_ts_ray.pipelines.semistruct import extract_int_field
 
     col = pa.array(
@@ -29,12 +31,19 @@ def test_extract_int_field_kernel():
             '{"k":7}',
             '{ "k" : -3 , "z": 1}',
             '{"other": 5}',       # key absent -> null
-            '{"k": "text"}',      # non-integer -> null
             "",                    # not json -> null
         ]
     )
     out = extract_int_field(col, "k")
-    assert out.to_pylist() == [42, 7, -3, None, None, None]
+    assert out.to_pylist() == [42, 7, -3, None, None]
+
+    # non-integer values fail LOUDLY (a regex kernel cannot mirror
+    # json_extract's cast semantics for them; silence would diverge
+    # from the oracle)
+    for bad in ('{"k": 12.5}', '{"k": 1e3}', '{"k": "7"}',
+                '{"k": "text"}'):
+        with pytest.raises(ValueError):
+            extract_int_field(pa.array([bad]), "k")
 
 
 def test_hdr_bucket_exact_and_error_bound():

@@ -195,3 +195,12 @@ def test_mad_gini_invariance_and_reference(ray_session):
     g2 = _canon(gini_by_type(SF, buckets=17))
     assert g1.equals(g2)
     assert ((g1["gini"] >= 0) & (g1["gini"] <= 1)).all()
+
+
+def test_inverted_index_absent_term_returns_empty(ray_session):
+    from crossai_ts_ray.pipelines.text_pipeline import inverted_index_search
+
+    out = _canon(
+        inverted_index_search(SF, terms=("zzz_not_a_word_zzz", "data"))
+    )
+    assert len(out) == 0
