@@ -579,6 +579,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": _analytics("value_percent_rank"),
         # robust dispersion (median absolute deviation) per user
         "user_value_mad": _analytics("user_value_mad"),
+        # churn (EXCEPT shape): last week's absentees among the previous
+        # week's actives; W from Parquet footer stats (zero data read)
+        "churned_users": _analytics("churned_users"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -816,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": analytics_sql("COHORT_RETENTION_SQL"),
         "value_percent_rank": analytics_sql("VALUE_PERCENT_RANK_SQL"),
         "user_value_mad": analytics_sql("USER_VALUE_MAD_SQL"),
+        "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),
         "token_bigram_topk": text_sql("TOKEN_BIGRAM_TOPK_SQL"),

@@ -3063,3 +3063,147 @@ SELECT event_type, max(n)::BIGINT AS n,
              ELSE 0.0 END + 1e-9, 6) AS gini
 FROM r GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Churn: users active in the penultimate week but absent from the last
+# ---------------------------------------------------------------------------
+
+def churned_users(sf_dir: str, buckets: int | None = None,
+                  week_s: int = 604_800):
+    """Users who were active in week W-1 but NOT in week W, where W is the
+    data's last week -- the EXCEPT / NOT EXISTS churn shape every
+    engagement dashboard runs.
+
+    Scale shape: W comes from Parquet FOOTER statistics (max ts is exact
+    in the metadata -- zero data read for the scalar); (user, week) pairs
+    dedupe per batch, ONE hash(user) exchange, and each partition decides
+    membership of both weeks per user vectorized.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+
+    import datetime as _dt
+
+    def _naive_utc_us(v) -> int:
+        # parquet footer stats give a NAIVE UTC datetime; convert with
+        # exact integer timedelta math (never .timestamp(), which applies
+        # the local timezone)
+        td = v - _dt.datetime(1970, 1, 1)
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    mx_us = None
+    paths = sorted(_glob.glob(f"{sf_dir}/events.parquet")) or sorted(
+        _glob.glob(f"{sf_dir}/events.parquet/*.parquet")
+    )
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        ci = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }["ts"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                mx_us = None
+                break
+            us = _naive_utc_us(st.max)
+            mx_us = us if mx_us is None else max(mx_us, us)
+        else:
+            continue
+        break
+    if mx_us is None:
+        # stats unavailable: one tiny max() aggregate pass (still no
+        # driver-side row materialization)
+        mx = _read_events(sf_dir, ["ts"]).max("ts")
+        mx_us = _naive_utc_us(mx.replace(tzinfo=None)) if isinstance(
+            mx, _dt.datetime
+        ) else int(mx)
+    w_last = (mx_us // 1_000_000) // week_s
+
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+
+    pair_schema = pa.schema(
+        [("user_id", pa.int64()), ("week", pa.int64()), ("prt", pa.int64())]
+    )
+
+    def pair_dedupe(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=pair_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        wk = (_ts_us(t["ts"]) // 1_000_000) // week_s
+        # only the last two weeks matter; prune the rest pre-exchange
+        m = wk >= w_last - 1
+        if not m.any():
+            return pa.Table.from_pylist([], schema=pair_schema)
+        uid, wk = uid[m], wk[m]
+        key = uid * 4 + (wk - (w_last - 1))
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        first = np.concatenate(([True], ks[1:] != ks[:-1]))
+        sel = order[first]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[sel], pa.int64()),
+                "week": pa.array(wk[sel], pa.int64()),
+                "prt": pa.array(hash_prt(uid[sel], buckets), pa.int64()),
+            },
+            schema=pair_schema,
+        )
+
+    out_schema = pa.schema([("user_id", pa.int64())])
+
+    def churn_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"])
+        wk = _np(t["week"])
+        order = np.lexsort((wk, uid))
+        u_s, w_s = uid[order], wk[order]
+        starts = np.flatnonzero(np.concatenate(([True], u_s[1:] != u_s[:-1])))
+        ends = np.append(starts[1:], len(u_s))
+        # membership per user: had W-1, lacked W
+        has_prev = np.zeros(len(starts), bool)
+        has_last = np.zeros(len(starts), bool)
+        gidx = np.repeat(np.arange(len(starts)), ends - starts)
+        np.logical_or.at(has_prev, gidx, w_s == w_last - 1)
+        np.logical_or.at(has_last, gidx, w_s == w_last)
+        churn = has_prev & ~has_last
+        return pa.table(
+            {"user_id": pa.array(u_s[starts][churn], pa.int64())},
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(pair_dedupe, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: churn_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+CHURNED_USERS_SQL = """
+WITH mx AS (
+  SELECT (epoch_us(max(ts)) // 1000000) // 604800 AS w FROM events
+),
+wk AS (
+  SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 604800 AS week
+  FROM events
+)
+SELECT w1.user_id::BIGINT AS user_id
+FROM wk w1, mx
+WHERE w1.week = mx.w - 1
+  AND NOT EXISTS (
+    SELECT 1 FROM wk w2, mx m2
+    WHERE w2.user_id = w1.user_id AND w2.week = m2.w
+  )
+"""

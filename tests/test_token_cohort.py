@@ -204,3 +204,50 @@ def test_inverted_index_absent_term_returns_empty(ray_session):
         inverted_index_search(SF, terms=("zzz_not_a_word_zzz", "data"))
     )
     assert len(out) == 0
+
+
+def test_churned_users_planted(ray_session, tmp_path):
+    """Planted churn: users 0..9 are active only in week W-1; users
+    10..19 active in both final weeks; user 20 only in W."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.analytics import churned_users
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    week = 604_800 * 1_000_000
+    base = 2_800 * week  # some epoch week boundary
+    rows = []
+    for u in range(10):               # churned
+        rows.append((u, base + u * 1_000_000))
+    for u in range(10, 20):           # retained
+        rows.append((u, base + u * 1_000_000))
+        rows.append((u, base + week + u * 1_000_000))
+    rows.append((20, base + week + 5))  # new user, last week only
+    uid = np.array([r[0] for r in rows], np.int64)
+    ts = np.array([r[1] for r in rows], "datetime64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+            "ts": pa.array(ts),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(["x"] * len(rows)),
+            "value": pa.array(np.ones(len(rows))),
+            "props": pa.array(['{"k": 1}'] * len(rows)),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+    out = _canon(churned_users(str(d), buckets=3))
+    assert out["user_id"].tolist() == list(range(10))
+    # and the SQL oracle agrees
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'"
+    )
+    import __ray_entry__ as E
+
+    ref = _canon(con.execute(E.oracle_sql()["churned_users"]).df())
+    assert out.equals(ref)

@@ -68,14 +68,18 @@ def main():
     sf_dir = make_events(rows, f"/tmp/bench_events_{rows}")
 
     from crossai_ts_ray.pipelines.analytics import (
+        cohort_retention,
         cusum_hourly_drift,
         ewma_hourly,
+        gini_by_type,
         holt_hourly,
         topk_events_per_user,
         user_breakout_minmax,
         user_event_lag_diff,
+        user_value_mad,
         user_value_quantiles,
         value_histogram,
+        value_percent_rank,
     )
     from crossai_ts_ray.pipelines.events_pipeline import (
         hourly_anomalies,
@@ -105,12 +109,20 @@ def main():
         ("anomalies_24h", lambda: hourly_anomalies(sf_dir)),
         ("cusum_drift", lambda: cusum_hourly_drift(sf_dir)),
         ("holt_forecast", lambda: holt_hourly(sf_dir)),
+        # wave-3 additions: percent_rank is a row-level rank scan with a
+        # 50%-hot type partition (the adversarial layout for it); MAD is
+        # a double segment-median per user; gini/cohort are
+        # combiner/partition-bounded
+        ("percent_rank", lambda: value_percent_rank(sf_dir)),
+        ("mad_per_user", lambda: user_value_mad(sf_dir)),
+        ("gini_by_type", lambda: gini_by_type(sf_dir)),
+        ("cohort_retention", lambda: cohort_retention(sf_dir)),
     ):
         # row-count-sized outputs (the per-event window scans) are CONSUMED
         # STREAMING (count()) -- materializing 10M rows on the driver would
         # measure the object store, not the operator; small outputs
         # round-trip fully so out_rows is still exact
-        streaming = name in ("lag_diff", "breakout_minmax")
+        streaming = name in ("lag_diff", "breakout_minmax", "percent_rank")
         best = float("inf")
         n_out = 0
         for _ in range(2):
