@@ -2771,23 +2771,39 @@ FROM wk JOIN f USING (user_id) GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 def value_percent_rank(sf_dir: str, tiles: int = 4,
-                       buckets: int | None = None):
+                       buckets: int | None = None,
+                       scale_path: bool = False):
     """Every event with its PERCENT_RANK and NTILE(4) within its event
     type, ordered by (value, event_id) -- the rank-normalization window
     shape (feature scaling, decile reports).
 
-    Exactness: percent_rank = (rank-1)/(n-1) where rank counts PEERS
-    below (SQL semantics: ties share a rank); both ints, the division is
-    the identical IEEE op in the oracle.  NTILE follows SQL's rule:
-    the first ``n % tiles`` tiles get ``n // tiles + 1`` rows, assigned
-    in (value, event_id) order -- pure integer math.
+    Exactness (both paths, bitwise-identical outputs -- parity-tested):
+    percent_rank = (rank-1)/(n-1) with SQL RANK tie semantics; NTILE
+    follows SQL's first-``n % tiles``-tiles-get-one-extra integer rule;
+    the one float division is the identical IEEE op in the oracle.
 
-    Scale shape: one hash(event_type) exchange; each partition holds its
-    types' full row sets (output = input rows, consumed streaming).  A
-    hot type serializes its partition sort -- the same trade the other
-    row-level window scans in this family make; at cluster scale you'd
-    range-partition by value per type instead.
+    Two execution paths, same results:
+
+    * default -- ONE hash(type) exchange, vectorized per-partition sort.
+      A hot type sorts in one task: fine until a single type's row count
+      dwarfs a worker (sorting is O(n log n) and cheap next to the
+      exchange itself at bench scale).
+    * ``scale_path=True`` -- two passes: a bounded (type, value, count)
+      histogram broadcasts per-type cumulative ranks via ray.put, then
+      rows exchange hashed on (type, VALUE-bits), so a pathologically hot
+      type spreads over its distinct values instead of one task.  Pays a
+      second read + the histogram merge; worth it only when one type
+      holds a worker-crushing share of rows AND distinct values are
+      bounded (the engine's histogram assumption).
     """
+    if scale_path:
+        return _percent_rank_two_pass(sf_dir, tiles, buckets)
+    return _percent_rank_single_exchange(sf_dir, tiles, buckets)
+
+
+def _percent_rank_single_exchange(sf_dir: str, tiles: int, buckets):
+    """Single hash(type) exchange variant: one partition sort per type
+    (the default; fast until one type's row count dwarfs a worker)."""
     from .events_pipeline import _source_hash
 
     if buckets is None:
@@ -2834,6 +2850,176 @@ def value_percent_rank(sf_dir: str, tiles: int = 4,
         with np.errstate(invalid="ignore"):
             pct = np.where(gn > 1, rank0 / (gn - 1.0), 0.0)
         # NTILE: first (n % tiles) tiles take (n // tiles + 1) rows
+        q, r = gn // tiles, gn % tiles
+        cut = r * (q + 1)
+        tile = np.where(
+            pos < cut,
+            pos // np.maximum(q + 1, 1),
+            np.where(q > 0, r + (pos - cut) // np.maximum(q, 1), pos),
+        ) + 1
+        return pa.table(
+            {
+                "event_id": pa.array(e_s, pa.int64()),
+                "event_type": et.take(pa.array(order)).cast(pa.string()),
+                "value": pa.array(v_s, pa.float64()),
+                "pct_rank": pa.array(pct, pa.float64()),
+                "tile": pa.array(tile.astype(np.int64), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+
+def _percent_rank_two_pass(sf_dir: str, tiles: int, buckets,
+                           combine_batch_rows: int = 1_048_576):
+    """Every event with its PERCENT_RANK and NTILE(4) within its event
+    type, ordered by (value, event_id) -- the rank-normalization window
+    shape (feature scaling, decile reports).
+
+    Exactness: percent_rank = (rank-1)/(n-1) with SQL RANK tie semantics
+    (ties share the first peer's position); NTILE follows SQL's
+    first-``n % tiles``-tiles-get-one-extra integer rule.  Both ride
+    exact integer positions; the one float division is the identical
+    IEEE op in the oracle.
+
+    Scale shape (two passes, NO hot-type serialization): pass 1 ships a
+    per-batch (type, value, count) HISTOGRAM through a small exchange
+    and broadcasts the merged per-type cumulative table via ray.put --
+    bounded by distinct values (the engine's bounded-domain-histogram
+    assumption, same as the rollup percentile hists).  Pass 2 exchanges
+    rows hashed on (type, value-bits), so a 50%-hot type spreads over
+    its distinct values instead of sorting in one task; each partition
+    orders event_ids within its tie runs and reads the strictly-below
+    base from the broadcast table.  Output = input rows, consumed
+    streaming.
+    """
+    import ray as _ray
+
+    from ..util import dataset_to_table
+    from .events_pipeline import _source_hash
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "event_type", "value"])
+
+    # ---- pass 1: (type, value) histogram -> per-type cumulative table
+    hist_schema = pa.schema(
+        [("event_type", pa.string()), ("value", pa.float64()),
+         ("cnt", pa.int64())]
+    )
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=hist_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        first = np.concatenate(
+            ([True], (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(c_s)))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "value": pa.array(v_s[starts], pa.float64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            },
+            schema=hist_schema,
+        )
+
+    ht = dataset_to_table(
+        ev.map_batches(
+            hist_partial, batch_format="pyarrow",
+            batch_size=combine_batch_rows,
+        )
+    )
+    # driver merge of the bounded histogram: below/n per (type, value)
+    lut: dict = {}
+    if ht.num_rows:
+        ets = ht["event_type"].to_numpy(zero_copy_only=False)
+        vs = ht["value"].to_numpy(zero_copy_only=False)
+        cs = ht["cnt"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vs, ets))
+        e_s, v_s, c_s = ets[order], vs[order], cs[order]
+        for et in np.unique(e_s):
+            m = e_s == et
+            vv, cc = v_s[m], c_s[m]
+            # merge equal values arriving from different batches
+            first = np.concatenate(([True], vv[1:] != vv[:-1]))
+            st = np.flatnonzero(first)
+            vals = vv[st]
+            cnts = np.add.reduceat(cc, st)
+            cum = np.cumsum(cnts)
+            lut[str(et)] = (vals, cum - cnts, int(cum[-1]))
+    lut_ref = _ray.put(lut)
+
+    # ---- pass 2: rows keyed on (type, value-bits)
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        v = _np(t["value"])
+        with np.errstate(over="ignore"):
+            mix = _source_hash(et) * np.int64(1_000_003) + v.view(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(mix, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("pct_rank", pa.float64()),
+         ("tile", pa.int64())]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        table = _ray.get(lut_ref)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((eid, v, codes))
+        c_s, v_s, e_s = codes[order], v[order], eid[order]
+        # tie-run starts within this partition (a full run is colocated
+        # by the (type, value) exchange key)
+        first = np.concatenate(
+            ([True], (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1]))
+        )
+        rstarts = np.flatnonzero(first)
+        rlen = np.diff(np.append(rstarts, len(c_s)))
+        tie_pos = np.arange(len(c_s)) - np.repeat(rstarts, rlen)
+        below = np.empty(len(rstarts), np.int64)
+        nn = np.empty(len(rstarts), np.int64)
+        dic = et.dictionary
+        run_codes = c_s[rstarts]
+        for code in np.unique(run_codes):  # bounded by TYPE count
+            m = run_codes == code
+            vals, blw, n_t = table[str(dic[int(code)].as_py())]
+            idx = np.searchsorted(vals, v_s[rstarts[m]])
+            below[m] = blw[idx]
+            nn[m] = n_t
+        rank0 = np.repeat(below, rlen)
+        gn = np.repeat(nn, rlen)
+        pos = rank0 + tie_pos  # global (value, event_id) position
+        with np.errstate(invalid="ignore"):
+            pct = np.where(gn > 1, rank0 / (gn - 1.0), 0.0)
         q, r = gn // tiles, gn % tiles
         cut = r * (q + 1)
         tile = np.where(
@@ -2966,31 +3152,62 @@ GROUP BY e.user_id
 # Gini coefficient per event type (exact integer rank arithmetic)
 # ---------------------------------------------------------------------------
 
-def gini_by_type(sf_dir: str, buckets: int | None = None):
+def gini_by_type(sf_dir: str, buckets: int | None = None,
+                 combine_batch_rows: int = 1_048_576):
     """Gini inequality coefficient of value per event type:
-    ``sum((2 rn - n - 1) * c) / (n * sum(c))`` over values sorted by
-    (value, event_id) within the type, with values centi-quantized to
-    int64 so BOTH the weighted sum and the total are exact integers --
-    the float division at the end is the identical IEEE op in the
-    oracle, no summation-order bridge needed.
+    ``sum((2 rn - n - 1) * c) / (n * sum(c))`` with values
+    centi-quantized to int64 so every sum is an exact integer -- the
+    float division at the end is the identical IEEE op in the oracle.
 
-    Scale shape: one hash(type) exchange, vectorized per-partition sort
-    (same hot-type trade as the other rank scans).  Guard: the weighted
-    sum needs ``n * max_c * n < 2^63`` -- fails loudly past that.
+    Scale shape: NO row-level exchange at all.  Within a tie run the
+    rank-weighted sum has the closed form ``v * cnt * (2 below + cnt -
+    n)`` (ranks are consecutive integers), so the pipeline ships only a
+    per-batch (type, centi-value, count) HISTOGRAM -- the same
+    bounded-domain argument as the rollup percentile hists -- through one
+    hash(type) exchange and computes n / below / wsum from the merged
+    histogram's prefix sums.  A 50%-hot type costs its distinct-value
+    count, not its row count.  Guard: fails loudly when
+    ``n^2 * max_centi`` approaches int64.
     """
     from .events_pipeline import _source_hash
 
     if buckets is None:
         buckets = suggest_buckets(f"{sf_dir}/events.parquet")
-    ev = _read_events(sf_dir, ["event_id", "event_type", "value"])
+    ev = _read_events(sf_dir, ["event_type", "value"])
 
-    def add_prt(t: pa.Table) -> pa.Table:
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("cv", pa.int64()),
+         ("cnt", pa.int64()), ("prt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
         t = t.combine_chunks()
-        et = t["event_type"]
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        return t.append_column(
-            "prt", pa.array(hash_prt(_source_hash(et), buckets), pa.int64())
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        c = _half_away_c(_np(t["value"]))
+        if (c < 0).any():
+            raise ValueError("gini_by_type requires non-negative values")
+        key = codes * (1 << 40) + c
+        if c.max() >= (1 << 40):
+            raise ValueError("centi values exceed 2^40 packing range")
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        cnt = np.diff(np.append(starts, len(ks)))
+        sel = order[starts]
+        et_sel = et.take(pa.array(sel)).cast(pa.string())
+        return pa.table(
+            {
+                "event_type": et_sel,
+                "cv": pa.array(c[sel], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "prt": pa.array(
+                    hash_prt(_source_hash(et_sel), buckets), pa.int64()
+                ),
+            },
+            schema=part_schema,
         )
 
     out_schema = pa.schema(
@@ -3004,29 +3221,45 @@ def gini_by_type(sf_dir: str, buckets: int | None = None):
             return pa.Table.from_pylist([], schema=out_schema)
         et = t["event_type"].combine_chunks().dictionary_encode()
         codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        eid = _np(t["event_id"]).astype(np.int64)
-        c = _half_away_c(_np(t["value"]))
-        if (c < 0).any():
-            raise ValueError("gini_by_type requires non-negative values")
-        order = np.lexsort((eid, c, codes))
-        c_g, c_v = codes[order], c[order]
-        starts = np.flatnonzero(np.concatenate(([True], c_g[1:] != c_g[:-1])))
-        n = np.diff(np.append(starts, len(c_g)))
-        if (n.astype(np.float64) ** 2 * max(c_v.max(), 1) >= 2**62).any():
+        cv = _np(t["cv"])
+        cnt = _np(t["cnt"])
+        order = np.lexsort((cv, codes))
+        c_g, v_s, n_s = codes[order], cv[order], cnt[order]
+        # merge duplicate (type, cv) histogram rows across batches
+        pair = c_g * (1 << 40) + v_s
+        pstarts = np.flatnonzero(
+            np.concatenate(([True], pair[1:] != pair[:-1]))
+        )
+        cnt_m = np.add.reduceat(n_s, pstarts)
+        g_m, v_m = c_g[pstarts], v_s[pstarts]
+        gstarts = np.flatnonzero(
+            np.concatenate(([True], g_m[1:] != g_m[:-1]))
+        )
+        n = np.add.reduceat(cnt_m, gstarts)
+        if (n.astype(np.float64) ** 2 * max(v_m.max(), 1) >= 2**62).any():
             raise ValueError("gini weighted sum would overflow int64")
-        rn = np.arange(len(c_g)) - np.repeat(starts, n) + 1  # 1-based rank
-        gn = np.repeat(n, n)
-        w = (2 * rn - gn - 1) * c_v
-        wsum = np.add.reduceat(w, starts)
-        csum = np.add.reduceat(c_v, starts)
+        runs = np.diff(np.append(gstarts, len(g_m)))
+        gn = np.repeat(n, runs)
+        # strictly-below count per histogram row: global prefix sum minus
+        # the owning type's offset
+        cum = np.cumsum(cnt_m)
+        below = (cum - cnt_m) - np.repeat(
+            np.concatenate(([0], cum[gstarts[1:] - 1])), runs
+        )
+        # closed-form tie-run sum: ranks below+1..below+cnt
+        w = v_m * cnt_m * (2 * below + cnt_m - gn)
+        wsum = np.add.reduceat(w, gstarts)
+        csum = np.add.reduceat(v_m * cnt_m, gstarts)
         with np.errstate(invalid="ignore", divide="ignore"):
             gini = np.where(
                 csum > 0, wsum / (n.astype(np.float64) * csum), 0.0
             )
-        sel = order[starts]
+        sel = order[pstarts][gstarts]
         return pa.table(
             {
-                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "event_type": t["event_type"].combine_chunks().take(
+                    pa.array(sel)
+                ),
                 "n": pa.array(n.astype(np.int64), pa.int64()),
                 "gini": pa.array(_round6(gini), pa.float64()),
             },
@@ -3034,7 +3267,9 @@ def gini_by_type(sf_dir: str, buckets: int | None = None):
         )
 
     return (
-        ev.map_batches(add_prt, batch_format="pyarrow")
+        ev.map_batches(
+            partial, batch_format="pyarrow", batch_size=combine_batch_rows
+        )
         .groupby("prt")
         .map_groups(
             lambda g: gini_partition(g.drop_columns(["prt"])),

@@ -251,3 +251,11 @@ def test_churned_users_planted(ray_session, tmp_path):
 
     ref = _canon(con.execute(E.oracle_sql()["churned_users"]).df())
     assert out.equals(ref)
+
+
+def test_percent_rank_paths_bitwise_equal(ray_session):
+    from crossai_ts_ray.pipelines.analytics import value_percent_rank
+
+    a = _canon(value_percent_rank(SF, buckets=5, scale_path=False))
+    b = _canon(value_percent_rank(SF, buckets=5, scale_path=True))
+    assert a.equals(b)
