@@ -294,7 +294,16 @@ def run_scaling(sf_dir: str) -> dict:
             text=True,
             check=True,
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        # last line is now the compact per-family summary; walk back to
+        # the FULL record (the one carrying per-section rollup_job)
+        for line in reversed(out.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "rollup_job" in rec.get("queries", {}):
+                return rec
+        raise RuntimeError("no full bench record in subprocess output")
 
     # Default pair 1 vs 4 (the brief's "N and 4N nodes" stand-in): this host
     # sustains only ~10-13 effective cores under co-tenant load, so higher
@@ -338,13 +347,45 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def _compact_summary(full: dict) -> dict:
+    """Second, SMALL JSON line printed after the full record: r04's full
+    line outgrew the driver's tail capture (BENCH_r04.json parsed: null),
+    so the LAST stdout line is now a bounded per-family summary the
+    driver can always parse."""
+    import re
+
+    fams: dict[str, float] = {}
+    for name, sec in full.get("queries", {}).items():
+        fam = "tpch" if re.match(r"q\d+", name) else name.split("_")[0]
+        fams[fam] = round(fams.get(fam, 0.0) + sec, 3)
+    ex = full.get("extra", {})
+    keep = {
+        k: ex[k]
+        for k in ("points_per_sec", "tokens_per_sec", "rows_per_sec",
+                  "codec_ratio", "input_rows")
+        if k in ex
+    }
+    keep["sections"] = len(full.get("queries", {}))
+    return {
+        "metric": full.get("metric"),
+        "value": full.get("value"),
+        "unit": full.get("unit"),
+        "queries": fams,
+        "sf": full.get("sf"),
+        "num_cpus": full.get("num_cpus"),
+        "extra": keep,
+    }
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
         return
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    print(json.dumps(run_bench(ncpu, sf_dir)))
+    full = run_bench(ncpu, sf_dir)
+    print(json.dumps(full))
+    print(json.dumps(_compact_summary(full)))
 
 
 if __name__ == "__main__":

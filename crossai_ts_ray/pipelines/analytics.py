@@ -2656,7 +2656,13 @@ def cohort_retention(sf_dir: str, buckets: int | None = None,
             return pa.Table.from_pylist([], schema=pair_schema)
         uid = _np(t["user_id"]).astype(np.int64)
         wk = (_ts_us(t["ts"]) // 1_000_000) // week_s
-        key = uid * (1 << 20) + (wk - wk.min())
+        off = wk - wk.min()
+        if int(off.max()) >= (1 << 20):  # loud, not a silent pair merge
+            raise ValueError(
+                f"cohort_retention: week offset {int(off.max())} overflows "
+                f"the 20-bit (user, week) pack; increase week_s"
+            )
+        key = uid * (1 << 20) + off
         order = np.argsort(key, kind="stable")
         ks = key[order]
         first = np.concatenate(([True], ks[1:] != ks[:-1]))
@@ -2695,6 +2701,12 @@ def cohort_retention(sf_dir: str, buckets: int | None = None,
         dn = np.diff(np.append(dstarts, len(u_d)))
         cohort = np.repeat(w_d[dstarts], dn)
         age = w_d - cohort
+        if int(age.max()) >= (1 << 20) or int(cohort.max()) >= (1 << 43):
+            raise ValueError(
+                f"cohort_retention: (cohort={int(cohort.max())}, "
+                f"age={int(age.max())}) overflows the 20-bit pack; "
+                f"increase week_s"
+            )
         key = cohort * (1 << 20) + age
         korder = np.argsort(key, kind="stable")
         ks = key[korder]
@@ -2770,9 +2782,53 @@ FROM wk JOIN f USING (user_id) GROUP BY 1, 2
 # PERCENT_RANK + NTILE window functions per event type
 # ---------------------------------------------------------------------------
 
+_CANON_NAN_BITS = np.int64(0x7FF8000000000000)  # one quiet-NaN bit pattern
+
+
+def _neq_nan(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise ``a != b`` that treats NaN as EQUAL to NaN -- the SQL
+    peer order for RANK ties (DuckDB's float total order groups all NaNs
+    as one peer run), unlike raw IEEE where NaN != NaN."""
+    return (a != b) & ~(np.isnan(a) & np.isnan(b))
+
+
+def _value_rank_bits(v: np.ndarray) -> np.ndarray:
+    """Partition/equality key for float64 values under SQL comparison:
+    +0.0 and -0.0 map to the same bits (they compare equal), and every
+    NaN payload maps to ONE canonical NaN key (NaNs are peers)."""
+    with np.errstate(invalid="ignore"):  # signalling-NaN + 0.0 flags FPE
+        bits = (v + 0.0).view(np.int64).copy()  # -0.0 + 0.0 == +0.0
+    bits[np.isnan(v)] = _CANON_NAN_BITS
+    return bits
+
+
+def _auto_scale_path(sf_dir: str, sample_rows: int = 65536,
+                     hot_rows_per_task: int = 4_000_000) -> bool:
+    """Route ``value_percent_rank`` the way ``salt='auto'`` routes joins:
+    measure, don't ask the caller.  Reads ONLY the parquet footer row
+    count plus a head sample of ``event_type``, estimates the hottest
+    type's global row count, and picks the two-pass histogram path when
+    that single type would out-size one task's sort."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(f"{sf_dir}/events.parquet")
+        total = pf.metadata.num_rows
+        head = next(pf.iter_batches(batch_size=sample_rows,
+                                    columns=["event_type"]))
+        et = head["event_type"].to_numpy(zero_copy_only=False)
+    except (OSError, StopIteration):  # dir layout / empty: default path
+        return False
+    if not len(et):
+        return False
+    _, counts = np.unique(et, return_counts=True)
+    hot_fraction = counts.max() / len(et)
+    return bool(hot_fraction * total > hot_rows_per_task)
+
+
 def value_percent_rank(sf_dir: str, tiles: int = 4,
                        buckets: int | None = None,
-                       scale_path: bool = False):
+                       scale_path: bool | None = None):
     """Every event with its PERCENT_RANK and NTILE(4) within its event
     type, ordered by (value, event_id) -- the rank-normalization window
     shape (feature scaling, decile reports).
@@ -2795,7 +2851,14 @@ def value_percent_rank(sf_dir: str, tiles: int = 4,
       second read + the histogram merge; worth it only when one type
       holds a worker-crushing share of rows AND distinct values are
       bounded (the engine's histogram assumption).
+
+    ``scale_path=None`` (the default) AUTO-SELECTS from a footer + head
+    sample: the hottest type's estimated global row count decides, the
+    same measured-not-guessed routing ``salt='auto'`` uses for joins
+    (`_auto_scale_path`).  Callers can still force either path.
     """
+    if scale_path is None:
+        scale_path = _auto_scale_path(sf_dir)
     if scale_path:
         return _percent_rank_two_pass(sf_dir, tiles, buckets)
     return _percent_rank_single_exchange(sf_dir, tiles, buckets)
@@ -2839,9 +2902,10 @@ def _percent_rank_single_exchange(sf_dir: str, tiles: int, buckets):
         n = np.diff(np.append(starts, len(c_s)))
         grp = np.repeat(np.arange(len(starts)), n)
         pos = np.arange(len(c_s)) - np.repeat(starts, n)  # 0-based row pos
-        # SQL RANK(): ties on value share the FIRST peer's position
+        # SQL RANK(): ties on value share the FIRST peer's position;
+        # NaN-aware so all NaNs in a type tie as one peer run (ADVICE r4)
         new_val = np.concatenate(
-            ([True], (v_s[1:] != v_s[:-1]) | (c_s[1:] != c_s[:-1]))
+            ([True], _neq_nan(v_s[1:], v_s[:-1]) | (c_s[1:] != c_s[:-1]))
         )
         rank0 = pos[np.maximum.accumulate(
             np.where(new_val, np.arange(len(c_s)), 0)
@@ -2927,7 +2991,7 @@ def _percent_rank_two_pass(sf_dir: str, tiles: int, buckets,
         order = np.lexsort((v, codes))
         c_s, v_s = codes[order], v[order]
         first = np.concatenate(
-            ([True], (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1]))
+            ([True], (c_s[1:] != c_s[:-1]) | _neq_nan(v_s[1:], v_s[:-1]))
         )
         starts = np.flatnonzero(first)
         cnt = np.diff(np.append(starts, len(c_s)))
@@ -2959,7 +3023,8 @@ def _percent_rank_two_pass(sf_dir: str, tiles: int, buckets,
             m = e_s == et
             vv, cc = v_s[m], c_s[m]
             # merge equal values arriving from different batches
-            first = np.concatenate(([True], vv[1:] != vv[:-1]))
+            # (NaN-aware: all NaN partials collapse to one histogram row)
+            first = np.concatenate(([True], _neq_nan(vv[1:], vv[:-1])))
             st = np.flatnonzero(first)
             vals = vv[st]
             cnts = np.add.reduceat(cc, st)
@@ -2974,8 +3039,10 @@ def _percent_rank_two_pass(sf_dir: str, tiles: int, buckets,
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
         v = _np(t["value"])
+        # hash CANONICAL bits: -0.0/+0.0 and all NaN payloads are equal
+        # under SQL comparison, so their tie runs must colocate (ADVICE r4)
         with np.errstate(over="ignore"):
-            mix = _source_hash(et) * np.int64(1_000_003) + v.view(np.int64)
+            mix = _source_hash(et) * np.int64(1_000_003) + _value_rank_bits(v)
         return t.append_column(
             "prt", pa.array(hash_prt(mix, buckets), pa.int64())
         )
@@ -2998,9 +3065,9 @@ def _percent_rank_two_pass(sf_dir: str, tiles: int, buckets,
         order = np.lexsort((eid, v, codes))
         c_s, v_s, e_s = codes[order], v[order], eid[order]
         # tie-run starts within this partition (a full run is colocated
-        # by the (type, value) exchange key)
+        # by the canonical (type, value-bits) exchange key; NaN-aware)
         first = np.concatenate(
-            ([True], (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1]))
+            ([True], (c_s[1:] != c_s[:-1]) | _neq_nan(v_s[1:], v_s[:-1]))
         )
         rstarts = np.flatnonzero(first)
         rlen = np.diff(np.append(rstarts, len(c_s)))
