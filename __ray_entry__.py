@@ -528,6 +528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # analytics family: window functions, pivot, exact distinct/quantile,
         # grouped mode, deterministic hash sampling
         "user_event_lag_diff": _analytics("user_event_lag_diff"),
+        "user_event_lead_bounds": _analytics("user_event_lead_bounds"),
         "topk_events_per_user": _analytics("topk_events_per_user"),
         "events_hourly_rate": _analytics("events_hourly_rate"),
         "user_value_quantiles": _analytics("user_value_quantiles"),
@@ -608,6 +609,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": _rel_w4("q15_top_supplier"),
         "part_supplier_variety": _rel_w4("part_supplier_variety"),
         "q2_min_price_supplier": _rel_w4("q2_min_price_supplier"),
+        # fifth relational wave: the TPC-H straggler join shapes --
+        # Q9 multi-fact profit, Q11 group-vs-global HAVING, Q20 nested
+        # IN + correlated scalar, Q21 EXISTS/NOT-EXISTS composition
+        "q9_profit_by_nation_year": _rel_w5("q9_profit_by_nation_year"),
+        "q11_important_parts": _rel_w5("q11_important_parts"),
+        "q20_dominant_suppliers": _rel_w5("q20_dominant_suppliers"),
+        "q21_waiting_suppliers": _rel_w5("q21_waiting_suppliers"),
         "q7_volume_shipping": _rel_w3("q7_volume_shipping"),
         "q8_market_share": _rel_w3("q8_market_share"),
         "q13_customer_distribution": _rel_w3("q13_customer_distribution"),
@@ -693,6 +701,21 @@ def _rel_w4(fn_name: str) -> Callable[[str], Any]:
         return getattr(relational_w4, fn_name)(sf_dir)
 
     return run
+
+
+def _rel_w5(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import relational_w5
+
+        return getattr(relational_w5, fn_name)(sf_dir)
+
+    return run
+
+
+def rel_w5_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import relational_w5
+
+    return getattr(relational_w5, name)
 
 
 def rel_w4_sql(name: str) -> str:
@@ -783,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": rel_ext_sql("Q18_SQL"),
         "q19_disjunctive_revenue": rel_ext_sql("Q19_SQL"),
         "user_event_lag_diff": analytics_sql("USER_EVENT_LAG_DIFF_SQL"),
+        "user_event_lead_bounds": analytics_sql("USER_EVENT_LEAD_BOUNDS_SQL"),
         "topk_events_per_user": analytics_sql("TOPK_EVENTS_PER_USER_SQL"),
         "events_hourly_rate": analytics_sql("EVENTS_HOURLY_RATE_SQL"),
         "user_value_quantiles": analytics_sql("USER_VALUE_QUANTILES_SQL"),
@@ -855,6 +879,10 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": text_sql("LANG_QUALITY_SQL"),
         "lang_len_corr": text_sql("LANG_LEN_CORR_SQL"),
         "q15_top_supplier": rel_w4_sql("Q15_SQL"),
+        "q9_profit_by_nation_year": rel_w5_sql("Q9_SQL"),
+        "q11_important_parts": rel_w5_sql("Q11_SQL"),
+        "q20_dominant_suppliers": rel_w5_sql("Q20_SQL"),
+        "q21_waiting_suppliers": rel_w5_sql("Q21_SQL"),
         "part_supplier_variety": rel_w4_sql("Q16_SQL"),
         "q2_min_price_supplier": rel_w4_sql("Q2_SQL"),
         "q7_volume_shipping": rel_w3_sql("Q7_SQL"),

@@ -134,6 +134,101 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 
 # ---------------------------------------------------------------------------
+# LEAD / FIRST_VALUE / LAST_VALUE windows: per-user next + bounds
+# ---------------------------------------------------------------------------
+
+def user_event_lead_bounds(sf_dir: str, buckets: int | None = None):
+    """Each event with the SAME user's next value (LEAD), the user's
+    first value and last value over the full partition -- the remaining
+    navigation window functions next to LAG / PERCENT_RANK / NTILE.
+
+    Scale shape: identical to ``user_event_lag_diff`` -- ONE hash(user)
+    exchange, then a single vectorized lexsort + shift/segment-index per
+    partition serves all three functions at once (LEAD is a -1 shift
+    masked at each user's last row; FIRST/LAST_VALUE are the segment
+    start/end values broadcast by ``np.repeat``).  No per-group Python.
+    Exactness: pure value moves, no arithmetic -- bitwise vs the oracle.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("next_value", pa.float64()),
+            ("first_value", pa.float64()),
+            ("last_value", pa.float64()),
+        ]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((eid, ts, uid))
+        u_s, v_s = uid[order], v[order]
+        nxt = np.empty_like(v_s)
+        nxt[:-1] = v_s[1:]
+        nxt[-1] = np.nan
+        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        last = np.concatenate((first[1:], [True]))  # last row of each user
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(u_s)))
+        fv = np.repeat(v_s[starts], n)
+        lv = np.repeat(v_s[starts + n - 1], n)
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "ts": pa.array(ts[order].view("datetime64[us]")),
+                "value": pa.array(v_s, pa.float64()),
+                "next_value": pa.array(nxt, pa.float64(), mask=last),
+                "first_value": pa.array(fv, pa.float64()),
+                "last_value": pa.array(lv, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_EVENT_LEAD_BOUNDS_SQL = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       value::DOUBLE AS value,
+       LEAD(value) OVER w AS next_value,
+       FIRST_VALUE(value) OVER w AS first_value,
+       LAST_VALUE(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouped top-k rows: each user's 3 highest-value events with rank
 # ---------------------------------------------------------------------------
 

@@ -478,3 +478,36 @@ def test_lttb_invariants_and_peak_preservation(ray_session, tmp_path):
     # short series pass through unchanged
     full = _canon(lttb_hourly(d, n_out=5000))
     assert len(full) == n
+
+
+def test_lead_bounds_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.analytics import user_event_lead_bounds
+
+    got = _canon(user_event_lead_bounds(SF, buckets=4))
+    ev = pd.read_parquet(f"{SF}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"], kind="mergesort"
+    )
+    g = ev.groupby("user_id")["value"]
+    want = pd.DataFrame(
+        {
+            "user_id": ev["user_id"].astype("int64"),
+            "event_id": ev["event_id"].astype("int64"),
+            "ts": ev["ts"],
+            "value": ev["value"],
+            "next_value": g.shift(-1),
+            "first_value": g.transform("first"),
+            "last_value": g.transform("last"),
+        }
+    )
+    from tools.verify_correctness import canon
+
+    want = canon(want)
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+        else:
+            assert (a == b).all(), c
