@@ -587,6 +587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
         # bigram statistics, both with per-partition top-k pre-pruning
+        # paragraph(chunk)-level dedup: CCNet-style sub-document layer
+        "dedup_paragraphs": _text("dedup_paragraphs"),
+        "clean_corpus_paragraphs": _text("clean_corpus_paragraphs"),
         "token_vocab_topk": _text("token_vocab_topk"),
         "token_bigram_topk": _text("token_bigram_topk"),
         # persisted inverted index: conjunctive term search reads ONLY
@@ -845,6 +848,8 @@ def oracle_sql() -> dict[str, str]:
         "user_value_mad": analytics_sql("USER_VALUE_MAD_SQL"),
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
+        "dedup_paragraphs": text_sql("DEDUP_PARAGRAPHS_SQL"),
+        "clean_corpus_paragraphs": text_sql("CLEAN_CORPUS_PARAGRAPHS_SQL"),
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),
         "token_bigram_topk": text_sql("TOKEN_BIGRAM_TOPK_SQL"),
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),

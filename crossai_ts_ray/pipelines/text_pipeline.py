@@ -2559,3 +2559,305 @@ SELECT doc_id,
 FROM tok
 WHERE list_contains(words, 'data') AND list_contains(words, 'fast')
 """
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (CCNet-style): chunk -> hash -> first-occurrence
+# ---------------------------------------------------------------------------
+
+_PAR_WORDS = 16
+_PAR_IDX_BITS = 20  # (doc, idx) pack for the keep-set lookup
+
+
+def _split_chunks(text: str, k: int) -> list[str]:
+    """Fixed ``k``-word chunks -- the 'paragraph' unit on this corpus
+    (single-line texts; real multi-line corpora would split on newlines
+    first).  Mirrors the oracle's list-slice chunking exactly, including
+    the [''] chunk an empty text produces."""
+    words = text.split(" ")
+    return [
+        " ".join(words[i * k:(i + 1) * k])
+        for i in range((len(words) + k - 1) // k)
+    ]
+
+
+def _par_first_merge(t: pa.Table, out_schema: pa.Schema,
+                     cnt: np.ndarray | None = None) -> pa.Table:
+    """Per (par_hash): first occurrence by (doc_id, par_idx) + count sum.
+    One lexsort + segment pass -- shared by the batch combiner and the
+    partition merge (both are the same idempotent fold)."""
+    ph = t["par_hash"]
+    if isinstance(ph, pa.ChunkedArray):
+        ph = ph.combine_chunks()
+    d = ph.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = t["par_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if cnt is None:
+        cnt = np.ones(len(codes), np.int64)
+    order = np.lexsort((idx, did, codes))
+    c_s = codes[order]
+    starts = np.flatnonzero(np.concatenate(([True], c_s[1:] != c_s[:-1])))
+    sums = np.add.reduceat(cnt[order], starts)
+    sel = order[starts]
+    cols = {
+        "par_hash": d.dictionary.take(pa.array(c_s[starts])).cast(
+            pa.string()),
+        "doc_id": pa.array(did[sel], pa.int64()),
+        "par_idx": pa.array(idx[sel], pa.int64()),
+        "copies": pa.array(sums, pa.int64()),
+    }
+    return pa.table({k: cols[k] for k in out_schema.names},
+                    schema=out_schema)
+
+
+def dedup_paragraphs(sf_dir: str, k: int = _PAR_WORDS, P: int | None = None):
+    """Paragraph(chunk)-level exact dedup: every distinct ``k``-word
+    chunk with its FIRST occurrence (min (doc_id, par_idx)) and its
+    corpus-wide copy count -- the sub-document dedup layer real LLM
+    pipelines run alongside whole-doc MinHash (CCNet-style; boilerplate
+    headers/footers dedup away even when no two full documents match).
+
+    Scale shape: per-batch combiners fold each batch's chunks to one row
+    per distinct hash BEFORE the exchange (min + count are both
+    associative), so the single hash(par_hash) exchange moves at most
+    batch-distinct rows; the partition merge repeats the same fold.
+    Paragraph TEXT never crosses the exchange -- only 32-char hashes +
+    two int64s.
+    """
+    from ..sources.readers import suggest_buckets
+    from ..stages.joins import hash_prt
+
+    if P is None:
+        P = suggest_buckets(f"{sf_dir}/documents.parquet")
+    ds = _read_docs(sf_dir)
+
+    part_schema = pa.schema(
+        [("par_hash", pa.string()), ("doc_id", pa.int64()),
+         ("par_idx", pa.int64()), ("copies", pa.int64()),
+         ("prt", pa.int64())]
+    )
+
+    def hash_batch(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        dids = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hashes: list[str] = []
+        out_did: list[int] = []
+        out_idx: list[int] = []
+        for did, text in zip(dids, t["text"].to_pylist()):
+            for i, chunk in enumerate(_split_chunks(text, k)):
+                hashes.append(md5_fingerprint(chunk))
+                out_did.append(int(did))
+                out_idx.append(i)
+        flat = pa.table(
+            {
+                "par_hash": pa.array(hashes, pa.string()),
+                "doc_id": pa.array(out_did, pa.int64()),
+                "par_idx": pa.array(out_idx, pa.int64()),
+            }
+        )
+        merged = _par_first_merge(
+            flat,
+            pa.schema([("par_hash", pa.string()), ("doc_id", pa.int64()),
+                       ("par_idx", pa.int64()), ("copies", pa.int64())]),
+        )
+        hi = np.array(
+            [int(h[:15], 16) for h in merged["par_hash"].to_pylist()],
+            dtype=np.int64,
+        )
+        return merged.append_column(
+            "prt", pa.array(hash_prt(hi, P), pa.int64())
+        ).cast(part_schema)
+
+    out_schema = pa.schema(
+        [("par_hash", pa.string()), ("rep_doc_id", pa.int64()),
+         ("rep_idx", pa.int64()), ("copies", pa.int64())]
+    )
+
+    def merge_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        m = _par_first_merge(
+            t,
+            pa.schema([("par_hash", pa.string()), ("doc_id", pa.int64()),
+                       ("par_idx", pa.int64()), ("copies", pa.int64())]),
+            cnt=t["copies"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        return m.rename_columns(
+            ["par_hash", "rep_doc_id", "rep_idx", "copies"]
+        )
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+DEDUP_PARAGRAPHS_SQL = """
+WITH w AS (SELECT doc_id::BIGINT AS doc_id,
+                  string_split(text, ' ') AS words FROM documents),
+p AS (SELECT doc_id, words,
+             unnest(range(0, CAST(ceil(len(words)/16.0) AS BIGINT)))
+               AS par_idx
+      FROM w),
+q AS (SELECT doc_id, par_idx,
+             array_to_string(words[par_idx*16+1 : (par_idx+1)*16], ' ')
+               AS par
+      FROM p)
+SELECT par_hash, doc_id AS rep_doc_id, par_idx AS rep_idx,
+       copies::BIGINT AS copies
+FROM (
+  SELECT md5(par) AS par_hash, doc_id, par_idx,
+         row_number() OVER (PARTITION BY md5(par)
+                            ORDER BY doc_id, par_idx) AS rn,
+         count(*) OVER (PARTITION BY md5(par)) AS copies
+  FROM q) t
+WHERE rn = 1
+"""
+
+
+def clean_corpus_paragraphs(sf_dir: str, k: int = _PAR_WORDS,
+                            P: int | None = None):
+    """Corpus with repeated paragraphs REMOVED: each document keeps only
+    the chunks whose first corpus-wide occurrence it owns (the CCNet
+    reassembly step after paragraph dedup).  Documents whose every chunk
+    occurred earlier vanish entirely.
+
+    Scale shape (NO paragraph text crosses any exchange): pass 1 is
+    ``dedup_paragraphs`` (hash-keyed winners); pass 2 re-keys the winner
+    (doc_id, par_idx) pairs by hash(doc_id) and meets a second
+    column-pruned read of documents in ONE exchange, where each doc
+    re-splits locally and keeps exactly its winning chunk indices (a
+    packed-key searchsorted against the partition's winner set).
+    """
+    from ..sources.readers import suggest_buckets
+    from ..stages.joins import hash_prt
+
+    if P is None:
+        P = suggest_buckets(f"{sf_dir}/documents.parquet")
+    winners = dedup_paragraphs(sf_dir, k=k, P=P)
+
+    union_schema = pa.schema(
+        [("doc_id", pa.int64()), ("par_idx", pa.int64()),
+         ("text", pa.string()), ("side", pa.int8()), ("prt", pa.int64())]
+    )
+
+    def tag_winners(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        did = t["rep_doc_id"].to_numpy(zero_copy_only=False)
+        n = len(did)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "par_idx": t["rep_idx"].cast(pa.int64()),
+                "text": pa.nulls(n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "prt": pa.array(hash_prt(did.astype(np.int64), P),
+                                pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        did = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(did)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "par_idx": pa.array(np.full(n, -1), pa.int64()),
+                "text": t["text"].cast(pa.string()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "prt": pa.array(hash_prt(did.astype(np.int64), P),
+                                pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("clean_text", pa.string())]
+    )
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        side = t["side"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = t["par_idx"].to_numpy(zero_copy_only=False)
+        wm = side == 0
+        wdid, widx = did[wm], idx[wm]
+        if len(widx) and int(widx.max()) >= (1 << _PAR_IDX_BITS):
+            raise ValueError(
+                f"clean_corpus_paragraphs: par_idx {int(widx.max())} "
+                f"overflows the {_PAR_IDX_BITS}-bit (doc, idx) pack; "
+                f"increase k or widen the pack"
+            )
+        keep = np.sort(wdid * (1 << _PAR_IDX_BITS) + widx)
+        if not len(keep):  # partition holds docs but no winners: all dup
+            return pa.Table.from_pylist([], schema=out_schema)
+        texts = t["text"].to_pylist()
+        out_did: list[int] = []
+        out_txt: list[str] = []
+        for j in np.flatnonzero(~wm):
+            d = int(did[j])
+            chunks = _split_chunks(texts[j], k)
+            if len(chunks) >= (1 << _PAR_IDX_BITS):
+                raise ValueError(
+                    f"clean_corpus_paragraphs: doc {d} has {len(chunks)} "
+                    f"chunks, overflowing the {_PAR_IDX_BITS}-bit "
+                    f"(doc, idx) pack; increase k or widen the pack"
+                )
+            key = d * (1 << _PAR_IDX_BITS) + np.arange(len(chunks))
+            pos = np.searchsorted(keep, key)
+            ok = (pos < len(keep)) & (
+                keep[np.minimum(pos, len(keep) - 1)] == key
+            )
+            if ok.any():
+                out_did.append(d)
+                out_txt.append(
+                    " ".join(c for c, m in zip(chunks, ok) if m)
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_did, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    docs = _read_docs(sf_dir)
+    return (
+        winners.map_batches(tag_winners, batch_format="pyarrow")
+        .union(docs.map_batches(tag_docs, batch_format="pyarrow"))
+        .groupby("prt")
+        .map_groups(
+            lambda g: reassemble(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+CLEAN_CORPUS_PARAGRAPHS_SQL = """
+WITH w AS (SELECT doc_id::BIGINT AS doc_id,
+                  string_split(text, ' ') AS words FROM documents),
+p AS (SELECT doc_id, words,
+             unnest(range(0, CAST(ceil(len(words)/16.0) AS BIGINT)))
+               AS par_idx
+      FROM w),
+q AS (SELECT doc_id, par_idx,
+             array_to_string(words[par_idx*16+1 : (par_idx+1)*16], ' ')
+               AS par
+      FROM p),
+r AS (SELECT doc_id, par_idx, par,
+             row_number() OVER (PARTITION BY md5(par)
+                                ORDER BY doc_id, par_idx) AS rn
+      FROM q)
+SELECT doc_id, string_agg(par, ' ' ORDER BY par_idx) AS clean_text
+FROM r WHERE rn = 1 GROUP BY doc_id
+"""

@@ -87,7 +87,11 @@ def read_lineage(out_dir: str) -> pa.Table | None:
     files = sorted(glob.glob(os.path.join(out_dir, "_lineage", "part-*.parquet")))
     if not files:
         return None
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    # promote: lineage rows written before the late-policy column gained
+    # ``late_rows_dropped`` read as nulls
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
 
 
 def _commit_lineage(out_dir: str, row: dict) -> None:
@@ -104,6 +108,16 @@ def _committed_fragments(out_dir: str, pid: str) -> list[str] | None:
     try:
         t = pq.read_table(lineage_path(out_dir, pid), columns=["input_fragments"])
         return list(t["input_fragments"][0].as_py())
+    except Exception:
+        return None
+
+
+def _committed_watermark(out_dir: str, pid: str) -> int | None:
+    """The committed partition's event-time watermark (max finest-tier
+    bucket its lineage row recorded); None when missing/unreadable."""
+    try:
+        t = pq.read_table(lineage_path(out_dir, pid), columns=["watermark"])
+        return int(t["watermark"][0].as_py())
     except Exception:
         return None
 
@@ -137,6 +151,8 @@ def run_rollup_job(
     max_concurrent: int | None = None,
     aligned: bool = True,
     compress_finest: bool = False,
+    late_policy: str = "recompute",
+    allowed_lateness: int = 0,
 ) -> JobReport:
     """Run (or resume) the tier-cascade rollup over every input partition.
 
@@ -147,6 +163,24 @@ def run_rollup_job(
 
     ``fail_after=k`` aborts after k partitions commit (kill simulation for the
     resume test).  Ray must already be initialised by the caller.
+
+    Event-time watermark / late-arrival policy (``late_policy``): a
+    committed partition's lineage row records its WATERMARK (max
+    finest-tier bucket).  When appended fragments arrive out of order:
+
+    * ``"recompute"`` (default) -- the whole partition recomputes over
+      old + new fragments; every late row is incorporated (bitwise ==
+      a fresh run over the full input; continuous-aggregate semantics).
+    * ``"drop"`` -- rows in the NEW fragments whose finest-tier bucket is
+      <= watermark - ``allowed_lateness`` are DROPPED (buckets that far
+      behind the watermark are final); rows inside the lateness window
+      or past the watermark recompute as usual.  The dropped count is
+      recorded in the lineage row (``late_rows_dropped``).  Filtered
+      recomputes route through the generic cascade (row filtering breaks
+      the aligned-chunk contract); both cascades are bitwise-identical
+      (tests/test_aligned.py::test_aligned_equals_generic), so the
+      result is pinned bitwise against a fresh run over the same input
+      with those rows physically absent.
     """
     from ..sources.readers import read_token_table
     from ..stages.rollup import rollup_cascade
@@ -162,14 +196,57 @@ def run_rollup_job(
     computed, skipped = [], []
     rows_per_tier: dict[str, int] = {t.name: 0 for t in tiers}
 
-    def run_partition(pid: str, shard_dirs: list[str]) -> dict[str, int]:
+    def run_partition(
+        pid: str, shard_dirs: list[str],
+        late_filter: tuple[set, int] | None = None,
+    ) -> dict[str, int]:
         t0 = time.perf_counter()
         frag_paths = sorted(
             f for sd in shard_dirs for f in glob.glob(os.path.join(sd, "*.parquet"))
         )
         fragments = [os.path.basename(f) for f in frag_paths]
         spill_dir = n_incomplete = None
-        if aligned:
+        late_dropped = 0
+        if late_filter is not None:
+            # drop-policy recompute: NEW fragments lose their rows at or
+            # below the final-bucket cut; generic cascade (the filtered
+            # files no longer satisfy the aligned-chunk contract)
+            import pyarrow.compute as _pc
+
+            new_names, cut = late_filter
+            width0 = tiers[0].width
+            old_paths = [
+                f for f in frag_paths
+                if os.path.basename(f) not in new_names
+            ]
+            new_paths = [
+                f for f in frag_paths if os.path.basename(f) in new_names
+            ]
+
+            def drop_late(t):
+                keep = _pc.greater(
+                    _pc.divide(t["seq"], width0), cut
+                )
+                return t.filter(keep)
+
+            ds_new = read_token_table(new_paths)
+            # count the dropped rows for the lineage row (footer rows -
+            # surviving rows: no second data pass)
+            new_rows = sum(
+                pq.read_metadata(f).num_rows for f in new_paths
+            )
+            ds_new = ds_new.map_batches(
+                drop_late, batch_format="pyarrow", batch_size=batch_size
+            ).materialize()
+            late_dropped = new_rows - ds_new.count()
+            ds = ds_new
+            if old_paths:
+                ds = read_token_table(old_paths).union(ds_new)
+            cascaded = rollup_cascade(
+                ds, tiers, salt_mod=salt_mod, batch_size=batch_size,
+                materialize_tiers=True,
+            )
+        elif aligned:
             # no-raw-shuffle fast path: input files are seq-aligned per
             # source (stages/aligned.py states the contract); fully
             # streaming -- boundary partials leave the map tasks as
@@ -322,10 +399,15 @@ def run_rollup_job(
                 "bytes": part_bytes,
                 "wall_time_s": time.perf_counter() - t0,
                 "watermark": watermark,
+                "late_rows_dropped": int(late_dropped),
             },
         )
         return tier_rows
 
+    if late_policy not in ("recompute", "drop"):
+        raise ValueError(
+            f"late_policy must be 'recompute' or 'drop', got {late_policy!r}"
+        )
     todo = []
     recomputed = []
     for pid, shard_dirs in plan_partitions(input_dir, shards_per_commit):
@@ -344,14 +426,20 @@ def run_rollup_job(
                 skipped.append(pid)
                 continue
             recomputed.append(pid)
-            todo.append((pid, shard_dirs))
+            late_filter = None
+            if late_policy == "drop" and prev is not None:
+                wm = _committed_watermark(out_dir, pid)
+                if wm is not None and wm >= 0:
+                    new_names = set(cur) - set(prev)
+                    late_filter = (new_names, wm - allowed_lateness)
+            todo.append((pid, shard_dirs, late_filter))
         else:
-            todo.append((pid, shard_dirs))
+            todo.append((pid, shard_dirs, None))
 
     if fail_after is not None or max_concurrent <= 1:
         # sequential path (deterministic commit order for the kill test)
-        for pid, shard_dirs in todo:
-            tier_rows = run_partition(pid, shard_dirs)
+        for pid, shard_dirs, lf in todo:
+            tier_rows = run_partition(pid, shard_dirs, lf)
             for k, v in tier_rows.items():
                 rows_per_tier[k] += v
             computed.append(pid)
@@ -363,7 +451,10 @@ def run_rollup_job(
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
-            futs = {ex.submit(run_partition, pid, sd): pid for pid, sd in todo}
+            futs = {
+                ex.submit(run_partition, pid, sd, lf): pid
+                for pid, sd, lf in todo
+            }
             for fut, pid in futs.items():
                 tier_rows = fut.result()
                 for k, v in tier_rows.items():
