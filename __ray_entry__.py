@@ -514,6 +514,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # predict_proba (rows-only -- an iterative fit has no SQL oracle;
         # the IRLS path is pytest-verified against a NumPy reference fit)
         "model_scoring": _model_scoring_q,
+        # fastText-style hashed-n-gram quality/language filter (rows-only:
+        # iterative IRLS fit; NumPy-reference parity + planted-class
+        # recovery pinned in tests/test_quality_classifier.py)
+        "doc_quality_scores": _doc_quality_q,
         "q6_forecast_revenue": _rel("q6_forecast_revenue"),
         "q3_shipping_priority": _rel("q3_shipping_priority"),
         "parts_never_bulk_ordered": _rel("parts_never_bulk_ordered"),
@@ -632,6 +636,12 @@ def _media_features_q(sf_dir: str):
     from crossai_ts_ray.pipelines.multimodal import media_features
 
     return media_features(sf_dir)
+
+
+def _doc_quality_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.scoring import doc_quality_scores
+
+    return doc_quality_scores(sf_dir)
 
 
 def _model_scoring_q(sf_dir: str):

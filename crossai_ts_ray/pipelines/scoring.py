@@ -66,8 +66,11 @@ def fit_logistic(
 
     Returns the (d+1,) weight vector (bias first).
     """
+    from ..util import dataset_to_table
+
     d1 = len(feature_cols) + 1
     w = np.zeros(d1, dtype=np.float64)
+    wide = d1 + d1 * d1 > 512  # per-column Ray sum() crawls past ~512 cols
 
     for _ in range(iters):
         w_now = w.copy()
@@ -81,13 +84,31 @@ def fit_logistic(
             r = p * (1.0 - p)
             H = (X * r[:, None]).T @ X  # (d1, d1)
             flat = np.concatenate([g, H.reshape(-1)])
+            if wide:
+                # ONE fixed-size-list row per batch: wide models (hashed
+                # n-gram quality filters, d1^2 ~ thousands) would pay a
+                # per-column aggregate otherwise
+                return pa.table(
+                    {"vec": pa.FixedSizeListArray.from_arrays(
+                        pa.array(flat, pa.float64()), len(flat))}
+                )
             cols = {f"c{i}": pa.array([v], pa.float64()) for i, v in enumerate(flat)}
             return pa.table(cols)
 
-        agg = ds.map_batches(partial, batch_format="pyarrow").sum(
-            [f"c{i}" for i in range(d1 + d1 * d1)]
-        )
-        flat = np.array([agg[f"sum(c{i})"] for i in range(d1 + d1 * d1)])
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+        if wide:
+            # partials table is (#batches, d1+d1^2) -- driver-bounded by
+            # batch count, never row count
+            pt = dataset_to_table(partials)
+            flat = np.add.reduce(
+                pt["vec"].combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False
+                ).reshape(pt.num_rows, d1 + d1 * d1),
+                axis=0,
+            )
+        else:
+            agg = partials.sum([f"c{i}" for i in range(d1 + d1 * d1)])
+            flat = np.array([agg[f"sum(c{i})"] for i in range(d1 + d1 * d1)])
         g = flat[:d1] - l2 * w
         H = flat[d1:].reshape(d1, d1) + l2 * np.eye(d1)
         w = w + np.linalg.solve(H, g)
@@ -260,3 +281,109 @@ def robustness_analysis(
         "events_df": events_df,
         "metrics": metrics,
     }
+
+
+# ---------------------------------------------------------------------------
+# Hashed n-gram text-quality classifier (fastText-style linear filter)
+# ---------------------------------------------------------------------------
+
+_QUALITY_DIM = 256
+
+
+def hash_ngram_matrix(texts: list[str], dim: int = _QUALITY_DIM,
+                      bigrams: bool = True) -> np.ndarray:
+    """(n_docs, dim) hashed bag of word uni+bi-grams, normalized by token
+    count -- the fastText-style feature map behind every linear
+    LLM-data quality/language filter.  crc32 keeps the bucket assignment
+    deterministic across processes (hash() is salted per interpreter).
+    Tokenizing is inherently per-string; the accumulate is np.add.at per
+    doc, and the matrix never exceeds batch_rows x dim."""
+    from zlib import crc32
+
+    X = np.zeros((len(texts), dim), dtype=np.float64)
+    for i, tx in enumerate(texts):
+        ws = tx.split(" ")
+        idx = np.fromiter(
+            (crc32(w.encode()) % dim for w in ws), np.int64, len(ws)
+        )
+        np.add.at(X[i], idx, 1.0)
+        if bigrams and len(ws) > 1:
+            bidx = np.fromiter(
+                (crc32((a + " " + b).encode()) % dim
+                 for a, b in zip(ws, ws[1:])),
+                np.int64, len(ws) - 1,
+            )
+            np.add.at(X[i], bidx, 1.0)
+        X[i] /= max(1, len(ws))
+    return X
+
+
+_QUALITY_FEATURE_DIRS: dict[tuple, str] = {}
+
+
+def doc_quality_scores(sf_dir: str, dim: int = _QUALITY_DIM,
+                       iters: int = 8, concurrency: int = 4,
+                       label_lang: str = "en") -> rd.Dataset:
+    """The standard LLM-data quality-filter stage, end to end: train a
+    linear classifier over hashed text n-grams DISTRIBUTED on the
+    documents table (label: ``lang == label_lang`` -- the
+    wiki-vs-crawl-style weak supervision real pipelines use), then score
+    every document in the existing actor-pool stage.
+
+    Returns (doc_id, label, proba_1) -- rows-only driver query (the
+    iterative IRLS fit is not SQL-expressible; parity vs a
+    single-process NumPy reference fit and planted-separable-class
+    recovery are pytest-pinned in tests/test_quality_classifier.py).
+
+    Scale shape: raw text is read ONCE to build the persisted numeric
+    feature table (dim+2 columns, orders of magnitude smaller than the
+    corpus); the fit re-streams features iters times shipping one
+    (dim+1)^2 partial per batch; scoring broadcasts the weight vector
+    inside the actor callable.  Nothing raw-sized is materialized.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..pipelines.text_pipeline import read_persisted
+
+    fcols = [f"f{j}" for j in range(dim)]
+
+    def featurize(t: pa.Table) -> pa.Table:
+        tt = t.combine_chunks()
+        texts = tt["text"].to_pylist()
+        X = hash_ngram_matrix(texts, dim=dim)
+        langs = tt["lang"].to_pylist()
+        cols: dict = {"doc_id": tt["doc_id"].cast(pa.int64())}
+        for j, c in enumerate(fcols):
+            cols[c] = pa.array(X[:, j], pa.float64())
+        cols["label"] = pa.array(
+            np.array([1 if s == label_lang else 0 for s in langs],
+                     np.int64),
+            pa.int64(),
+        )
+        return pa.table(cols)
+
+    key = (sf_dir, dim, label_lang)
+    feat_dir = _QUALITY_FEATURE_DIRS.get(key)
+    if feat_dir is None or not os.path.isdir(feat_dir):
+        feat_dir = tempfile.mkdtemp(prefix="crossai_quality_feats_")
+        try:
+            read_parquet_sized(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "lang"],
+            ).map_batches(featurize, batch_format="pyarrow").write_parquet(
+                feat_dir
+            )
+        except BaseException:
+            shutil.rmtree(feat_dir, ignore_errors=True)
+            raise
+        _QUALITY_FEATURE_DIRS[key] = feat_dir
+
+    w = fit_logistic(read_persisted(feat_dir), fcols, "label", iters=iters)
+    scored = read_persisted(feat_dir).map_batches(
+        LogisticScorer(w, fcols),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return scored.select_columns(["doc_id", "label", "proba_1"])
