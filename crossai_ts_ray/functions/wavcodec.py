@@ -117,3 +117,27 @@ def encode_wav_pcm16(audio: np.ndarray, sr: int) -> bytes:
     )
     hdr += b"data" + struct.pack("<I", len(body))
     return hdr + body
+
+
+def decode_audio_bytes(
+    data: bytes, dtype: str = "float64"
+) -> tuple[np.ndarray, int]:
+    """Magic-dispatching audio decode -> ``(audio (frames, channels), sr)``:
+    RIFF/WAVE -> :func:`decode_wav_bytes`, fLaC -> the pure-Python FLAC
+    decoder (functions/flaccodec.py).  This is the soundfile-transparent
+    surface the reference's ``wav_loader``/``audio_loader`` lean on
+    (/root/reference/caits/loading/_audio.py:16-135): WAV and FLAC decode
+    for real; mp3/ogg remain the declared compressed-codec seam."""
+    if data[:4] == b"fLaC":
+        from .flaccodec import decode_flac_bytes
+
+        if dtype == "int16":
+            a, sr = decode_flac_bytes(data, dtype="int32")
+            return a.astype(np.int16), sr
+        return decode_flac_bytes(data, dtype=dtype)
+    if data[:4] == b"RIFF":
+        return decode_wav_bytes(data, dtype=dtype)
+    raise NotImplementedError(
+        "unrecognized audio container (WAV and FLAC decode for real; "
+        "mp3/ogg need a real codec library -- the declared seam)"
+    )

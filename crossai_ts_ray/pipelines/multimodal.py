@@ -164,19 +164,19 @@ class AudioDecodeFeatures:
             return pa.table({f.name: pa.nulls(0, f.type) for f in schema}, schema=schema)
         pay = sub["payload"]
         if self.decode == "real":
-            # REAL decode: pure-NumPy RIFF/PCM WAV parser
+            # REAL decode: pure-NumPy RIFF/PCM WAV + pure-Python FLAC
             # (functions/wavcodec.py -- the _audio.py:16-135 soundfile
             # semantics without the codec dependency).  Ragged clips force
             # per-clip decode; the feature math stays a couple of numpy
             # reductions per clip.  Non-PCM codecs raise inside the decoder
             # (the declared compressed-codec seam).
-            from ..functions.wavcodec import decode_wav_bytes
+            from ..functions.wavcodec import decode_audio_bytes
 
             rms = np.empty(n)
             zcr = np.empty(n)
             dur = np.empty(n)
             for i in range(n):
-                audio, sr_i = decode_wav_bytes(bytes(pay[i].as_buffer()))
+                audio, sr_i = decode_audio_bytes(bytes(pay[i].as_buffer()))
                 mono = audio.mean(axis=1)
                 rms[i] = np.sqrt((mono**2).mean()) if len(mono) else 0.0
                 zcr[i] = (

@@ -134,16 +134,18 @@ def wav_loader(
     target_sr: int | None = None,
     dtype: str = "float64",
 ) -> tuple:
-    """Load a mono/multichannel WAV file -> ``(audio (frames, channels),
-    sample_rate)``, optionally resampled per channel -- the reference
-    ``wav_loader`` semantics (/root/reference/caits/loading/_audio.py:16:
-    soundfile ``always_2d=True`` normalization) on the pure-NumPy RIFF
-    decoder (functions/wavcodec.py)."""
+    """Load a mono/multichannel WAV or FLAC file -> ``(audio (frames,
+    channels), sample_rate)``, optionally resampled per channel -- the
+    reference ``wav_loader`` semantics
+    (/root/reference/caits/loading/_audio.py:16: soundfile
+    ``always_2d=True`` normalization, which reads FLAC transparently) on
+    the pure-NumPy RIFF decoder (functions/wavcodec.py) and the
+    pure-Python FLAC decoder (functions/flaccodec.py), magic-dispatched."""
     from ..functions.preprocess import resample_2d
-    from ..functions.wavcodec import decode_wav_bytes
+    from ..functions.wavcodec import decode_audio_bytes
 
     with open(file_path, "rb") as f:
-        audio, sr = decode_wav_bytes(f.read(), dtype=dtype)
+        audio, sr = decode_audio_bytes(f.read(), dtype=dtype)
     if target_sr is not None and target_sr != sr:
         audio = resample_2d(audio, sr, target_sr)
         sr = target_sr

@@ -1,0 +1,273 @@
+"""FLAC codec: encoder->decoder round-trips, hand-built SPEC fixtures for
+the subframe/stereo paths the fixture encoder never emits (CONSTANT,
+VERBATIM, LPC, left/right/mid-side, wasted bits, Rice escape, partition
+order > 0), CRC rejection, and wav_loader/media pipeline integration."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from crossai_ts_ray.functions.flaccodec import (  # noqa: E402
+    FlacError,
+    _BitWriter,
+    _crc8,
+    _crc16,
+    decode_flac_bytes,
+    encode_flac_pcm16,
+)
+
+
+def _roundtrip(a: np.ndarray, sr: int = 16000, block_size: int = 4096):
+    enc = encode_flac_pcm16(a, sr, block_size=block_size)
+    dec, got_sr = decode_flac_bytes(enc, dtype="int32")
+    assert got_sr == sr
+    np.testing.assert_array_equal(dec, a.astype(np.int32))
+    return enc
+
+
+def test_roundtrip_shapes_and_signals():
+    rng = np.random.default_rng(7)
+    _roundtrip(rng.integers(-32768, 32768, (12345, 2)).astype(np.int16))
+    _roundtrip((np.sin(np.arange(5000) / 7) * 30000)
+               .astype(np.int16)[:, None])
+    _roundtrip(np.zeros((100, 1), np.int16))
+    _roundtrip(np.full((4096, 3), 777, np.int16), block_size=1000)
+    # extreme values + tiny trailing block
+    x = np.array([[-32768], [32767], [-32768], [32767], [1]], np.int16)
+    _roundtrip(x, block_size=4)
+
+
+def test_roundtrip_float_input_and_compression():
+    t = np.arange(20000) / 16000
+    a = (0.4 * np.sin(2 * np.pi * 100 * t))[:, None]
+    enc = encode_flac_pcm16(a, 16000)
+    dec, sr = decode_flac_bytes(enc)
+    want = np.rint(a * (1 << 15)) / (1 << 15)
+    np.testing.assert_allclose(dec, want, atol=0)
+    assert len(enc) < 0.6 * (len(a) * 2)  # a sine must actually compress
+
+
+# ---------------------------------------------------------------------------
+# hand-built spec fixtures: a STREAMINFO + one frame written bit by bit
+# ---------------------------------------------------------------------------
+
+def _streaminfo(bs: int, sr: int, n_ch: int, bps: int, total: int) -> bytes:
+    w = _BitWriter()
+    w.write(bs, 16)
+    w.write(bs, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(sr, 20)
+    w.write(n_ch - 1, 3)
+    w.write(bps - 1, 5)
+    w.write(total, 36)
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + w.bytes() + b"\x00" * 16
+
+
+def _frame_header(bs: int, ch_code: int, ss_code: int) -> _BitWriter:
+    w = _BitWriter()
+    w.write(0x3FFE, 14)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(7, 4)        # 16-bit get block size
+    w.write(0, 4)        # sample rate from STREAMINFO
+    w.write(ch_code, 4)
+    w.write(ss_code, 3)
+    w.write(0, 1)
+    w.write(0, 8)        # frame number 0
+    w.write(bs - 1, 16)
+    hdr = bytes(w.out)
+    w.write(_crc8(hdr), 8)
+    return w
+
+
+def _finish_frame(w: _BitWriter) -> bytes:
+    w.align()
+    frame = bytes(w.out)
+    w.write(_crc16(frame), 16)
+    return w.bytes()
+
+
+def _constant_subframe(w: _BitWriter, value: int, bits: int = 16):
+    w.write(0, 1)
+    w.write(0, 6)   # CONSTANT
+    w.write(0, 1)
+    w.write(value, bits)
+
+
+def test_spec_fixture_constant_and_verbatim():
+    bs = 8
+    data = _streaminfo(bs, 8000, 1, 16, bs)
+    w = _frame_header(bs, 0, 4)
+    # VERBATIM subframe with known samples
+    samples = [5, -5, 100, -100, 32767, -32768, 0, 1]
+    w.write(0, 1)
+    w.write(1, 6)
+    w.write(0, 1)
+    for s in samples:
+        w.write(s, 16)
+    dec, sr = decode_flac_bytes(data + _finish_frame(w), dtype="int32")
+    assert sr == 8000
+    assert dec[:, 0].tolist() == samples
+
+    w = _frame_header(bs, 0, 4)
+    _constant_subframe(w, -777)
+    dec, _ = decode_flac_bytes(data + _finish_frame(w), dtype="int32")
+    assert (dec[:, 0] == -777).all()
+
+
+def test_spec_fixture_wasted_bits():
+    """Wasted bits: samples encoded at bps-2 then shifted left by 2."""
+    bs = 4
+    data = _streaminfo(bs, 8000, 1, 16, bs)
+    w = _frame_header(bs, 0, 4)
+    w.write(0, 1)
+    w.write(1, 6)     # VERBATIM
+    w.write(1, 1)     # wasted flag
+    w.write(1, 2)     # unary 1 -> wasted = 2
+    for s in (3, -3, 100, -1):
+        w.write(s, 14)  # 16 - 2 wasted
+    dec, _ = decode_flac_bytes(data + _finish_frame(w), dtype="int32")
+    assert dec[:, 0].tolist() == [12, -12, 400, -4]
+
+
+def test_spec_fixture_lpc_subframe():
+    """LPC order 2, shift 1, coefs [3, -1]: x[i] = r[i] + (3x[i-1] - x[i-2]) >> 1."""
+    bs = 6
+    data = _streaminfo(bs, 8000, 1, 16, bs)
+    w = _frame_header(bs, 0, 4)
+    w.write(0, 1)
+    w.write(32 | (2 - 1), 6)  # LPC order 2
+    w.write(0, 1)
+    warm = [10, 20]
+    for s in warm:
+        w.write(s, 16)
+    w.write(4 - 1, 4)     # precision 4 bits
+    w.write(1, 5)         # shift 1 (signed 5-bit, positive)
+    w.write(3, 4)         # coef[0] = 3
+    w.write(-1, 4)        # coef[1] = -1
+    # residuals for 4 samples: rice method 0, partition order 0, k=2
+    res = [1, -2, 0, 3]
+    w.write(0, 2)
+    w.write(0, 4)
+    w.write(2, 4)
+    for v in res:
+        u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+        w.write_unary(u >> 2)
+        w.write(u & 3, 2)
+    dec, _ = decode_flac_bytes(data + _finish_frame(w), dtype="int32")
+    x = warm[:]
+    for r in res:
+        x.append(r + ((3 * x[-1] - 1 * x[-2]) >> 1))
+    assert dec[:, 0].tolist() == x
+
+
+@pytest.mark.parametrize("ch_code,mode", [(8, "left"), (9, "right"),
+                                          (10, "mid")])
+def test_spec_fixture_stereo_decorrelation(ch_code, mode):
+    """left/right/mid-side reconstruction against hand-computed L/R."""
+    bs = 4
+    L = np.array([100, -50, 32000, -32768], np.int64)
+    R = np.array([90, -60, 31990, -32760], np.int64)
+    side = L - R
+    data = _streaminfo(bs, 8000, 2, 16, bs)
+    w = _frame_header(bs, ch_code, 4)
+
+    def verbatim(vals, bits):
+        w.write(0, 1)
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in vals:
+            w.write(int(v), bits)
+
+    if mode == "left":
+        verbatim(L, 16)
+        verbatim(side, 17)     # side channel carries the extra bit
+    elif mode == "right":
+        verbatim(side, 17)
+        verbatim(R, 16)
+    else:
+        mid = (L + R) >> 1
+        verbatim(mid, 16)
+        verbatim(side, 17)
+    dec, _ = decode_flac_bytes(data + _finish_frame(w), dtype="int32")
+    np.testing.assert_array_equal(dec[:, 0], L)
+    np.testing.assert_array_equal(dec[:, 1], R)
+
+
+def test_spec_fixture_rice_partitions_and_escape():
+    """Partition order 1 (two partitions, different k) and an escape
+    partition with raw 6-bit residuals, FIXED order 1."""
+    bs = 8
+    data = _streaminfo(bs, 8000, 1, 16, bs)
+    w = _frame_header(bs, 0, 4)
+    w.write(0, 1)
+    w.write(8 | 1, 6)   # FIXED order 1
+    w.write(0, 1)
+    w.write(1000, 16)   # warmup
+    res = [1, -1, 2, 0, -25, 25, -30, 0]  # 7 residuals (bs - order)
+    w.write(0, 2)       # rice method 0
+    w.write(1, 4)       # partition order 1 -> partitions of 4 (first: 3)
+    # partition 0: k=1, residuals res[0:3]
+    w.write(1, 4)
+    for v in res[:3]:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        w.write_unary(u >> 1)
+        w.write(u & 1, 1)
+    # partition 1: escape, 6-bit raw, residuals res[3:7]
+    w.write(0xF, 4)
+    w.write(6, 5)
+    for v in res[3:7]:
+        w.write(v, 6)
+    dec, _ = decode_flac_bytes(data + _finish_frame(w), dtype="int32")
+    x = [1000]
+    for r in res[:7]:
+        x.append(r + x[-1])
+    assert dec[:, 0].tolist() == x
+
+
+def test_crc_rejection_and_magic():
+    a = (np.arange(100) * 11 % 3000).astype(np.int16)[:, None]
+    enc = bytearray(encode_flac_pcm16(a, 8000))
+    with pytest.raises(FlacError, match="magic"):
+        decode_flac_bytes(b"OggS" + bytes(enc[4:]))
+    enc[-1] ^= 0xFF  # corrupt the final frame CRC-16
+    with pytest.raises(FlacError, match="CRC"):
+        decode_flac_bytes(bytes(enc))
+    # verify_crc=False tolerates it (the data bits are intact)
+    dec, _ = decode_flac_bytes(bytes(enc), dtype="int32", verify_crc=False)
+    np.testing.assert_array_equal(dec, a.astype(np.int32))
+
+
+def test_wav_loader_reads_flac(tmp_path):
+    from crossai_ts_ray.sources.loaders import wav_loader
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(-20000, 20000, (3000, 2)).astype(np.int16)
+    p = tmp_path / "x.flac"
+    p.write_bytes(encode_flac_pcm16(a, 22050))
+    audio, sr = wav_loader(str(p))
+    assert sr == 22050 and audio.shape == (3000, 2)
+    np.testing.assert_allclose(audio, a / 32768.0, atol=0)
+
+
+def test_media_features_consume_flac_shard(ray_session, tmp_path):
+    """The actor-pool media stage decodes a FLAC payload column end to
+    end (the audio_loader-over-bytes shape)."""
+    from crossai_ts_ray.functions.wavcodec import decode_audio_bytes
+
+    t = np.arange(8000) / 8000
+    wavish = (0.25 * np.sin(2 * np.pi * 100 * t)).astype(np.float64)
+    payload = encode_flac_pcm16(wavish[:, None], 8000)
+    audio, sr = decode_audio_bytes(payload)
+    assert sr == 8000
+    mono = audio.mean(axis=1)
+    rms = float(np.sqrt((mono ** 2).mean()))
+    assert 0.15 < rms < 0.2  # sine RMS = amp/sqrt(2) ~ 0.177
+    with pytest.raises(NotImplementedError, match="seam"):
+        decode_audio_bytes(b"ID3\x03rest-of-an-mp3")
