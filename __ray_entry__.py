@@ -582,6 +582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _analytics("cohort_retention"),
         # PERCENT_RANK + NTILE window functions (exact integer-ratio SQL)
         "value_percent_rank": _analytics("value_percent_rank"),
+        # CUME_DIST + DENSE_RANK (same single-exchange rank-scan shape)
+        "value_cume_dist": _analytics("value_cume_dist"),
         # robust dispersion (median absolute deviation) per user
         "user_value_mad": _analytics("user_value_mad"),
         # churn (EXCEPT shape): last week's absentees among the previous
@@ -855,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "hdr_value_quantiles": semistruct_sql("HDR_VALUE_QUANTILES_SQL"),
         "cohort_retention": analytics_sql("COHORT_RETENTION_SQL"),
         "value_percent_rank": analytics_sql("VALUE_PERCENT_RANK_SQL"),
+        "value_cume_dist": analytics_sql("VALUE_CUME_DIST_SQL"),
         "user_value_mad": analytics_sql("USER_VALUE_MAD_SQL"),
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),

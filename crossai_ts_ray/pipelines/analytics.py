@@ -2898,12 +2898,20 @@ def _value_rank_bits(v: np.ndarray) -> np.ndarray:
 
 
 def _auto_scale_path(sf_dir: str, sample_rows: int = 65536,
-                     hot_rows_per_task: int = 4_000_000) -> bool:
+                     hot_rows_per_task: int = 32_000_000) -> bool:
     """Route ``value_percent_rank`` the way ``salt='auto'`` routes joins:
     measure, don't ask the caller.  Reads ONLY the parquet footer row
     count plus a head sample of ``event_type``, estimates the hottest
     type's global row count, and picks the two-pass histogram path when
-    that single type would out-size one task's sort."""
+    that single type would out-size one task's sort HEAP.
+
+    The threshold routes on MEMORY risk, not CPU: measured at 10M rows
+    with a 50%-hot type (tools/bench_events.py table, 8 CPUs), the
+    single-exchange path is still 1.6x FASTER (14.1 s vs 22.4 s) -- an
+    in-memory lexsort of 5M rows is cheap next to the two-pass's second
+    full read + histogram merge.  The two-pass exists for the type that
+    cannot FIT one task's sort (~50 bytes/row working set -> tens of
+    millions of rows per worker-GB), so the default cut is 32M hot rows."""
     import pyarrow.parquet as pq
 
     try:
@@ -3216,6 +3224,109 @@ SELECT event_id::BIGINT AS event_id, event_type, value,
                             ORDER BY value) AS pct_rank,
        ntile(4) OVER (PARTITION BY event_type
                       ORDER BY value, event_id)::BIGINT AS tile
+FROM events
+"""
+
+
+def value_cume_dist(sf_dir: str, buckets: int | None = None):
+    """Every event with its CUME_DIST and DENSE_RANK within its event
+    type (ORDER BY value) -- the remaining rank-family windows next to
+    PERCENT_RANK/NTILE/RANK.
+
+    Scale shape: identical to the percent_rank single-exchange path
+    (ONE hash(type) exchange, vectorized per-partition sort); the same
+    tie-run segmentation serves both outputs (cume_dist = run END
+    position / n; dense_rank = run ordinal).  NaN-aware tie runs match
+    SQL's NaN-peers total order (same bridge as value_percent_rank).
+    """
+    from .events_pipeline import _source_hash
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "event_type", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return t.append_column(
+            "prt", pa.array(hash_prt(_source_hash(et), buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [("event_id", pa.int64()), ("event_type", pa.string()),
+         ("value", pa.float64()), ("cume_dist", pa.float64()),
+         ("dense_rank", pa.int64())]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((eid, v, codes))
+        c_s, v_s, e_s = codes[order], v[order], eid[order]
+        tstarts = np.flatnonzero(
+            np.concatenate(([True], c_s[1:] != c_s[:-1]))
+        )
+        tn = np.diff(np.append(tstarts, len(c_s)))
+        gn = np.repeat(tn, tn).astype(np.float64)
+        pos = np.arange(len(c_s)) - np.repeat(tstarts, tn)
+        new_run = np.concatenate(
+            ([True], _neq_nan(v_s[1:], v_s[:-1]) | (c_s[1:] != c_s[:-1]))
+        )
+        rstarts = np.flatnonzero(new_run)
+        rlen = np.diff(np.append(rstarts, len(c_s)))
+        # CUME_DIST: rows at or below the current value / n = the tie
+        # run's END position + 1, shared by the whole run
+        run_end_pos = np.repeat(pos[rstarts] + rlen, rlen)
+        cd = run_end_pos / gn
+        # DENSE_RANK: ordinal of the run within its type
+        run_type = c_s[rstarts]
+        run_first_of_type = np.concatenate(
+            ([True], run_type[1:] != run_type[:-1])
+        )
+        run_ordinal = (
+            np.arange(len(rstarts))
+            - np.repeat(
+                np.flatnonzero(run_first_of_type),
+                np.diff(np.append(np.flatnonzero(run_first_of_type),
+                                  len(rstarts))),
+            )
+            + 1
+        )
+        dr = np.repeat(run_ordinal, rlen)
+        return pa.table(
+            {
+                "event_id": pa.array(e_s, pa.int64()),
+                "event_type": et.take(pa.array(order)).cast(pa.string()),
+                "value": pa.array(v_s, pa.float64()),
+                "cume_dist": pa.array(cd, pa.float64()),
+                "dense_rank": pa.array(dr.astype(np.int64), pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+VALUE_CUME_DIST_SQL = """
+SELECT event_id::BIGINT AS event_id, event_type, value,
+       cume_dist() OVER (PARTITION BY event_type
+                         ORDER BY value) AS cume_dist,
+       dense_rank() OVER (PARTITION BY event_type
+                          ORDER BY value)::BIGINT AS dense_rank
 FROM events
 """
 

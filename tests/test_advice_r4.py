@@ -191,3 +191,33 @@ def test_percent_rank_auto_default_still_matches_gate(ray_session):
     oracle = _canon(con.execute(VALUE_PERCENT_RANK_SQL).df())
     mine = _canon(value_percent_rank(SF))
     pdt.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_cume_dist_nan_and_zero_fixture(tmp_path, ray_session):
+    """CUME_DIST/DENSE_RANK over mixed NaN / signed-zero values match
+    DuckDB's NaN-peers total order (same bridge as percent_rank)."""
+    import duckdb
+    import pandas.testing as pdt
+
+    from crossai_ts_ray.pipelines.analytics import value_cume_dist
+
+    v = np.array([1.0, np.nan, -0.0, 0.0, np.nan, -1.0, 0.5, 2.0],
+                 np.float64)
+    et = ["a", "a", "a", "a", "b", "b", "b", "b"]
+    _write_events(tmp_path / "events.parquet", np.arange(len(v)), et, v)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    oracle = _canon(con.execute(
+        """
+        SELECT event_id::BIGINT AS event_id, event_type, value,
+               cume_dist() OVER (PARTITION BY event_type
+                                 ORDER BY value) AS cume_dist,
+               dense_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value)::BIGINT AS dense_rank
+        FROM events
+        """
+    ).df())
+    mine = _canon(value_cume_dist(str(tmp_path), buckets=5))
+    pdt.assert_frame_equal(mine, oracle, check_dtype=False)

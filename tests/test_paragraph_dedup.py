@@ -121,3 +121,16 @@ def test_paragraph_idx_pack_guard(ray_session, tmp_path):
     _write_docs(tmp_path, [" ".join(["w"] * ((1 << 20) + 1))])
     with pytest.raises(Exception, match="overflow"):
         _canon(clean_corpus_paragraphs(str(tmp_path), k=1, P=2))
+
+
+def test_clean_paragraphs_broadcast_eq_exchange(ray_session):
+    """The broadcast keep-set fast path is bitwise the exchange path."""
+    import pandas.testing as pdt
+
+    from crossai_ts_ray.pipelines.text_pipeline import (
+        clean_corpus_paragraphs,
+    )
+
+    a = _canon(clean_corpus_paragraphs(SF, P=5, broadcast=True))
+    b = _canon(clean_corpus_paragraphs(SF, P=5, broadcast=False))
+    pdt.assert_frame_equal(a, b)

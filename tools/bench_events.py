@@ -91,6 +91,9 @@ def main():
 
     out = {"rows": rows, "hot_share": 0.5, "types": 50,
            "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "8")), "stages": {}}
+    from crossai_ts_ray.pipelines.analytics import _auto_scale_path
+
+    out["percent_rank_auto_two_pass"] = _auto_scale_path(sf_dir)
     for name, fn in (
         ("hourly_rollup", lambda: hourly_rollup(sf_dir)),
         ("gapfill_linear", lambda: hourly_gapfill(sf_dir, "linear")),
@@ -113,7 +116,14 @@ def main():
         # 50%-hot type partition (the adversarial layout for it); MAD is
         # a double segment-median per user; gini/cohort are
         # combiner/partition-bounded
+        # round-5: auto-routing crossover evidence -- the same query
+        # forced down each path; percent_rank (unforced) shows what the
+        # footer+head estimate picked at this hot share
         ("percent_rank", lambda: value_percent_rank(sf_dir)),
+        ("percent_rank_single", lambda: value_percent_rank(
+            sf_dir, scale_path=False)),
+        ("percent_rank_two_pass", lambda: value_percent_rank(
+            sf_dir, scale_path=True)),
         ("mad_per_user", lambda: user_value_mad(sf_dir)),
         ("gini_by_type", lambda: gini_by_type(sf_dir)),
         ("cohort_retention", lambda: cohort_retention(sf_dir)),
@@ -122,7 +132,8 @@ def main():
         # STREAMING (count()) -- materializing 10M rows on the driver would
         # measure the object store, not the operator; small outputs
         # round-trip fully so out_rows is still exact
-        streaming = name in ("lag_diff", "breakout_minmax", "percent_rank")
+        streaming = name in ("lag_diff", "breakout_minmax", "percent_rank",
+                             "percent_rank_single", "percent_rank_two_pass")
         best = float("inf")
         n_out = 0
         for _ in range(2):
