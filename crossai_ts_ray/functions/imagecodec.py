@@ -20,11 +20,16 @@ import numpy as np
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int,
+                  bps: int = 1) -> np.ndarray:
     """Reverse PNG scanline filters (spec 9.2): per-row filter byte, then
-    None/Sub/Up/Average/Paeth.  Rows are sequential by construction; the
-    per-row math is vectorized where the filter allows (Up/None fully,
-    Sub/Paeth carry a left-neighbor dependency along the row)."""
+    None/Sub/Up/Average/Paeth.  Filtering is BYTE-wise with the left
+    neighbor ``ch * bps`` bytes back (bps = bytes per sample, 2 for
+    16-bit), so the same kernel serves 8- and 16-bit images.  Rows are
+    sequential by construction; the per-row math is vectorized where the
+    filter allows (Up/None fully, Sub/Paeth carry a left-neighbor
+    dependency along the row)."""
+    ch = ch * bps  # left-neighbor distance in bytes
     stride = w * ch
     raw = raw.reshape(h, stride + 1)
     ftypes = raw[:, 0]
@@ -65,14 +70,17 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
 
 
 def decode_png_bytes(data: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG (gray, gray+alpha, RGB, RGBA) -> (h, w)
-    float64 grayscale in [0, 1] (channel mean over color, alpha dropped)."""
+    """Non-interlaced PNG -> (h, w) float64 grayscale in [0, 1] (channel
+    mean over color, alpha dropped).  Covers 8- and 16-bit gray /
+    gray+alpha / RGB / RGBA plus 8-bit PALETTE images (PLTE lookup);
+    sub-byte depths and interlacing stay behind the declared seam."""
     if not data.startswith(_PNG_MAGIC):
         raise ValueError("not a PNG payload")
     pos = 8
     w = h = None
     bit_depth = color_type = None
     idat = b""
+    plte = None
     while pos + 8 <= len(data):
         (size,) = struct.unpack_from(">I", data, pos)
         cid = data[pos + 4 : pos + 8]
@@ -81,10 +89,14 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bit_depth != 8:
-                raise NotImplementedError(f"PNG bit depth {bit_depth} (8 only)")
+            if bit_depth not in (8, 16):
+                raise NotImplementedError(
+                    f"PNG bit depth {bit_depth} (8/16 only)"
+                )
             if interlace:
                 raise NotImplementedError("interlaced PNG")
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif cid == b"IDAT":
             idat += body
         elif cid == b"IEND":
@@ -92,11 +104,28 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
         pos += 12 + size  # len + type + crc
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if color_type == 3:  # palette: indices -> PLTE RGB rows
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        if bit_depth != 8:
+            raise NotImplementedError(
+                f"palette PNG bit depth {bit_depth} (8 only)"
+            )
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+        idx = _png_unfilter(raw, h, w, 1)[:, :, 0]
+        return plte[idx].astype(np.float64).mean(axis=2) / 255.0
     ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
     if ch is None:
-        raise NotImplementedError(f"PNG color type {color_type} (palette needs a codec)")
+        raise NotImplementedError(f"PNG color type {color_type}")
+    bps = bit_depth // 8
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    px = _png_unfilter(raw, h, w, ch).astype(np.float64)
+    px = _png_unfilter(raw, h, w, ch, bps=bps).astype(np.float64)
+    if bps == 2:  # combine big-endian byte pairs into one sample channel
+        px = px.reshape(h, w, ch, 2)
+        px = px[:, :, :, 0] * 256.0 + px[:, :, :, 1]
+        scale = 65535.0
+    else:
+        scale = 255.0
     if color_type == 0:
         g = px[:, :, 0]
     elif color_type == 2:
@@ -105,7 +134,7 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
         g = px[:, :, 0]
     else:  # RGBA
         g = px[:, :, :3].mean(axis=2)
-    return g / 255.0
+    return g / scale
 
 
 def decode_bmp_bytes(data: bytes) -> np.ndarray:
@@ -152,9 +181,13 @@ def decode_pnm_bytes(data: bytes) -> np.ndarray:
         fields.append(int(data[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
-    if maxval > 255:
-        raise NotImplementedError("16-bit PNM")
-    px = np.frombuffer(data, dtype=np.uint8, count=w * h * nch, offset=pos)
+    if maxval > 65535:
+        raise ValueError(f"PNM maxval {maxval} out of spec")
+    if maxval > 255:  # 16-bit PNM: big-endian two-byte samples (spec)
+        px = np.frombuffer(data, dtype=">u2", count=w * h * nch, offset=pos)
+    else:
+        px = np.frombuffer(data, dtype=np.uint8, count=w * h * nch,
+                           offset=pos)
     px = px.reshape(h, w, nch).astype(np.float64)
     g = px[:, :, 0] if nch == 1 else px.mean(axis=2)
     return g / maxval

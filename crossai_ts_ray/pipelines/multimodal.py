@@ -305,10 +305,13 @@ class VideoFrameSample:
 
 def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
     """Deterministic media corpus with REAL payloads: PCM16 WAV clips
-    (functions/wavcodec.encode_wav_pcm16), grayscale PNGs
-    (functions/imagecodec.encode_png_gray) and Y4M video clips
-    (functions/videocodec.encode_y4m_gray), so the decode='real' path runs
-    end to end for all three modalities with no external data."""
+    (functions/wavcodec.encode_wav_pcm16) interleaved with FLAC clips
+    (functions/flaccodec.encode_flac_pcm16 -- exercises the
+    magic-dispatched compressed-audio decode in the actor pool),
+    grayscale PNGs (functions/imagecodec.encode_png_gray) and Y4M video
+    clips (functions/videocodec.encode_y4m_gray), so the decode='real'
+    path runs end to end for all modalities with no external data."""
+    from ..functions.flaccodec import encode_flac_pcm16
     from ..functions.imagecodec import encode_png_gray
     from ..functions.videocodec import encode_y4m_gray
     from ..functions.wavcodec import encode_wav_pcm16
@@ -321,10 +324,12 @@ def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
             t = np.arange(sr // 10) / sr
             amp = 0.2 + 0.6 * rng.random()
             x = amp * np.sin(2 * np.pi * (100 + 50 * (i % 7)) * t)
+            enc = (encode_flac_pcm16(x[:, None], sr) if i % 6 == 0
+                   else encode_wav_pcm16(x, sr))
             rows.append(
                 {
                     "media_id": f"m{i:05d}", "kind": "audio",
-                    "payload": encode_wav_pcm16(x, sr),
+                    "payload": enc,
                     "width": 0, "height": 0, "sample_rate": sr, "n_frames": 0,
                 }
             )

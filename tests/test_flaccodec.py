@@ -271,3 +271,89 @@ def test_media_features_consume_flac_shard(ray_session, tmp_path):
     assert 0.15 < rms < 0.2  # sine RMS = amp/sqrt(2) ~ 0.177
     with pytest.raises(NotImplementedError, match="seam"):
         decode_audio_bytes(b"ID3\x03rest-of-an-mp3")
+
+
+# ---------------------------------------------------------------------------
+# round-5 image-codec seam closures (16-bit PNG/PNM, palette PNG)
+# ---------------------------------------------------------------------------
+
+def _png_chunks(w, h, bit_depth, color_type, idat, plte=None) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, bit_depth,
+                                      color_type, 0, 0, 0))
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(idat))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def test_png_16bit_gray_decodes():
+    import zlib  # noqa: F401
+
+    from crossai_ts_ray.functions.imagecodec import decode_png_bytes
+
+    w, h = 5, 3
+    vals = (np.arange(w * h, dtype=np.uint16) * 4000).reshape(h, w)
+    rows = b""
+    for y in range(h):
+        rows += b"\x00" + vals[y].astype(">u2").tobytes()
+    g = decode_png_bytes(_png_chunks(w, h, 16, 0, rows))
+    np.testing.assert_allclose(g, vals / 65535.0)
+
+
+def test_png_16bit_rgb_with_filters():
+    """16-bit RGB through Sub/Up filters: byte-wise filtering with a
+    6-byte left distance must reproduce the plain values."""
+    from crossai_ts_ray.functions.imagecodec import decode_png_bytes
+
+    rng = np.random.default_rng(2)
+    w, h = 4, 4
+    vals = rng.integers(0, 65536, (h, w, 3)).astype(np.uint16)
+    plain = b""
+    for y in range(h):
+        plain += b"\x00" + vals[y].astype(">u2").tobytes()
+    base = decode_png_bytes(_png_chunks(w, h, 16, 2, plain))
+
+    # re-encode with Up filter rows (row y stores y - y-1 bytes)
+    raw = np.frombuffer(plain, np.uint8).reshape(h, -1)[:, 1:]
+    up = b""
+    prev = np.zeros(raw.shape[1], np.int64)
+    for y in range(h):
+        up += b"\x02" + ((raw[y].astype(np.int64) - prev) & 0xFF).astype(
+            np.uint8).tobytes()
+        prev = raw[y].astype(np.int64)
+    again = decode_png_bytes(_png_chunks(w, h, 16, 2, up))
+    np.testing.assert_allclose(again, base)
+
+
+def test_png_palette_decodes():
+    from crossai_ts_ray.functions.imagecodec import decode_png_bytes
+
+    plte = bytes([255, 0, 0,   0, 255, 0,   0, 0, 255,   30, 60, 90])
+    w, h = 4, 2
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], np.uint8)
+    rows = b""
+    for y in range(h):
+        rows += b"\x00" + idx[y].tobytes()
+    g = decode_png_bytes(_png_chunks(w, h, 8, 3, rows, plte=plte))
+    pal = np.frombuffer(plte, np.uint8).reshape(4, 3).astype(np.float64)
+    want = pal[idx].mean(axis=2) / 255.0
+    np.testing.assert_allclose(g, want)
+
+
+def test_pnm_16bit_decodes():
+    from crossai_ts_ray.functions.imagecodec import decode_pnm_bytes
+
+    w, h = 3, 2
+    vals = np.array([[0, 1000, 65535], [7, 40000, 12345]], np.uint16)
+    payload = b"P5\n3 2\n65535\n" + vals.astype(">u2").tobytes()
+    g = decode_pnm_bytes(payload)
+    np.testing.assert_allclose(g, vals / 65535.0)
