@@ -69,16 +69,42 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int,
     return out.astype(np.uint8).reshape(h, w, ch)
 
 
+_ADAM7 = (  # (x_start, y_start, x_step, y_step) per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace(raw: np.ndarray, w: int, h: int, ch: int,
+                     bps: int) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images scattered onto the
+    (h, w) grid (PNG spec 8.2)."""
+    out = np.zeros((h, w, ch * bps), np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (1 + pw * ch * bps)
+        sub = _png_unfilter(raw[pos:pos + nbytes], ph, pw, ch, bps=bps)
+        out[y0::ys, x0::xs] = sub
+        pos += nbytes
+    return out
+
+
 def decode_png_bytes(data: bytes) -> np.ndarray:
-    """Non-interlaced PNG -> (h, w) float64 grayscale in [0, 1] (channel
+    """PNG -> (h, w) float64 grayscale in [0, 1] (channel
     mean over color, alpha dropped).  Covers 8- and 16-bit gray /
-    gray+alpha / RGB / RGBA plus 8-bit PALETTE images (PLTE lookup);
-    sub-byte depths and interlacing stay behind the declared seam."""
+    gray+alpha / RGB / RGBA plus 8-bit PALETTE images (PLTE lookup),
+    both progressive (Adam7 interlaced) and non-interlaced; sub-byte
+    depths stay behind the declared seam."""
     if not data.startswith(_PNG_MAGIC):
         raise ValueError("not a PNG payload")
     pos = 8
     w = h = None
     bit_depth = color_type = None
+    interlace = 0
     idat = b""
     plte = None
     while pos + 8 <= len(data):
@@ -93,8 +119,7 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"PNG bit depth {bit_depth} (8/16 only)"
                 )
-            if interlace:
-                raise NotImplementedError("interlaced PNG")
+            pass  # interlace handled below (Adam7)
         elif cid == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif cid == b"IDAT":
@@ -112,14 +137,16 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
                 f"palette PNG bit depth {bit_depth} (8 only)"
             )
         raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-        idx = _png_unfilter(raw, h, w, 1)[:, :, 0]
+        idx = (_png_deinterlace(raw, w, h, 1, 1)[:, :, 0] if interlace
+               else _png_unfilter(raw, h, w, 1)[:, :, 0])
         return plte[idx].astype(np.float64).mean(axis=2) / 255.0
     ch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
     if ch is None:
         raise NotImplementedError(f"PNG color type {color_type}")
     bps = bit_depth // 8
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    px = _png_unfilter(raw, h, w, ch, bps=bps).astype(np.float64)
+    px = (_png_deinterlace(raw, w, h, ch, bps) if interlace
+          else _png_unfilter(raw, h, w, ch, bps=bps)).astype(np.float64)
     if bps == 2:  # combine big-endian byte pairs into one sample channel
         px = px.reshape(h, w, ch, 2)
         px = px[:, :, :, 0] * 256.0 + px[:, :, :, 1]
@@ -137,16 +164,52 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
     return g / scale
 
 
+def _bmp_rle8(data: bytes, off: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 decompression (BMP spec): (count, value) runs plus the
+    escape codes 0=EOL, 1=EOB, 2=delta, n>=3 absolute (word-padded)."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i = off
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # run
+            out[y, x:x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: v literal bytes, padded to 16-bit
+            out[y, x:x + v] = np.frombuffer(data, np.uint8, v, i)
+            x += v
+            i += v + (v & 1)
+    return out
+
+
 def decode_bmp_bytes(data: bytes) -> np.ndarray:
-    """Uncompressed 8/24/32-bit BMP -> (h, w) float64 grayscale in [0, 1]."""
+    """8/24/32-bit BMP (uncompressed or BI_RLE8) -> (h, w) float64
+    grayscale in [0, 1]."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (off,) = struct.unpack_from("<I", data, 10)
     w, h = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
+    if compression == 1:  # BI_RLE8
+        if bpp != 8:
+            raise ValueError("BI_RLE8 requires 8 bpp")
+        flip = h > 0
+        g = _bmp_rle8(data, off, w, abs(h)).astype(np.float64)
+        return (g[::-1] if flip else g) / 255.0
     if compression != 0:
-        raise NotImplementedError("compressed BMP")
+        raise NotImplementedError(
+            f"BMP compression {compression} (0/RLE8 only)"
+        )
     flip = h > 0
     h = abs(h)
     nch = bpp // 8

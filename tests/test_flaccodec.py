@@ -357,3 +357,77 @@ def test_pnm_16bit_decodes():
     payload = b"P5\n3 2\n65535\n" + vals.astype(">u2").tobytes()
     g = decode_pnm_bytes(payload)
     np.testing.assert_allclose(g, vals / 65535.0)
+
+
+def test_png_adam7_interlaced_matches_plain():
+    """An Adam7-interlaced encoding of a known image decodes identically
+    to the straight encoding (fixture built pass by pass per spec 8.2)."""
+    from crossai_ts_ray.functions.imagecodec import (
+        _ADAM7,
+        decode_png_bytes,
+    )
+
+    rng = np.random.default_rng(4)
+    w, h = 11, 7  # odd sizes exercise empty/ragged passes
+    img = rng.integers(0, 256, (h, w), np.uint8)
+
+    plain = b""
+    for y in range(h):
+        plain += b"\x00" + img[y].tobytes()
+    base = decode_png_bytes(_png_chunks(w, h, 8, 0, plain))
+
+    inter = b""
+    for x0, y0, xs, ys in _ADAM7:
+        sub = img[y0::ys, x0::xs]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            inter += b"\x00" + row.tobytes()
+    # rebuild with interlace flag = 1 in IHDR
+    import struct
+    import zlib
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    data = (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(inter))
+            + chunk(b"IEND", b""))
+    got = decode_png_bytes(data)
+    np.testing.assert_allclose(got, base)
+    np.testing.assert_allclose(got, img / 255.0)
+
+
+def test_bmp_rle8_decodes():
+    """BI_RLE8 with runs, absolute mode (odd length -> pad byte), a delta
+    jump, EOL and EOB, checked against the hand-drawn bitmap."""
+    import struct
+
+    from crossai_ts_ray.functions.imagecodec import decode_bmp_bytes
+
+    w, h = 8, 3
+    # encoded stream (per row, bottom-up in BMP order):
+    rle = bytes([
+        4, 10,            # run: 4 x 10
+        0x00, 3, 7, 8, 9, 0x00,  # absolute: 3 literals (pad byte)
+        1, 99,            # run: 1 x 99
+        0x00, 0x00,       # EOL -> encoded row 1
+        0x00, 2, 2, 0,    # delta: skip x += 2 within the row
+        3, 5,             # run: 3 x 5 at x 2..4
+        0x00, 0x00,       # EOL -> encoded row 2
+        8, 1,             # full row of 1s
+        0x00, 0x01,       # EOB
+    ])
+    off = 54
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(rle),
+                         0, 0, 0, 0))
+    g = (decode_bmp_bytes(hdr + rle) * 255.0).round().astype(int)
+    want = np.zeros((h, w), int)
+    # BMP rows are bottom-up: encoded row 0 is display row h-1
+    want[2] = [10, 10, 10, 10, 7, 8, 9, 99]
+    want[1, 2:5] = 5
+    want[0] = 1
+    np.testing.assert_array_equal(g, want)
