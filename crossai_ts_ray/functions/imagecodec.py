@@ -115,10 +115,8 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
             w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if bit_depth not in (8, 16):
-                raise NotImplementedError(
-                    f"PNG bit depth {bit_depth} (8/16 only)"
-                )
+            if bit_depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"PNG bit depth {bit_depth} out of spec")
             pass  # interlace handled below (Adam7)
         elif cid == b"PLTE":
             plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
@@ -129,13 +127,29 @@ def decode_png_bytes(data: bytes) -> np.ndarray:
         pos += 12 + size  # len + type + crc
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    if color_type == 3:  # palette: indices -> PLTE RGB rows
+    if bit_depth < 8:  # sub-byte gray / palette: unpack after unfilter
+        if color_type not in (0, 3):
+            raise ValueError(
+                f"PNG color type {color_type} cannot be {bit_depth}-bit"
+            )
+        if interlace:
+            raise NotImplementedError("interlaced sub-byte PNG")
+        rowbytes = (w * bit_depth + 7) // 8
+        raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+        # filters on sub-byte rows are byte-wise with a 1-byte left step
+        packed = _png_unfilter(raw, h, rowbytes, 1)[:, :, 0]
+        bits = np.unpackbits(packed, axis=1)  # MSB-first per spec
+        samples = bits[:, : w * bit_depth].reshape(h, w, bit_depth)
+        weights = 1 << np.arange(bit_depth - 1, -1, -1)
+        vals = (samples * weights).sum(axis=2)
+        if color_type == 0:
+            return vals.astype(np.float64) / float((1 << bit_depth) - 1)
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        if bit_depth != 8:
-            raise NotImplementedError(
-                f"palette PNG bit depth {bit_depth} (8 only)"
-            )
+        return plte[vals].astype(np.float64).mean(axis=2) / 255.0
+    if color_type == 3:  # 8-bit palette: indices -> PLTE RGB rows
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
         raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
         idx = (_png_deinterlace(raw, w, h, 1, 1)[:, :, 0] if interlace
                else _png_unfilter(raw, h, w, 1)[:, :, 0])

@@ -431,3 +431,47 @@ def test_bmp_rle8_decodes():
     want[1, 2:5] = 5
     want[0] = 1
     np.testing.assert_array_equal(g, want)
+
+
+def test_png_sub_byte_gray_and_palette():
+    """1/2/4-bit gray and 4-bit palette PNGs (MSB-first packing)."""
+    import struct
+    import zlib
+
+    from crossai_ts_ray.functions.imagecodec import decode_png_bytes
+
+    def chunk(cid, body):
+        return (struct.pack(">I", len(body)) + cid + body
+                + struct.pack(">I", zlib.crc32(cid + body)))
+
+    def build(w, h, depth, ctype, idat, plte=None):
+        out = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                            ctype, 0, 0, 0)))
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(idat)) + chunk(b"IEND", b"")
+
+    # 1-bit gray, 10 px wide (ragged last byte)
+    img = np.array([[1, 0, 1, 1, 0, 0, 1, 0, 1, 1],
+                    [0, 1, 0, 0, 1, 1, 0, 1, 0, 0]], np.uint8)
+    rows = b""
+    for y in range(2):
+        packed = np.packbits(img[y])  # MSB-first
+        rows += b"\x00" + packed.tobytes()
+    g = decode_png_bytes(build(10, 2, 1, 0, rows))
+    np.testing.assert_allclose(g, img.astype(float))
+
+    # 4-bit gray: values 0..15 scale by /15
+    img4 = np.array([[0, 15, 7, 8, 3]], np.uint8)
+    packed = bytes([0x0F, 0x78, 0x30])  # 5 nibbles, padded
+    g = decode_png_bytes(build(5, 1, 4, 0, b"\x00" + packed))
+    np.testing.assert_allclose(g, img4 / 15.0)
+
+    # 2-bit palette
+    plte = bytes([0, 0, 0,  255, 255, 255,  90, 90, 90,  30, 60, 90])
+    idx = np.array([[0, 1, 2, 3, 1]], np.uint8)
+    packed = bytes([0b00011011, 0b01000000])
+    g = decode_png_bytes(build(5, 1, 2, 3, b"\x00" + packed, plte=plte))
+    pal = np.frombuffer(plte, np.uint8).reshape(4, 3).astype(float)
+    np.testing.assert_allclose(g, pal[idx].mean(axis=2) / 255.0)
