@@ -560,7 +560,6 @@ def q20_dominant_suppliers(sf_dir: str, prefix: str = "red",
             ([True], (p_s[1:] != p_s[:-1]) | (s_s[1:] != s_s[:-1]))
         )
         starts = np.flatnonzero(first)
-        n = np.diff(np.append(starts, len(p_s)))
         q_ps = np.add.reduceat(q_s, starts)  # per (part, supplier)
         up = p_s[starts]
         pstarts = np.flatnonzero(
@@ -569,7 +568,6 @@ def q20_dominant_suppliers(sf_dir: str, prefix: str = "red",
         pn = np.diff(np.append(pstarts, len(up)))
         tot = np.repeat(np.add.reduceat(q_ps, pstarts), pn)  # per part
         win = 2 * q_ps > tot
-        del n
         sks = np.unique(s_s[starts][win])
         return pa.table({"skey": pa.array(sks, pa.int64())},
                         schema=win_schema)
