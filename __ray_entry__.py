@@ -254,6 +254,21 @@ def _text(fn_name: str) -> Callable[[str], Any]:
     return run
 
 
+def _tngram(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import token_ngrams
+
+        return getattr(token_ngrams, fn_name)(sf_dir)
+
+    return run
+
+
+def _tngram_sql(fn_name: str) -> str:
+    from crossai_ts_ray.pipelines import token_ngrams
+
+    return getattr(token_ngrams, fn_name)()
+
+
 def _ann(fn_name: str) -> Callable[[str], Any]:
     def run(sf_dir: str):
         from crossai_ts_ray.pipelines import ann_pipeline
@@ -598,6 +613,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_paragraphs": _text("clean_corpus_paragraphs"),
         "token_vocab_topk": _text("token_vocab_topk"),
         "token_bigram_topk": _text("token_bigram_topk"),
+        # token-n-gram (substring-granularity) dedup layer + per-bucket
+        # vocabulary dynamics over the derived token table
+        "dup_token_ngrams": _tngram("dup_token_ngrams"),
+        "doc_dup_ngram_rate": _tngram("doc_dup_ngram_rate"),
+        "rollup_distinct_tokens": _tngram("rollup_distinct_tokens"),
+        "token_novelty_by_bucket": _tngram("token_novelty_by_bucket"),
         # persisted inverted index: conjunctive term search reads ONLY
         # each term's hash partition (the text-search sibling of the
         # partitioned LSH/IVF ANN indexes)
@@ -865,6 +886,10 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_paragraphs": text_sql("CLEAN_CORPUS_PARAGRAPHS_SQL"),
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),
         "token_bigram_topk": text_sql("TOKEN_BIGRAM_TOPK_SQL"),
+        "dup_token_ngrams": _tngram_sql("dup_token_ngrams_sql"),
+        "doc_dup_ngram_rate": _tngram_sql("doc_dup_ngram_rate_sql"),
+        "rollup_distinct_tokens": _tngram_sql("rollup_distinct_tokens_sql"),
+        "token_novelty_by_bucket": _tngram_sql("token_novelty_by_bucket_sql"),
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),

@@ -1,0 +1,601 @@
+"""Token-n-gram dedup + vocabulary-dynamics pipelines over the derived
+token-sequence table -- the substring-granularity layer of training-data
+dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+Better": duplicated fixed-length token windows, not whole documents) plus
+per-retention-bucket distinct/novel-token rollups for corpus drift audits.
+
+Scale shape: n-gram keys are packed int64s computed by a j-loop of
+vectorized adds over the flat token buffer (no per-row Python); duplicated
+keys ride ONE hash(key) exchange of batch-combined partials; the per-doc
+duplication rate re-reads tokens and tests membership against either a
+size-guarded broadcast sorted key array (ONE ray.put, zero exchanges) or a
+partitioned union-mark exchange (the 100-TB path) -- bitwise-identical
+outputs, parity-tested.  Reference parity: crossai-ts has no substring
+dedup; this extends its windowing (caits/windowing.py sliding_window_df)
+to the dedup use the survey's LLM-pipeline section requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..sources.readers import tokens_from_documents
+from ..stages.joins import hash_prt
+from ..util import dataset_to_table
+
+_TOK_BITS = 7  # 7 bits/token: whitespace-token utf8 lengths; guard below
+_TOK_BASE = 1 << _TOK_BITS
+
+# past this many duplicated keys the sorted broadcast array stops being a
+# "small side" (8 B/key; 16M keys = 128 MB -- about the sensible per-worker
+# broadcast ceiling) and the partitioned union-mark path takes over
+_DUP_BCAST_MAX_KEYS = 16_000_000
+
+
+def _flat_tokens(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(flat int64 values, row offsets) of the batch's token lists."""
+    col = t["tokens"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return vals, offs
+
+
+def _ngram_keys(vals: np.ndarray, offs: np.ndarray, n: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Packed n-gram keys for every length-n window of every row.
+
+    Returns (keys, win_row): one entry per window, ``win_row`` the batch row
+    the window came from.  key = sum_j tok[i+j] * 128^j -- exact (not a
+    hash): token values are 7-bit-guarded so n<=9 windows pack injectively
+    into a signed int64, and DuckDB mirrors the same arithmetic bit-for-bit.
+    """
+    if len(vals) and int(vals.max()) >= _TOK_BASE:
+        raise ValueError(
+            f"token value {int(vals.max())} overflows the {_TOK_BITS}-bit "
+            "n-gram pack; widen _TOK_BITS or shorten n"
+        )
+    if n > 63 // _TOK_BITS:
+        raise ValueError(f"n={n} overflows int64 at {_TOK_BITS} bits/token")
+    lens = np.diff(offs)
+    counts = np.maximum(lens - n + 1, 0)
+    total = int(counts.sum())
+    if total == 0 or len(vals) < n:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    # window start positions in the flat buffer, ragged-arange per row
+    starts = np.repeat(offs[:-1], counts)
+    pos = starts + (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(counts) - counts, counts))
+    keys = np.zeros(total, dtype=np.int64)
+    m = len(vals) - n + 1
+    for j in range(n):  # n is tiny (8); each add is whole-batch vectorized
+        keys += vals[j:j + m][pos] * (_TOK_BASE ** j)
+    win_row = np.repeat(np.arange(len(lens), dtype=np.int64), counts)
+    return keys, win_row
+
+
+def dup_token_ngrams(sf_dir: str, n: int = 8, buckets: int = 32) -> rd.Dataset:
+    """Every token n-gram that occurs >=2 times in the corpus, with its
+    occurrence count and distinct-document count -- the candidate table a
+    substring-level dedup pass consumes.
+
+    Scale shape: each batch collapses its windows to (key, occ, docs)
+    partials before the ONE hash(key) exchange; per-doc distinct counts are
+    additive across batches because the token table has exactly one row per
+    document, so a document never spans batches.  Output is bounded by the
+    number of DUPLICATED n-grams, not by corpus size.
+    """
+    toks = tokens_from_documents(sf_dir)
+
+    part_schema = pa.schema([
+        ("ngram_key", pa.int64()), ("occ", pa.int64()),
+        ("docs", pa.int64()), ("prt", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        vals, offs = _flat_tokens(t)
+        keys, win_row = _ngram_keys(vals, offs, n)
+        if not len(keys):
+            return pa.Table.from_pylist([], schema=part_schema)
+        order = np.lexsort((win_row, keys))
+        k_s, r_s = keys[order], win_row[order]
+        new_key = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.flatnonzero(new_key)
+        occ = np.diff(np.append(starts, len(k_s)))
+        # distinct docs per key: count (key, row) boundary changes per run
+        new_pair = new_key | np.concatenate(([True], r_s[1:] != r_s[:-1]))
+        docs = np.add.reduceat(new_pair.astype(np.int64), starts)
+        uniq = k_s[starts]
+        return pa.table({
+            "ngram_key": pa.array(uniq, pa.int64()),
+            "occ": pa.array(occ, pa.int64()),
+            "docs": pa.array(docs, pa.int64()),
+            "prt": pa.array(hash_prt(uniq, buckets), pa.int64()),
+        }, schema=part_schema)
+
+    out_schema = pa.schema([
+        ("ngram_key", pa.int64()), ("n_occ", pa.int64()),
+        ("n_docs", pa.int64()),
+    ])
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        k = g["ngram_key"].to_numpy(zero_copy_only=False)
+        occ = g["occ"].to_numpy(zero_copy_only=False)
+        docs = g["docs"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k_s = k[order]
+        starts = np.flatnonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))
+        occ_sum = np.add.reduceat(occ[order], starts)
+        docs_sum = np.add.reduceat(docs[order], starts)
+        dup = occ_sum >= 2
+        return pa.table({
+            "ngram_key": pa.array(k_s[starts][dup], pa.int64()),
+            "n_occ": pa.array(occ_sum[dup], pa.int64()),
+            "n_docs": pa.array(docs_sum[dup], pa.int64()),
+        }, schema=out_schema)
+
+    merged = (
+        toks.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("prt")
+        .map_groups(lambda g: merge(g.drop_columns(["prt"])),
+                    batch_format="pyarrow")
+    )
+    return merged.sort("ngram_key")
+
+
+def _dup_sql_key(n: int) -> str:
+    return " + ".join(f"wl[i+{j}]*{_TOK_BASE ** j}" for j in range(n))
+
+
+def dup_token_ngrams_sql(n: int = 8) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)::BIGINT) AS wl,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, wl, unnest(generate_series(1, n - {n - 1})) AS i
+  FROM tok WHERE n >= {n}
+),
+keys AS (SELECT doc_id, {_dup_sql_key(n)} AS ngram_key FROM pos)
+SELECT ngram_key, count(*)::BIGINT AS n_occ,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM keys GROUP BY ngram_key HAVING count(*) >= 2
+ORDER BY ngram_key
+"""
+
+
+def doc_dup_ngram_rate(sf_dir: str, n: int = 8, buckets: int = 32,
+                       broadcast: bool | None = None) -> rd.Dataset:
+    """Per document (with >= n tokens): total n-gram windows, how many are
+    duplicated anywhere in the corpus (global occurrence >= 2, including
+    within the same doc), and the duplication rate -- the per-doc signal a
+    substring-dedup cleaning policy thresholds on.
+
+    Two bitwise-identical paths (parity-tested):
+
+    * broadcast (auto when the duplicated-key count -- known EXACTLY from
+      pass 1, not estimated -- is under 16M): sorted key array via ONE
+      ray.put; pass 2 is a single zero-exchange map_batches with one
+      searchsorted membership test per batch.
+    * partitioned (the 100-TB path): windows and dup keys union into one
+      hash(key) exchange; each partition marks membership locally and emits
+      per-doc partial counts, which a doc-keyed groupby sums.
+    """
+    # materialized once into the (spillable) object store: pass 1 runs a
+    # single time whichever path pass 2 takes; only the BROADCAST branch
+    # ever pulls the keys to the driver, and only after the exact count
+    # says they fit
+    dup = dup_token_ngrams(sf_dir, n=n, buckets=buckets).materialize()
+    if broadcast is None:
+        broadcast = dup.count() <= _DUP_BCAST_MAX_KEYS
+
+    toks = tokens_from_documents(sf_dir)
+    out_schema = pa.schema([
+        ("doc_id", pa.string()), ("n_windows", pa.int64()),
+        ("n_dup", pa.int64()), ("dup_rate", pa.float64()),
+    ])
+
+    def _finalize(did: pa.Array, win: np.ndarray, dupc: np.ndarray) -> pa.Table:
+        rate = np.round(dupc / win, 6)
+        return pa.table({
+            "doc_id": did, "n_windows": pa.array(win, pa.int64()),
+            "n_dup": pa.array(dupc, pa.int64()),
+            "dup_rate": pa.array(rate, pa.float64()),
+        }, schema=out_schema)
+
+    if broadcast:
+        import ray as _ray
+
+        dup_keys_tbl = dataset_to_table(
+            dup.select_columns(["ngram_key"]),
+            schema=pa.schema([("ngram_key", pa.int64())]),
+        )
+        keys_ref = _ray.put(np.sort(
+            dup_keys_tbl["ngram_key"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        ))
+
+        def mark(t: pa.Table) -> pa.Table:
+            keep = _ray.get(keys_ref)
+            t = t.combine_chunks()
+            vals, offs = _flat_tokens(t)
+            keys, win_row = _ngram_keys(vals, offs, n)
+            counts = np.maximum(np.diff(offs) - n + 1, 0)
+            rows = np.flatnonzero(counts)
+            if not len(rows):
+                return pa.Table.from_pylist([], schema=out_schema)
+            if len(keep):
+                pos = np.searchsorted(keep, keys)
+                hit = (pos < len(keep)) & (
+                    keep[np.minimum(pos, len(keep) - 1)] == keys)
+            else:
+                hit = np.zeros(len(keys), dtype=bool)
+            dupc = np.bincount(win_row, weights=hit.astype(np.float64),
+                               minlength=len(counts)).astype(np.int64)
+            did = t["doc_id"]
+            if isinstance(did, pa.ChunkedArray):
+                did = did.combine_chunks()
+            return _finalize(did.take(pa.array(rows)), counts[rows],
+                             dupc[rows])
+
+        return toks.map_batches(
+            mark, batch_format="pyarrow", batch_size=65536
+        ).sort("doc_id")
+
+    # ---- partitioned union-mark path ----
+    mark_schema = pa.schema([
+        ("ngram_key", pa.int64()), ("did", pa.int64()),
+        ("is_key", pa.int32()), ("prt", pa.int64()),
+    ])
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        vals, offs = _flat_tokens(t)
+        keys, win_row = _ngram_keys(vals, offs, n)
+        if not len(keys):
+            return pa.Table.from_pylist([], schema=mark_schema)
+        did_np = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "ngram_key": pa.array(keys, pa.int64()),
+            "did": pa.array(did_np[win_row], pa.int64()),
+            "is_key": pa.array(np.zeros(len(keys), np.int32), pa.int32()),
+            "prt": pa.array(hash_prt(keys, buckets), pa.int64()),
+        }, schema=mark_schema)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t["ngram_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ngram_key": pa.array(k, pa.int64()),
+            "did": pa.array(np.full(len(k), -1, np.int64), pa.int64()),
+            "is_key": pa.array(np.ones(len(k), np.int32), pa.int32()),
+            "prt": pa.array(hash_prt(k, buckets), pa.int64()),
+        }, schema=mark_schema)
+
+    part_schema = pa.schema([
+        ("did", pa.int64()), ("win", pa.int64()), ("dup", pa.int64()),
+    ])
+
+    def mark_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        is_key = g["is_key"].to_numpy(zero_copy_only=False).astype(bool)
+        keys = g["ngram_key"].to_numpy(zero_copy_only=False)
+        did = g["did"].to_numpy(zero_copy_only=False)
+        wmask = ~is_key
+        if not wmask.any():
+            return pa.Table.from_pylist([], schema=part_schema)
+        keep = np.sort(keys[is_key])
+        wk, wd = keys[wmask], did[wmask]
+        if len(keep):
+            pos = np.searchsorted(keep, wk)
+            hit = (pos < len(keep)) & (keep[np.minimum(pos, len(keep) - 1)] == wk)
+        else:
+            hit = np.zeros(len(wk), dtype=bool)
+        order = np.argsort(wd, kind="stable")
+        d_s = wd[order]
+        starts = np.flatnonzero(np.concatenate(([True], d_s[1:] != d_s[:-1])))
+        win = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+        dupc = np.add.reduceat(hit[order].astype(np.int64), starts)
+        return pa.table({
+            "did": pa.array(d_s[starts], pa.int64()),
+            "win": pa.array(win, pa.int64()),
+            "dup": pa.array(dupc, pa.int64()),
+        }, schema=part_schema)
+
+    wins = toks.map_batches(win_rows, batch_format="pyarrow",
+                            batch_size=65536)
+    keys_ds = dup.select_columns(["ngram_key"]).map_batches(
+        key_rows, batch_format="pyarrow")
+    parts = (
+        wins.union(keys_ds)
+        .groupby("prt")
+        .map_groups(lambda g: mark_partition(g.drop_columns(["prt"])),
+                    batch_format="pyarrow")
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        did = int(g["did"][0].as_py())
+        win = int(g["win"].to_numpy(zero_copy_only=False).sum())
+        dupc = int(g["dup"].to_numpy(zero_copy_only=False).sum())
+        return _finalize(pa.array([str(did)], pa.string()),
+                         np.array([win], np.int64),
+                         np.array([dupc], np.int64))
+
+    return parts.groupby("did").map_groups(
+        final, batch_format="pyarrow").sort("doc_id")
+
+
+def doc_dup_ngram_rate_sql(n: int = 8) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)::BIGINT) AS wl,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, wl, unnest(generate_series(1, n - {n - 1})) AS i
+  FROM tok WHERE n >= {n}
+),
+keys AS (SELECT doc_id, {_dup_sql_key(n)} AS ngram_key FROM pos),
+dup AS (SELECT ngram_key FROM keys GROUP BY ngram_key HAVING count(*) >= 2)
+SELECT CAST(k.doc_id AS VARCHAR) AS doc_id,
+       count(*)::BIGINT AS n_windows,
+       count(d.ngram_key)::BIGINT AS n_dup,
+       round(count(d.ngram_key)::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate
+FROM keys k LEFT JOIN dup d USING (ngram_key)
+GROUP BY k.doc_id ORDER BY CAST(k.doc_id AS VARCHAR)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary dynamics per retention bucket (source, seq // width)
+# ---------------------------------------------------------------------------
+
+
+def rollup_distinct_tokens(sf_dir: str, width: int = 4,
+                           buckets: int = 32) -> rd.Dataset:
+    """Exact distinct-token count per (source, seq-bucket) rollup cell --
+    the vocabulary-size tier that rides next to the count/sum/percentile
+    rollups (stages/rollup.py) in a corpus-drift dashboard.
+
+    Scale shape: batches collapse to distinct (source, bucket, token)
+    triples before the ONE hash(bucket, token) exchange; a triple lands in
+    exactly one partition, so per-partition distinct counts are additive.
+    The exchange is bounded by cells x vocabulary, never by corpus size.
+    """
+    toks = tokens_from_documents(sf_dir)
+
+    triple_schema = pa.schema([
+        ("source", pa.string()), ("bucket", pa.int64()),
+        ("tokval", pa.int64()), ("prt", pa.int64()),
+    ])
+
+    def triples(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        vals, offs = _flat_tokens(t)
+        if not len(vals):
+            return pa.Table.from_pylist([], schema=triple_schema)
+        lens = np.diff(offs)
+        seq = t["seq"].to_numpy(zero_copy_only=False)
+        bkt = np.repeat(seq // width, lens)
+        src = t["source"].combine_chunks() if isinstance(
+            t["source"], pa.ChunkedArray) else t["source"]
+        d = src.dictionary_encode()
+        codes = np.repeat(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64), lens)
+        order = np.lexsort((vals, bkt, codes))
+        c_s, b_s, v_s = codes[order], bkt[order], vals[order]
+        keep = np.concatenate(([True], (c_s[1:] != c_s[:-1])
+                               | (b_s[1:] != b_s[:-1])
+                               | (v_s[1:] != v_s[:-1])))
+        c_k, b_k, v_k = c_s[keep], b_s[keep], v_s[keep]
+        prt = hash_prt(b_k * _TOK_BASE + v_k, buckets)
+        return pa.table({
+            "source": d.dictionary.take(pa.array(c_k)).cast(pa.string()),
+            "bucket": pa.array(b_k, pa.int64()),
+            "tokval": pa.array(v_k, pa.int64()),
+            "prt": pa.array(prt, pa.int64()),
+        }, schema=triple_schema)
+
+    part_schema = pa.schema([
+        ("source", pa.string()), ("bucket", pa.int64()),
+        ("part_cnt", pa.int64()),
+    ])
+
+    def count_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        src = g["source"].combine_chunks() if isinstance(
+            g["source"], pa.ChunkedArray) else g["source"]
+        d = src.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = g["bucket"].to_numpy(zero_copy_only=False)
+        vals = g["tokval"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, bkt, codes))
+        c_s, b_s, v_s = codes[order], bkt[order], vals[order]
+        new_cell = np.concatenate(([True], (c_s[1:] != c_s[:-1])
+                                   | (b_s[1:] != b_s[:-1])))
+        new_trip = new_cell | np.concatenate(([True], v_s[1:] != v_s[:-1]))
+        starts = np.flatnonzero(new_cell)
+        cnt = np.add.reduceat(new_trip.astype(np.int64), starts)
+        sel = starts
+        return pa.table({
+            "source": d.dictionary.take(pa.array(c_s[sel])).cast(pa.string()),
+            "bucket": pa.array(b_s[sel], pa.int64()),
+            "part_cnt": pa.array(cnt, pa.int64()),
+        }, schema=part_schema)
+
+    parts = (
+        toks.map_batches(triples, batch_format="pyarrow", batch_size=65536)
+        .groupby("prt")
+        .map_groups(lambda g: count_partition(g.drop_columns(["prt"])),
+                    batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema([
+        ("source", pa.string()), ("bucket", pa.int64()),
+        ("n_distinct_tok", pa.int64()),
+    ])
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        return pa.table({
+            "source": g["source"][:1].cast(pa.string()),
+            "bucket": g["bucket"][:1],
+            "n_distinct_tok": pa.array(
+                [int(g["part_cnt"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64()),
+        }, schema=out_schema)
+
+    return parts.groupby(["source", "bucket"]).map_groups(
+        final, batch_format="pyarrow").sort(["source", "bucket"])
+
+
+def rollup_distinct_tokens_sql(width: int = 4) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           // {width} AS bucket,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+flat AS (SELECT source, bucket, length(unnest(words))::BIGINT AS tokval
+         FROM tok)
+SELECT source, bucket, count(DISTINCT tokval)::BIGINT AS n_distinct_tok
+FROM flat GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
+def token_novelty_by_bucket(sf_dir: str, width: int = 4,
+                            buckets: int = 32) -> rd.Dataset:
+    """How many tokens make their FIRST per-source appearance in each
+    seq-bucket -- the vocabulary-growth / novelty curve a streaming corpus
+    audit watches for drift and contamination.
+
+    Scale shape: batches collapse to (source, token, min_seq) partials; the
+    ONE hash(token) exchange merges minima (a (source, token) pair lands in
+    exactly one partition, so the partition min is the global min); the
+    per-partition (source, first-bucket) counts are additive.
+    """
+    toks = tokens_from_documents(sf_dir)
+
+    min_schema = pa.schema([
+        ("source", pa.string()), ("tokval", pa.int64()),
+        ("min_seq", pa.int64()), ("prt", pa.int64()),
+    ])
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        vals, offs = _flat_tokens(t)
+        if not len(vals):
+            return pa.Table.from_pylist([], schema=min_schema)
+        lens = np.diff(offs)
+        seq = np.repeat(t["seq"].to_numpy(zero_copy_only=False), lens)
+        src = t["source"].combine_chunks() if isinstance(
+            t["source"], pa.ChunkedArray) else t["source"]
+        d = src.dictionary_encode()
+        codes = np.repeat(
+            d.indices.to_numpy(zero_copy_only=False).astype(np.int64), lens)
+        order = np.lexsort((seq, vals, codes))
+        c_s, v_s, s_s = codes[order], vals[order], seq[order]
+        keep = np.concatenate(([True], (c_s[1:] != c_s[:-1])
+                               | (v_s[1:] != v_s[:-1])))
+        # first row of each (source, token) run carries the min seq
+        c_k, v_k, s_k = c_s[keep], v_s[keep], s_s[keep]
+        return pa.table({
+            "source": d.dictionary.take(pa.array(c_k)).cast(pa.string()),
+            "tokval": pa.array(v_k, pa.int64()),
+            "min_seq": pa.array(s_k, pa.int64()),
+            "prt": pa.array(hash_prt(v_k, buckets), pa.int64()),
+        }, schema=min_schema)
+
+    part_schema = pa.schema([
+        ("source", pa.string()), ("bucket", pa.int64()),
+        ("part_new", pa.int64()),
+    ])
+
+    def merge_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        src = g["source"].combine_chunks() if isinstance(
+            g["source"], pa.ChunkedArray) else g["source"]
+        d = src.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = g["tokval"].to_numpy(zero_copy_only=False)
+        seq = g["min_seq"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, vals, codes))
+        c_s, v_s, s_s = codes[order], vals[order], seq[order]
+        keep = np.concatenate(([True], (c_s[1:] != c_s[:-1])
+                               | (v_s[1:] != v_s[:-1])))
+        c_k, s_k = c_s[keep], s_s[keep]
+        bkt = s_k // width
+        order2 = np.lexsort((bkt, c_k))
+        c2, b2 = c_k[order2], bkt[order2]
+        new_cell = np.concatenate(([True], (c2[1:] != c2[:-1])
+                                   | (b2[1:] != b2[:-1])))
+        starts = np.flatnonzero(new_cell)
+        cnt = np.diff(np.append(starts, len(c2))).astype(np.int64)
+        return pa.table({
+            "source": d.dictionary.take(pa.array(c2[starts])).cast(pa.string()),
+            "bucket": pa.array(b2[starts], pa.int64()),
+            "part_new": pa.array(cnt, pa.int64()),
+        }, schema=part_schema)
+
+    parts = (
+        toks.map_batches(partial_min, batch_format="pyarrow",
+                         batch_size=65536)
+        .groupby("prt")
+        .map_groups(lambda g: merge_partition(g.drop_columns(["prt"])),
+                    batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema([
+        ("source", pa.string()), ("bucket", pa.int64()),
+        ("n_new_tokens", pa.int64()),
+    ])
+
+    def final(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        return pa.table({
+            "source": g["source"][:1].cast(pa.string()),
+            "bucket": g["bucket"][:1],
+            "n_new_tokens": pa.array(
+                [int(g["part_new"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64()),
+        }, schema=out_schema)
+
+    return parts.groupby(["source", "bucket"]).map_groups(
+        final, batch_format="pyarrow").sort(["source", "bucket"])
+
+
+def token_novelty_by_bucket_sql(width: int = 4) -> str:
+    return f"""
+WITH tok AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS seq,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+flat AS (SELECT source, seq, length(unnest(words))::BIGINT AS tokval
+         FROM tok),
+fs AS (SELECT source, tokval, min(seq) AS first_seq
+       FROM flat GROUP BY source, tokval)
+SELECT source, first_seq // {width} AS bucket,
+       count(*)::BIGINT AS n_new_tokens
+FROM fs GROUP BY source, bucket ORDER BY source, bucket
+"""

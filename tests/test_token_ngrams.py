@@ -1,0 +1,160 @@
+"""Token-n-gram dedup layer: packing exactness, fixture semantics,
+broadcast==partitioned parity, pack guards, and DuckDB value parity of all
+four queries at sf0.001."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(ds):
+    from tools.verify_correctness import canon, to_pandas
+
+    return canon(to_pandas(ds))
+
+
+def _write_docs(path, texts, sources=None):
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "source": pa.array(sources or ["s0"] * n, pa.string()),
+    }), str(path / "documents.parquet"))
+
+
+def test_ngram_keys_pack_exact_and_ragged():
+    """Hand-computed window keys over a ragged batch; short rows yield no
+    windows; the pack is the exact base-128 polynomial."""
+    from crossai_ts_ray.pipelines.token_ngrams import _ngram_keys
+
+    # rows: [1,2,3,4], [9], [5,6,7]
+    vals = np.array([1, 2, 3, 4, 9, 5, 6, 7], dtype=np.int64)
+    offs = np.array([0, 4, 5, 8], dtype=np.int64)
+    keys, win_row = _ngram_keys(vals, offs, n=3)
+    expect = [
+        1 + 2 * 128 + 3 * 128 ** 2,
+        2 + 3 * 128 + 4 * 128 ** 2,
+        5 + 6 * 128 + 7 * 128 ** 2,
+    ]
+    assert keys.tolist() == expect
+    assert win_row.tolist() == [0, 0, 2]
+
+
+def test_ngram_pack_guards():
+    import pytest
+
+    from crossai_ts_ray.pipelines.token_ngrams import _ngram_keys
+
+    with pytest.raises(ValueError, match="overflow"):
+        _ngram_keys(np.array([128], np.int64), np.array([0, 1], np.int64), 1)
+    with pytest.raises(ValueError, match="overflow"):
+        _ngram_keys(np.array([1] * 20, np.int64),
+                    np.array([0, 20], np.int64), 10)
+
+
+def test_dup_ngrams_fixture_semantics(ray_session, tmp_path):
+    """Two docs sharing one 3-token run, plus an in-doc repeat: occurrence
+    and distinct-doc counts match hand counts; unique windows are absent."""
+    from crossai_ts_ray.pipelines.token_ngrams import (
+        doc_dup_ngram_rate,
+        dup_token_ngrams,
+    )
+    from crossai_ts_ray.sources import readers
+
+    readers._DERIVED_CACHE.clear()
+    # token values are word LENGTHS: craft docs by word length patterns
+    # doc0: lens 1,2,3,9    doc1: lens 1,2,3,5   doc2: lens 4,4,4,4,4
+    _write_docs(tmp_path, [
+        "a bb ccc ddddddddd",
+        "x yy zzz eeeee",
+        "pppp qqqq rrrr ssss tttt",
+    ])
+    out = _canon(dup_token_ngrams(str(tmp_path), n=3))
+    key123 = 1 + 2 * 128 + 3 * 128 ** 2
+    key444 = 4 + 4 * 128 + 4 * 128 ** 2
+    rows = {int(r.ngram_key): (int(r.n_occ), int(r.n_docs))
+            for r in out.itertuples()}
+    assert rows[key123] == (2, 2)     # shared across doc0/doc1
+    assert rows[key444] == (3, 1)     # repeated 3x inside doc2
+    assert len(rows) == 2             # nothing else duplicated
+
+    rate = _canon(doc_dup_ngram_rate(str(tmp_path), n=3))
+    by_doc = {r.doc_id: (int(r.n_windows), int(r.n_dup), r.dup_rate)
+              for r in rate.itertuples()}
+    assert by_doc["0"] == (2, 1, 0.5)
+    assert by_doc["1"] == (2, 1, 0.5)
+    assert by_doc["2"] == (3, 3, 1.0)
+    readers._DERIVED_CACHE.clear()
+
+
+def test_dup_rate_broadcast_eq_partitioned(ray_session):
+    import pandas.testing as pdt
+
+    from crossai_ts_ray.pipelines.token_ngrams import doc_dup_ngram_rate
+
+    a = _canon(doc_dup_ngram_rate(SF, broadcast=True))
+    b = _canon(doc_dup_ngram_rate(SF, broadcast=False))
+    pdt.assert_frame_equal(a, b)
+
+
+def test_novelty_and_distinct_fixture(ray_session, tmp_path):
+    """Per-source novelty: a token's first bucket claims it exactly once;
+    distinct counts are per-cell exact."""
+    from crossai_ts_ray.pipelines.token_ngrams import (
+        rollup_distinct_tokens,
+        token_novelty_by_bucket,
+    )
+    from crossai_ts_ray.sources import readers
+
+    readers._DERIVED_CACHE.clear()
+    # source s0: seq0 lens {1,2}, seq1 lens {1}, seq2 lens {3}
+    # source s1: seq0 lens {2}
+    _write_docs(
+        tmp_path,
+        ["a bb", "c", "ddd", "ee"],
+        sources=["s0", "s0", "s0", "s1"],
+    )
+    nov = _canon(token_novelty_by_bucket(str(tmp_path), width=2))
+    got = {(r.source, int(r.bucket)): int(r.n_new_tokens)
+           for r in nov.itertuples()}
+    # s0 bucket0 (seq 0-1): first-seen {1,2}; bucket1 (seq 2): {3}
+    assert got == {("s0", 0): 2, ("s0", 1): 1, ("s1", 0): 1}
+
+    dst = _canon(rollup_distinct_tokens(str(tmp_path), width=2))
+    got2 = {(r.source, int(r.bucket)): int(r.n_distinct_tok)
+            for r in dst.itertuples()}
+    assert got2 == {("s0", 0): 2, ("s0", 1): 1, ("s1", 0): 1}
+    readers._DERIVED_CACHE.clear()
+
+
+def test_token_ngram_queries_duckdb_parity(ray_session):
+    """All four registered queries match their oracles at sf0.001."""
+    import duckdb
+    import pandas.testing as pdt
+
+    from crossai_ts_ray.pipelines import token_ngrams as tn
+    from tools.verify_correctness import canon, to_pandas
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    pairs = [
+        (tn.dup_token_ngrams(SF), tn.dup_token_ngrams_sql()),
+        (tn.doc_dup_ngram_rate(SF), tn.doc_dup_ngram_rate_sql()),
+        (tn.rollup_distinct_tokens(SF), tn.rollup_distinct_tokens_sql()),
+        (tn.token_novelty_by_bucket(SF), tn.token_novelty_by_bucket_sql()),
+    ]
+    for ds, sql in pairs:
+        mine = canon(to_pandas(ds))
+        oracle = canon(con.execute(sql).df())
+        pdt.assert_frame_equal(mine, oracle, check_dtype=False)
