@@ -359,6 +359,80 @@ GROUP BY k.doc_id ORDER BY CAST(k.doc_id AS VARCHAR)
 """
 
 
+def clean_corpus_ngram(sf_dir: str, n: int = 8, max_rate: float = 0.5,
+                       buckets: int = 32,
+                       broadcast: bool | None = None) -> rd.Dataset:
+    """The substring-dedup CLEANING step: keep documents whose n-gram
+    duplication rate is <= ``max_rate``; documents too short to have any
+    window (n_tok < n) are trivially kept with zero counts.
+
+    Scale shape: a per-batch filter over the streaming rate table plus one
+    zero-exchange scan for short docs -- no exchanges beyond what
+    ``doc_dup_ngram_rate`` already pays.
+    """
+    rate = doc_dup_ngram_rate(sf_dir, n=n, buckets=buckets,
+                              broadcast=broadcast)
+    out_schema = pa.schema([
+        ("doc_id", pa.string()), ("n_windows", pa.int64()),
+        ("n_dup", pa.int64()), ("dup_rate", pa.float64()),
+    ])
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        r = t["dup_rate"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(r <= max_rate)).cast(out_schema)
+
+    def shorts(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        ntk = t["n_tok"].to_numpy(zero_copy_only=False)
+        rows = np.flatnonzero(ntk < n)
+        did = t["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        z = np.zeros(len(rows), np.int64)
+        return pa.table({
+            "doc_id": did.take(pa.array(rows)),
+            "n_windows": pa.array(z, pa.int64()),
+            "n_dup": pa.array(z, pa.int64()),
+            "dup_rate": pa.array(np.zeros(len(rows)), pa.float64()),
+        }, schema=out_schema)
+
+    short_ds = tokens_from_documents(sf_dir).map_batches(
+        shorts, batch_format="pyarrow", batch_size=65536)
+    return rate.map_batches(keep, batch_format="pyarrow").union(
+        short_ds).sort("doc_id")
+
+
+def clean_corpus_ngram_sql(n: int = 8, max_rate: float = 0.5) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)::BIGINT) AS wl,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, wl, unnest(generate_series(1, n - {n - 1})) AS i
+  FROM tok WHERE n >= {n}
+),
+keys AS (SELECT doc_id, {_dup_sql_key(n)} AS ngram_key FROM pos),
+dup AS (SELECT ngram_key FROM keys GROUP BY ngram_key HAVING count(*) >= 2),
+rated AS (
+  SELECT CAST(k.doc_id AS VARCHAR) AS doc_id,
+         count(*)::BIGINT AS n_windows,
+         count(d.ngram_key)::BIGINT AS n_dup,
+         round(count(d.ngram_key)::DOUBLE / count(*)::DOUBLE, 6) AS dup_rate
+  FROM keys k LEFT JOIN dup d USING (ngram_key)
+  GROUP BY k.doc_id
+)
+SELECT * FROM rated WHERE dup_rate <= {max_rate}
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0::BIGINT, 0::BIGINT, 0.0
+FROM tok WHERE n < {n}
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Vocabulary dynamics per retention bucket (source, seq // width)
 # ---------------------------------------------------------------------------

@@ -95,6 +95,26 @@ def test_dup_ngrams_fixture_semantics(ray_session, tmp_path):
     readers._DERIVED_CACHE.clear()
 
 
+def test_clean_corpus_ngram_fixture(ray_session, tmp_path):
+    """Threshold cleaning: the fully-duplicated doc drops, the half-dup
+    docs stay at max_rate=0.5, and a too-short doc is trivially kept."""
+    from crossai_ts_ray.pipelines.token_ngrams import clean_corpus_ngram
+    from crossai_ts_ray.sources import readers
+
+    readers._DERIVED_CACHE.clear()
+    _write_docs(tmp_path, [
+        "a bb ccc ddddddddd",            # 2 windows, 1 dup -> rate 0.5
+        "x yy zzz eeeee",                # 2 windows, 1 dup -> rate 0.5
+        "pppp qqqq rrrr ssss tttt",      # rate 1.0 -> dropped
+        "hi bye",                        # n_tok=2 < n -> kept, zeros
+    ])
+    out = _canon(clean_corpus_ngram(str(tmp_path), n=3, max_rate=0.5))
+    got = {r.doc_id: (int(r.n_windows), int(r.n_dup), r.dup_rate)
+           for r in out.itertuples()}
+    assert got == {"0": (2, 1, 0.5), "1": (2, 1, 0.5), "3": (0, 0, 0.0)}
+    readers._DERIVED_CACHE.clear()
+
+
 def test_dup_rate_broadcast_eq_partitioned(ray_session):
     import pandas.testing as pdt
 
