@@ -205,27 +205,101 @@ def _bmp_rle8(data: bytes, off: int, w: int, h: int) -> np.ndarray:
     return out
 
 
+def _bmp_rle4(data: bytes, off: int, w: int, h: int) -> np.ndarray:
+    """BI_RLE4 decompression (BMP spec): runs ALTERNATE the two nibbles of
+    the value byte; absolute mode packs 2 pixels/byte, word-padded."""
+    out = np.zeros((h, w), np.uint8)
+    x = y = 0
+    i = off
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # run: hi, lo, hi, lo, ...
+            run = np.empty(n, np.uint8)
+            run[0::2] = v >> 4
+            run[1::2] = v & 0x0F
+            out[y, x:x + n] = run
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: v pixels, 2 per byte, padded to 16-bit
+            nb = (v + 1) // 2
+            packed = np.frombuffer(data, np.uint8, nb, i)
+            pix = np.empty(nb * 2, np.uint8)
+            pix[0::2] = packed >> 4
+            pix[1::2] = packed & 0x0F
+            out[y, x:x + v] = pix[:v]
+            x += v
+            i += nb + (nb & 1)
+    return out
+
+
+def _mask_channel(px: np.ndarray, mask: int) -> np.ndarray:
+    """Extract one BI_BITFIELDS channel, normalized to [0, 1] by the
+    mask's own depth."""
+    if mask == 0:
+        return np.zeros(px.shape, np.float64)
+    shift = (mask & -mask).bit_length() - 1
+    depth = (mask >> shift)
+    return ((px >> shift) & depth).astype(np.float64) / float(depth)
+
+
 def decode_bmp_bytes(data: bytes) -> np.ndarray:
-    """8/24/32-bit BMP (uncompressed or BI_RLE8) -> (h, w) float64
-    grayscale in [0, 1]."""
+    """4/8/16/24/32-bit BMP (uncompressed, BI_RLE8/RLE4, or 16-bit
+    BI_BITFIELDS/RGB555) -> (h, w) float64 grayscale in [0, 1]."""
     if len(data) < 54 or data[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (off,) = struct.unpack_from("<I", data, 10)
     w, h = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
+    flip = h > 0
     if compression == 1:  # BI_RLE8
         if bpp != 8:
             raise ValueError("BI_RLE8 requires 8 bpp")
-        flip = h > 0
         g = _bmp_rle8(data, off, w, abs(h)).astype(np.float64)
         return (g[::-1] if flip else g) / 255.0
-    if compression != 0:
+    if compression == 2:  # BI_RLE4
+        if bpp != 4:
+            raise ValueError("BI_RLE4 requires 4 bpp")
+        g = _bmp_rle4(data, off, w, abs(h)).astype(np.float64)
+        return (g[::-1] if flip else g) / 15.0
+    if compression not in (0, 3):
         raise NotImplementedError(
-            f"BMP compression {compression} (0/RLE8 only)"
+            f"BMP compression {compression} (0/RLE8/RLE4/BITFIELDS only)"
         )
-    flip = h > 0
     h = abs(h)
+    if bpp == 16:
+        # RGB555 when BI_RGB; explicit masks (e.g. RGB565) for BITFIELDS
+        if compression == 3:
+            rm, gm, bm = struct.unpack_from("<III", data, 54)
+        else:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F
+        stride = (w * 2 + 3) & ~3
+        raw = np.frombuffer(data, np.uint8, stride * h, off)
+        px = raw.reshape(h, stride)[:, : w * 2].reshape(h, w, 2)
+        v = px[:, :, 0].astype(np.uint32) | (
+            px[:, :, 1].astype(np.uint32) << 8)
+        g = (_mask_channel(v, rm) + _mask_channel(v, gm)
+             + _mask_channel(v, bm)) / 3.0
+        return g[::-1] if flip else g
+    if compression == 3:
+        raise NotImplementedError("BI_BITFIELDS only supported at 16 bpp")
+    if bpp == 4:
+        stride = ((w + 1) // 2 + 3) & ~3
+        raw = np.frombuffer(data, np.uint8, stride * h, off)
+        rows = raw.reshape(h, stride)[:, : (w + 1) // 2]
+        pix = np.empty((h, rows.shape[1] * 2), np.uint8)
+        pix[:, 0::2] = rows >> 4
+        pix[:, 1::2] = rows & 0x0F
+        g = pix[:, :w].astype(np.float64) / 15.0
+        return g[::-1] if flip else g
     nch = bpp // 8
     if bpp not in (8, 24, 32):
         raise NotImplementedError(f"BMP bpp {bpp}")
@@ -239,10 +313,18 @@ def decode_bmp_bytes(data: bytes) -> np.ndarray:
 
 
 def decode_pnm_bytes(data: bytes) -> np.ndarray:
-    """Binary PGM (P5) / PPM (P6), 8-bit -> (h, w) float64 grayscale."""
-    if data[:2] not in (b"P5", b"P6"):
-        raise ValueError("not a binary PGM/PPM payload")
-    nch = 1 if data[:2] == b"P5" else 3
+    """The full PNM family -> (h, w) float64 grayscale in [0, 1]:
+    binary PGM/PPM (P5/P6, 8- and 16-bit), binary PBM (P4: 1 bit/pixel,
+    MSB-first, rows byte-aligned, 1 = BLACK per spec), and the ASCII
+    variants P1/P2/P3."""
+    magic = data[:2]
+    if magic in (b"P1", b"P2", b"P3"):
+        return _decode_pnm_ascii(data)
+    if magic == b"P4":
+        return _decode_pbm_binary(data)
+    if magic not in (b"P5", b"P6"):
+        raise ValueError("not a PNM payload")
+    nch = 1 if magic == b"P5" else 3
     # header: magic, whitespace/comment-separated width height maxval
     pos, fields = 2, []
     while len(fields) < 3:
@@ -270,6 +352,59 @@ def decode_pnm_bytes(data: bytes) -> np.ndarray:
     return g / maxval
 
 
+def _strip_pnm_comments(data: bytes) -> list[bytes]:
+    """Whitespace-split PNM text with '#...' comments removed."""
+    lines = []
+    for ln in data.split(b"\n"):
+        hash_at = ln.find(b"#")
+        lines.append(ln if hash_at < 0 else ln[:hash_at])
+    return b"\n".join(lines).split()
+
+
+def _decode_pnm_ascii(data: bytes) -> np.ndarray:
+    """ASCII P1 (bitmap, 1=black), P2 (graymap), P3 (pixmap)."""
+    magic = data[:2]
+    toks = _strip_pnm_comments(data[2:])
+    w, h = int(toks[0]), int(toks[1])
+    if magic == b"P1":
+        # P1 samples may run together without whitespace ("0110")
+        bits = np.frombuffer(b"".join(toks[2:]), np.uint8) - ord("0")
+        if len(bits) < w * h:
+            raise ValueError("truncated P1 payload")
+        g = bits[: w * h].reshape(h, w).astype(np.float64)
+        return 1.0 - g  # 1 = black
+    maxval = int(toks[2])
+    nch = 1 if magic == b"P2" else 3
+    vals = np.array(toks[3 : 3 + w * h * nch], dtype=np.float64)
+    if len(vals) < w * h * nch:
+        raise ValueError("truncated ASCII PNM payload")
+    px = vals.reshape(h, w, nch)
+    g = px[:, :, 0] if nch == 1 else px.mean(axis=2)
+    return g / maxval
+
+
+def _decode_pbm_binary(data: bytes) -> np.ndarray:
+    """Binary PBM (P4): rows packed MSB-first, byte-aligned; 1 = black."""
+    pos, fields = 2, []
+    while len(fields) < 2:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after height
+    w, h = fields
+    stride = (w + 7) // 8
+    raw = np.frombuffer(data, np.uint8, stride * h, pos)
+    bits = np.unpackbits(raw.reshape(h, stride), axis=1)[:, :w]
+    return 1.0 - bits.astype(np.float64)  # 1 = black
+
+
 def decode_image_bytes(data: bytes) -> np.ndarray:
     """Magic-byte dispatch -> (h, w) float64 grayscale in [0, 1].
     JPEG/WebP/GIF raise: the declared compressed-codec seam."""
@@ -277,7 +412,7 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         return decode_png_bytes(data)
     if data[:2] == b"BM":
         return decode_bmp_bytes(data)
-    if data[:2] in (b"P5", b"P6"):
+    if data[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return decode_pnm_bytes(data)
     if data[:3] == b"\xff\xd8\xff" or data[:4] == b"RIFF" or data[:3] == b"GIF":
         raise NotImplementedError(

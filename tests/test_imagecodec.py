@@ -191,3 +191,83 @@ def test_png_roundtrip_hypothesis():
         assert np.max(np.abs(got - img)) <= 0.5 / 255
 
     run()
+
+
+def _bmp_header(w, h, bpp, compression, body_len, extra=b"", off=None):
+    off = off if off is not None else 54 + len(extra)
+    hdr = b"BM" + struct.pack("<IHHI", off + body_len, 0, 0, off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                       body_len, 0, 0, 0, 0)
+    return hdr + extra
+
+
+def test_bmp_rle4_decodes():
+    """BI_RLE4: alternating-nibble runs, absolute mode (odd count -> pad),
+    EOL and EOB escapes."""
+    # row0: run of 5 with value 0xA3 -> A 3 A 3 A; absolute 3 pixels 1,2,3
+    # row1: run of 4 with 0xFF -> F F F F, then remaining 4 via abs 4,5,6,7
+    w, h = 8, 2
+    body = bytes([
+        5, 0xA3, 0, 3, 0x12, 0x30, 0, 0,     # row 0 (abs 3: 1,2,3 + pad)
+        4, 0xFF, 0, 4, 0x45, 0x67, 0, 0,     # row 1 (abs 4: no pad)
+        0, 1,                                # end of bitmap
+    ])
+    expect = np.array(
+        [[0xA, 3, 0xA, 3, 0xA, 1, 2, 3],
+         [0xF, 0xF, 0xF, 0xF, 4, 5, 6, 7]], np.float64) / 15.0
+    got = decode_bmp_bytes(_bmp_header(w, h, 4, 2, len(body)) + body)
+    # positive height = bottom-up storage: stream row 0 is the image's
+    # BOTTOM row, so the decoded image is the stream rows reversed
+    assert np.array_equal(got, expect[::-1])
+    assert got.shape == (2, 8)
+
+
+def test_bmp_4bpp_uncompressed():
+    w, h = 5, 2
+    # rows stored bottom-up, stride pads ceil(5/2)=3 bytes -> 4
+    row_bot = bytes([0x12, 0x34, 0x50, 0x00])   # pixels 1,2,3,4,5
+    row_top = bytes([0xFE, 0xDC, 0xB0, 0x00])   # pixels F,E,D,C,B
+    body = row_bot + row_top
+    got = decode_bmp_bytes(_bmp_header(w, h, 4, 0, len(body)) + body)
+    expect = np.array([[15, 14, 13, 12, 11], [1, 2, 3, 4, 5]],
+                      np.float64) / 15.0
+    assert np.array_equal(got, expect)
+
+
+def test_bmp_16bpp_rgb555_and_565_bitfields():
+    w, h = 2, 1
+    # RGB555: r=31 g=0 b=0 -> 0x7C00; r=0 g=31 b=0 -> 0x03E0
+    body = struct.pack("<HH", 0x7C00, 0x03E0)
+    got = decode_bmp_bytes(_bmp_header(w, h, 16, 0, len(body)) + body)
+    assert np.allclose(got, [[1 / 3, 1 / 3]])
+    # RGB565 via BI_BITFIELDS masks; g=63 full green
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    body = struct.pack("<HH", 0xF800, 0x07E0)
+    got = decode_bmp_bytes(
+        _bmp_header(w, h, 16, 3, len(body), extra=masks) + body)
+    assert np.allclose(got, [[1 / 3, 1 / 3]])
+
+
+def test_pnm_ascii_p1_p2_p3():
+    p1 = b"P1\n# bitmap\n4 2\n0 1 1 0\n1011\n"
+    assert np.array_equal(
+        decode_pnm_bytes(p1),
+        1.0 - np.array([[0, 1, 1, 0], [1, 0, 1, 1]], np.float64))
+    p2 = b"P2 3 2 15\n0 5 10 15 1 2\n"
+    assert np.array_equal(
+        decode_pnm_bytes(p2),
+        np.array([[0, 5, 10], [15, 1, 2]], np.float64) / 15.0)
+    p3 = b"P3 1 2 255\n10 20 30\n0 255 0\n"
+    assert np.allclose(
+        decode_pnm_bytes(p3), np.array([[20], [85]], np.float64) / 255.0)
+
+
+def test_pbm_binary_p4():
+    # 10x2: rows byte-align to 2 bytes, MSB first, 1 = black
+    body = bytes([0b10110000, 0b01000000,
+                  0b00000001, 0b11000000])
+    p4 = b"P4\n10 2\n" + body
+    bits = np.array([[1, 0, 1, 1, 0, 0, 0, 0, 0, 1],
+                     [0, 0, 0, 0, 0, 0, 0, 1, 1, 1]], np.float64)
+    assert np.array_equal(decode_pnm_bytes(p4), 1.0 - bits)
+    assert np.array_equal(decode_image_bytes(p4), 1.0 - bits)
