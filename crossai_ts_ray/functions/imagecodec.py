@@ -3,11 +3,11 @@ PGM/PPM payloads with no codec library (zlib is stdlib).
 
 Closes the image half of the multimodal decode seam the way
 functions/wavcodec.py closes the audio half: the formats whose bitstreams
-are tractable without a codec dependency decode for real; JPEG/WebP/GIF
-remain behind the declared NotImplementedError seam (they need a real codec
-library).  Output convention: ``(height, width)`` float64 grayscale in
-[0, 1] (color inputs are luma-averaged) -- the shape the feature stages
-consume.
+are tractable without a codec dependency decode for real (baseline JPEG
+decodes for real too, via functions/jpegcodec.py); WebP/GIF remain behind
+the declared NotImplementedError seam (they need a real codec library).
+Output convention: ``(height, width)`` float64 grayscale in [0, 1]
+(color inputs are luma-averaged) -- the shape the feature stages consume.
 """
 
 from __future__ import annotations
@@ -414,9 +414,13 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         return decode_bmp_bytes(data)
     if data[:2] in (b"P1", b"P2", b"P3", b"P4", b"P5", b"P6"):
         return decode_pnm_bytes(data)
-    if data[:3] == b"\xff\xd8\xff" or data[:4] == b"RIFF" or data[:3] == b"GIF":
+    if data[:3] == b"\xff\xd8\xff":
+        from .jpegcodec import decode_jpeg_bytes
+
+        return decode_jpeg_bytes(data)
+    if data[:4] == b"RIFF" or data[:3] == b"GIF":
         raise NotImplementedError(
-            "JPEG/WebP/GIF decode needs a real codec library (declared seam)"
+            "WebP/GIF decode needs a real codec library (declared seam)"
         )
     raise ValueError("unrecognized image payload")
 

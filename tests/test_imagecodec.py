@@ -127,9 +127,14 @@ def test_dispatch_and_declared_seams():
     with pytest.raises(ValueError):
         decode_image_bytes(b"garbage!")
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"\xff\xd8\xff\xe0JFIF rest")  # JPEG
-    with pytest.raises(NotImplementedError):
         decode_image_bytes(b"GIF89a....")
+    # JPEG now decodes for real (functions/jpegcodec.py); dispatch routes it
+    from crossai_ts_ray.functions.jpegcodec import encode_jpeg
+
+    img = np.full((8, 8), 200, np.uint8)
+    got = decode_image_bytes(encode_jpeg(img, quality=95))
+    assert got.shape == (8, 8)
+    assert np.abs(got * 255 - 200).max() < 1.0
 
 
 def test_image_stage_real_decode_end_to_end(ray_session):
