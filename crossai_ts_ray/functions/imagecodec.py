@@ -418,11 +418,206 @@ def decode_image_bytes(data: bytes) -> np.ndarray:
         from .jpegcodec import decode_jpeg_bytes
 
         return decode_jpeg_bytes(data)
-    if data[:4] == b"RIFF" or data[:3] == b"GIF":
+    if data[:3] == b"GIF":
+        return decode_gif_bytes(data)
+    if data[:4] == b"RIFF":
         raise NotImplementedError(
-            "WebP/GIF decode needs a real codec library (declared seam)"
+            "WebP decode needs a real codec library (declared seam)"
         )
     raise ValueError("unrecognized image payload")
+
+
+def _gif_lzw(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
+    """GIF's variable-width LSB-first LZW (GIF89a spec appendix).  The
+    code loop is sequential by construction (each code can extend the
+    dictionary the next code uses); entries are stored as (prefix, tail)
+    pairs so no Python string concat happens per code."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    bits = np.unpackbits(
+        np.frombuffer(data, np.uint8)[:, None], axis=1, bitorder="little"
+    ).ravel()
+    pows = [(1 << np.arange(n)).astype(np.int64) for n in range(13)]
+    out = np.empty(npix, np.uint8)
+    nout = 0
+    pos = 0
+
+    def read_code(width: int) -> int:
+        nonlocal pos
+        b = bits[pos:pos + width]
+        if len(b) < width:
+            return eoi
+        pos += width
+        return int(b @ pows[width])
+
+    # dictionary: prefix code + tail byte; roots have prefix -1
+    prefix = np.full(4096, -1, np.int32)
+    tail = np.zeros(4096, np.uint8)
+    tail[:clear] = np.arange(clear, dtype=np.uint8)
+    first = np.zeros(4096, np.uint8)  # first pixel of each sequence
+    first[:clear] = np.arange(clear, dtype=np.uint8)
+    length = np.zeros(4096, np.int32)
+    length[:clear] = 1
+
+    def reset():
+        return clear + 2, min_code_size + 1
+
+    next_code, width = reset()
+    prev = -1
+    buf = np.empty(4096, np.uint8)  # one expanded sequence (max 4096)
+    while nout < npix:
+        code = read_code(width)
+        if code == clear:
+            next_code, width = reset()
+            prev = -1
+            continue
+        if code == eoi:
+            break
+        if code < next_code and length[code]:
+            cur = code
+        elif code == next_code and prev >= 0:
+            cur = -1  # the KwKwK case: sequence = prev + first(prev)
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        # expand current sequence (walk the prefix chain backwards)
+        if cur >= 0:
+            ln = int(length[cur])
+            c = cur
+            for i in range(ln - 1, -1, -1):
+                buf[i] = tail[c]
+                c = prefix[c]
+        else:
+            ln = int(length[prev]) + 1
+            c = prev
+            buf[ln - 1] = first[prev]
+            for i in range(ln - 2, -1, -1):
+                buf[i] = tail[c]
+                c = prefix[c]
+        take = min(ln, npix - nout)
+        out[nout:nout + take] = buf[:take]
+        nout += take
+        if prev >= 0 and next_code < 4096:
+            prefix[next_code] = prev
+            tail[next_code] = buf[0] if cur < 0 else first[cur]
+            first[next_code] = first[prev]
+            length[next_code] = length[prev] + 1
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = code if cur >= 0 else next_code - 1
+    if nout < npix:
+        raise ValueError("truncated GIF pixel data")
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_bytes(data: bytes) -> np.ndarray:
+    """GIF87a/89a FIRST frame -> (h, w) float64 grayscale in [0, 1]
+    (palette RGB averaged, the house color convention).  Interlaced
+    images are de-interlaced per the four-pass spec order."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        ngct = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, np.uint8, ngct * 3, i).reshape(-1, 3)
+        i += ngct * 3
+    while i < len(data):
+        b = data[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while data[i] != 0:
+                i += 1 + data[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, i + 1)
+            i += 10
+            ct = gct
+            if iflags & 0x80:
+                nlct = 2 << (iflags & 0x07)
+                ct = np.frombuffer(data, np.uint8, nlct * 3, i).reshape(-1, 3)
+                i += nlct * 3
+            if ct is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[i]
+            i += 1
+            lzw = bytearray()
+            while data[i] != 0:
+                n = data[i]
+                lzw += data[i + 1 : i + 1 + n]
+                i += 1 + n
+            idx = _gif_lzw(bytes(lzw), min_code, w * h).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                rows = np.concatenate(
+                    [np.arange(s, h, step) for s, step in _GIF_INTERLACE])
+                un = np.empty_like(idx)
+                un[rows] = idx
+                idx = un
+            gray = ct[idx].mean(axis=2)
+            return gray / 255.0
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    raise ValueError("GIF without an image block")
+
+
+def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder for fixtures: 8-bit grayscale palette,
+    UNCOMPRESSED-style LZW (every pixel emitted as a root code, with
+    clear codes injected before the width would grow past the root
+    size) -- trivially spec-legal output any GIF decoder must accept."""
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+    h, w = a.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out += pal.tobytes()
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    min_code = 8
+    out.append(min_code)
+    clear, eoi = 256, 257
+    width = 9
+    if interlace:
+        rows = np.concatenate(
+            [np.arange(s, h, step) for s, step in _GIF_INTERLACE])
+        a = a[rows]
+    pix = a.ravel()
+    # emit: CLEAR, then root codes; re-CLEAR every 253 pixels so the
+    # decoder's dictionary growth never widens codes past 9 bits
+    bits = []
+    bits.append((clear, width))
+    for j, p in enumerate(pix):
+        if j and j % 253 == 0:
+            bits.append((clear, width))
+        bits.append((int(p), width))
+    bits.append((eoi, width))
+    # pack LSB-first
+    acc = 0
+    nacc = 0
+    payload = bytearray()
+    for code, wd in bits:
+        acc |= code << nacc
+        nacc += wd
+        while nacc >= 8:
+            payload.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        payload.append(acc & 0xFF)
+    for k in range(0, len(payload), 255):
+        blk = payload[k:k + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def encode_png_gray(img: np.ndarray) -> bytes:

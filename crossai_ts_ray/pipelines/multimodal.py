@@ -309,12 +309,13 @@ def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
     (functions/flaccodec.encode_flac_pcm16 -- exercises the
     magic-dispatched compressed-audio decode in the actor pool),
     grayscale PNGs (functions/imagecodec.encode_png_gray) interleaved
-    with baseline JPEGs (functions/jpegcodec.encode_jpeg -- exercises
-    the magic-dispatched compressed-image decode), and Y4M video clips
+    with baseline JPEGs (functions/jpegcodec.encode_jpeg) and GIFs
+    (imagecodec.encode_gif_gray, one interlaced -- exercises the
+    magic-dispatched compressed-image decode), and Y4M video clips
     (functions/videocodec.encode_y4m_gray), so the decode='real' path
     runs end to end for all modalities with no external data."""
     from ..functions.flaccodec import encode_flac_pcm16
-    from ..functions.imagecodec import encode_png_gray
+    from ..functions.imagecodec import encode_gif_gray, encode_png_gray
     from ..functions.jpegcodec import encode_jpeg
     from ..functions.videocodec import encode_y4m_gray
     from ..functions.wavcodec import encode_wav_pcm16
@@ -339,8 +340,12 @@ def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
         elif i % 3 == 1:
             w = h = 16 + 8 * (i % 3)
             img = rng.random((h, w))
-            enc = (encode_jpeg(img, quality=95) if i % 6 == 1
-                   else encode_png_gray(img))
+            if i % 6 == 1:
+                enc = encode_jpeg(img, quality=95)
+            elif i % 12 == 4:
+                enc = encode_gif_gray(img, interlace=bool(i % 24 == 4))
+            else:
+                enc = encode_png_gray(img)
             rows.append(
                 {
                     "media_id": f"m{i:05d}", "kind": "image",

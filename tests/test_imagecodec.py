@@ -127,7 +127,7 @@ def test_dispatch_and_declared_seams():
     with pytest.raises(ValueError):
         decode_image_bytes(b"garbage!")
     with pytest.raises(NotImplementedError):
-        decode_image_bytes(b"GIF89a....")
+        decode_image_bytes(b"RIFF....WEBP")
     # JPEG now decodes for real (functions/jpegcodec.py); dispatch routes it
     from crossai_ts_ray.functions.jpegcodec import encode_jpeg
 
@@ -276,3 +276,73 @@ def test_pbm_binary_p4():
                      [0, 0, 0, 0, 0, 0, 0, 1, 1, 1]], np.float64)
     assert np.array_equal(decode_pnm_bytes(p4), 1.0 - bits)
     assert np.array_equal(decode_image_bytes(p4), 1.0 - bits)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) decode
+# ---------------------------------------------------------------------------
+
+def test_gif_roundtrip_exact():
+    """Identity-gray palette makes the GIF path LOSSLESS: decode equals
+    the 8-bit input exactly, plain and interlaced."""
+    from crossai_ts_ray.functions.imagecodec import (
+        decode_gif_bytes,
+        encode_gif_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(23, 31)).astype(np.uint8)
+    got = decode_gif_bytes(encode_gif_gray(img))
+    assert np.array_equal(got, img.astype(np.float64) / 255.0)
+    got_i = decode_gif_bytes(encode_gif_gray(img, interlace=True))
+    assert np.array_equal(got_i, img.astype(np.float64) / 255.0)
+    # dispatch routes GIF too
+    assert np.array_equal(
+        decode_image_bytes(encode_gif_gray(img)), got)
+
+
+def test_gif_lzw_kwkwk_case():
+    """The cScSc corner of LZW (code == next_code) decoded from a
+    hand-built stream: pixels [1,1,1,1] encode as CLEAR,1,6,1,EOI at
+    min_code_size=2 -- code 6 arrives BEFORE its dictionary entry
+    exists."""
+    from crossai_ts_ray.functions.imagecodec import _gif_lzw
+
+    codes = [(4, 3), (1, 3), (6, 3), (1, 3), (5, 3)]
+    acc = nacc = 0
+    payload = bytearray()
+    for code, wd in codes:
+        acc |= code << nacc
+        nacc += wd
+        while nacc >= 8:
+            payload.append(acc & 0xFF); acc >>= 8; nacc -= 8
+    if nacc:
+        payload.append(acc & 0xFF)
+    got = _gif_lzw(bytes(payload), 2, 4)
+    assert got.tolist() == [1, 1, 1, 1]
+
+
+def test_gif_local_color_table_and_corrupt():
+    """A local color table overrides the global one; a code past the
+    dictionary raises loudly."""
+    from crossai_ts_ray.functions.imagecodec import (
+        _gif_lzw,
+        decode_gif_bytes,
+        encode_gif_gray,
+    )
+
+    img = np.array([[0, 255], [128, 64]], np.uint8)
+    data = bytearray(encode_gif_gray(img))
+    # strip the GCT flag, move the palette after the image descriptor
+    gct = bytes(data[13:13 + 768])
+    del data[13:13 + 768]
+    data[10] = 0x07            # no GCT, but keep the size bits
+    desc_at = data.index(0x2C)
+    data[desc_at + 9] |= 0x87  # LCT present, 256 entries
+    data[desc_at + 10:desc_at + 10] = gct
+    got = decode_gif_bytes(bytes(data))
+    assert np.array_equal(got, img.astype(np.float64) / 255.0)
+
+    with pytest.raises(ValueError, match="corrupt"):
+        # width-3 LSB-first stream: CLEAR(4='001'lsb) then 7 ('111')
+        _gif_lzw(bytes([0x3C]), 2, 2)
