@@ -515,6 +515,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF cell-blocked approximate near-pairs (the 10^9-row scale path;
         # recall vs the exact triangle join measured in tests)
         "embedding_near_pairs_ivf": _ann("embedding_near_pairs_ivf"),
+        # product-quantization ANN (codes-only ADC scoring; 32x smaller
+        # embedding tier) + its corpus-level quality/size telemetry;
+        # rows-only -- recall vs exact and degenerate-exactness pinned
+        # in tests/test_pq_ann.py
+        "ann_pq_topk": _ann("pq_ann_topk"),
+        "pq_compression_stats": _ann("pq_compression_stats"),
         # spectral aggregate family (caits/fe/_spectral.py) over windowed
         # token signals -- FFT features, rows-only (no SQL oracle); kernel
         # parity tested in tests/test_spectral_features.py

@@ -1147,3 +1147,161 @@ def kmeans_embeddings(sf_dir: str, k: int = 8, iters: int = 5):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: compressed-embedding ANN (Jegou et al., "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 -- the standard
+# memory-bound scale path: 100-TB embedding tables search from uint8 codes)
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(sf_dir: str, m: int = 4, ksub: int = 16,
+                       sample_rows: int = 4096,
+                       iters: int = 10) -> np.ndarray:
+    """Per-subspace k-means codebooks (m, ksub, dim/m) trained on a
+    bounded normalized sample, driver-side (same sampling contract as
+    build_ivf_index: at production scale codebooks always train on a
+    sample, then encode the full table in one streaming pass).
+    Deterministic: seeded init, fixed iteration count."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_t = next(pf.iter_batches(batch_size=sample_rows,
+                                    columns=["vec_id", "embedding"]))
+    sm, _ = _emb_matrix(pa.Table.from_batches([sample_t]))
+    smn = sm / np.sqrt((sm * sm).sum(axis=1, keepdims=True))
+    dim = smn.shape[1]
+    if dim % m:
+        raise ValueError(f"PQ subspaces m={m} must divide dim={dim}")
+    dsub = dim // m
+    books = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        sub = np.ascontiguousarray(smn[:, j * dsub : (j + 1) * dsub])
+        # plain L2 Lloyd per subspace (subvectors are NOT unit-norm)
+        rng = np.random.default_rng(31 + j)
+        init = rng.choice(len(sub), size=min(ksub, len(sub)),
+                          replace=False)
+        C = sub[init].copy()
+        if len(C) < ksub:  # tiny corpora: pad with repeats, harmless
+            C = np.vstack([C] * (ksub // len(C) + 1))[:ksub]
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                mask = assign == c
+                if mask.any():
+                    C[c] = sub[mask].mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_ann_topk(sf_dir: str, k: int = 10, query_id: int = 0, m: int = 4,
+                ksub: int = 16, rerank: int = 64) -> rd.Dataset:
+    """Approximate cosine top-k via PQ asymmetric distance + exact
+    re-rank of the shortlist (the standard ADC deployment, Jegou 2011
+    sec. IV): vectors quantize to m uint8 code bytes, the query builds
+    an (m, ksub) inner-product lookup table once, every batch row scores
+    as m table gathers, and ONLY each batch's ``rerank`` best ADC
+    candidates get an exact dot product.  At 100-TB scale the codes tier
+    (32x smaller at dim=32/m=8) does the scan; float vectors are fetched
+    for shortlist rows alone -- here encode+score fuse into one pass so
+    the driver query stays self-contained.
+
+    Scale shape: codebooks broadcast via ray.put (trained once on a
+    bounded sample); per batch the work is one (rows, dsub) x (dsub,
+    ksub) matmul per subspace + an argmin + m gathers, then ``rerank``
+    dot products.  Candidates prune per batch before the tiny global
+    sort.  Rows-only query (k-means has no SQL oracle); shortlist recall
+    vs the exact scan is pinned in tests/test_pq_ann.py.
+    """
+    books = train_pq_codebooks(sf_dir, m=m, ksub=ksub)
+    q = query_vector(sf_dir, query_id)
+    qn = q / np.sqrt((q * q).sum())
+    dsub = books.shape[2]
+    # ADC table: T[j, c] = <q_j, books[j, c]>; score = sum_j T[j, code_j]
+    table = np.einsum("jd,jcd->jc", qn.reshape(m, dsub), books)
+    b_ref = ray.put(books)
+    t_ref = ray.put(table)
+    q_ref = ray.put(qn)
+
+    def score(t: pa.Table) -> pa.Table:
+        B = ray.get(b_ref)
+        T = ray.get(t_ref)
+        Q = ray.get(q_ref)
+        t = t.combine_chunks()
+        mm, ids = _emb_matrix(t)
+        if not len(ids):
+            return pa.table({
+                "vec_id": pa.nulls(0, pa.int64()),
+                "score": pa.nulls(0, pa.float64()),
+            })
+        mn = mm / np.sqrt((mm * mm).sum(axis=1, keepdims=True))
+        n, ds = len(mn), B.shape[2]
+        adc = np.zeros(n)
+        for j in range(B.shape[0]):
+            sub = mn[:, j * ds : (j + 1) * ds]
+            # ||s - c||^2 = ||s||^2 - 2 s.c + ||c||^2 -> argmin over c
+            d2 = -2.0 * (sub @ B[j].T) + (B[j] ** 2).sum(axis=1)[None, :]
+            codes = np.argmin(d2, axis=1)
+            adc += T[j, codes]
+        short = np.argsort(-adc, kind="stable")[: min(rerank, n)]
+        exact = mn[short] @ Q  # floats touched ONLY for the shortlist
+        return pa.table({
+            "vec_id": pa.array(ids[short].astype(np.int64), pa.int64()),
+            "score": pa.array(np.round(exact, 6), pa.float64()),
+        })
+
+    ds = _read_emb(sf_dir).map_batches(score, batch_format="pyarrow")
+    return ds.sort(["score", "vec_id"],
+                   descending=[True, False]).limit(k)
+
+
+def pq_compression_stats(sf_dir: str, m: int = 4,
+                         ksub: int = 16) -> rd.Dataset:
+    """One row of corpus-level PQ quality/size telemetry: vector count,
+    float32 bytes vs code bytes (+ codebook overhead), and the mean
+    squared reconstruction error of the normalized vectors -- the
+    accept/reject gate before switching a 100-TB ANN tier to codes."""
+    books = train_pq_codebooks(sf_dir, m=m, ksub=ksub)
+    b_ref = ray.put(books)
+
+    def partial(t: pa.Table) -> pa.Table:
+        B = ray.get(b_ref)
+        t = t.combine_chunks()
+        mm, ids = _emb_matrix(t)
+        if not len(ids):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sq": pa.array([], pa.float64()),
+                             "dim": pa.array([], pa.int64())})
+        mn = mm / np.sqrt((mm * mm).sum(axis=1, keepdims=True))
+        ds_ = B.shape[2]
+        sq = 0.0
+        for j in range(B.shape[0]):
+            sub = mn[:, j * ds_ : (j + 1) * ds_]
+            d2 = -2.0 * (sub @ B[j].T) + (B[j] ** 2).sum(axis=1)[None, :]
+            codes = np.argmin(d2, axis=1)
+            sq += float(((sub - B[j][codes]) ** 2).sum())
+        return pa.table({
+            "n": pa.array([len(mn)], pa.int64()),
+            "sq": pa.array([sq], pa.float64()),
+            "dim": pa.array([mm.shape[1]], pa.int64()),
+        })
+
+    from ..util import dataset_to_table
+
+    pt = dataset_to_table(
+        _read_emb(sf_dir).map_batches(partial, batch_format="pyarrow"))
+    n = int(pt["n"].to_numpy(zero_copy_only=False).sum())
+    sq = float(pt["sq"].to_numpy(zero_copy_only=False).sum())
+    dim = int(pt["dim"][0].as_py()) if pt.num_rows else 0
+    code_bytes = n * books.shape[0] + books.size * 4
+    orig_bytes = n * dim * 4
+    return rd.from_arrow(pa.table({
+        "n_vectors": pa.array([n], pa.int64()),
+        "orig_bytes": pa.array([orig_bytes], pa.int64()),
+        "code_bytes": pa.array([code_bytes], pa.int64()),
+        "compression_x": pa.array(
+            [round(orig_bytes / max(code_bytes, 1), 2)], pa.float64()),
+        "mse": pa.array([round(sq / max(n, 1), 8)], pa.float64()),
+    }))
