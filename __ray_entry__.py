@@ -624,6 +624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_token_ngrams": _tngram("dup_token_ngrams"),
         "doc_dup_ngram_rate": _tngram("doc_dup_ngram_rate"),
         "clean_corpus_ngram": _tngram("clean_corpus_ngram"),
+        "dedup_ngram_spans": _tngram("dedup_ngram_spans"),
         "rollup_distinct_tokens": _tngram("rollup_distinct_tokens"),
         "token_novelty_by_bucket": _tngram("token_novelty_by_bucket"),
         # persisted inverted index: conjunctive term search reads ONLY
@@ -896,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_token_ngrams": _tngram_sql("dup_token_ngrams_sql"),
         "doc_dup_ngram_rate": _tngram_sql("doc_dup_ngram_rate_sql"),
         "clean_corpus_ngram": _tngram_sql("clean_corpus_ngram_sql"),
+        "dedup_ngram_spans": _tngram_sql("dedup_ngram_spans_sql"),
         "rollup_distinct_tokens": _tngram_sql("rollup_distinct_tokens_sql"),
         "token_novelty_by_bucket": _tngram_sql("token_novelty_by_bucket_sql"),
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),

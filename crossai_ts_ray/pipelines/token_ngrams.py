@@ -673,3 +673,348 @@ SELECT source, first_seq // {width} AS bucket,
        count(*)::BIGINT AS n_new_tokens
 FROM fs GROUP BY source, bucket ORDER BY source, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# True ExactSubstr excision (Lee et al. 2022): keep the corpus-FIRST
+# occurrence of every duplicated window, excise all others
+# ---------------------------------------------------------------------------
+
+_POS_BITS = 32  # (doc, pos) pack for winner selection
+
+
+def dedup_ngram_spans(sf_dir: str, n: int = 8, buckets: int = 32,
+                      broadcast: bool | None = None) -> rd.Dataset:
+    """Per document: how many tokens an ExactSubstr dedup pass removes.
+    Every duplicated n-gram keeps exactly its corpus-first occurrence
+    (minimum packed (doc_id, position)); every other occurrence's token
+    span [i, i+n) is excised; overlapping loser spans union.  Output
+    (doc_id, n_tok, n_removed, keep_frac) for every document.
+
+    Scale shape: pass 1 extends ``dup_token_ngrams``'s exchange with a
+    per-key packed-position MIN (same single hash(key) exchange); pass 2
+    re-scans tokens and marks loser windows either against a broadcast
+    sorted (key -> winner) pair of arrays (size-guarded by the EXACT
+    duplicated-key count) or through a partitioned union-mark exchange
+    plus one doc-keyed merge (the 100-TB path) -- bitwise-identical,
+    parity-tested.  Token spans never leave their batch; only window
+    keys and packed positions cross exchanges.
+    """
+    toks = tokens_from_documents(sf_dir)
+
+    win_schema = pa.schema([
+        ("ngram_key", pa.int64()), ("occ", pa.int64()),
+        ("min_pack", pa.int64()), ("prt", pa.int64()),
+    ])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        vals, offs = _flat_tokens(t)
+        keys, win_row = _ngram_keys(vals, offs, n)
+        if not len(keys):
+            return pa.Table.from_pylist([], schema=win_schema)
+        did = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if int(did.max()) >= (1 << (63 - _POS_BITS)):
+            raise ValueError("doc_id overflows the (doc, pos) winner pack")
+        starts = offs[:-1][win_row]
+        pos_in_doc = (np.arange(len(keys), dtype=np.int64)
+                      - np.searchsorted(win_row, win_row))
+        # position of window within its doc = flat pos - doc start
+        counts = np.maximum(np.diff(offs) - n + 1, 0)
+        flat_pos = np.repeat(offs[:-1], counts) + pos_in_doc
+        ipos = flat_pos - starts
+        if len(ipos) and int(ipos.max()) >= (1 << _POS_BITS):
+            raise ValueError("window position overflows the winner pack")
+        pack = did[win_row] * (1 << _POS_BITS) + ipos
+        order = np.lexsort((pack, keys))
+        k_s, p_s = keys[order], pack[order]
+        new_key = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts_k = np.flatnonzero(new_key)
+        occ = np.diff(np.append(starts_k, len(k_s)))
+        return pa.table({
+            "ngram_key": pa.array(k_s[starts_k], pa.int64()),
+            "occ": pa.array(occ, pa.int64()),
+            "min_pack": pa.array(p_s[starts_k], pa.int64()),
+            "prt": pa.array(hash_prt(k_s[starts_k], buckets), pa.int64()),
+        }, schema=win_schema)
+
+    dup_schema = pa.schema([
+        ("ngram_key", pa.int64()), ("min_pack", pa.int64()),
+    ])
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=dup_schema)
+        k = g["ngram_key"].to_numpy(zero_copy_only=False)
+        occ = g["occ"].to_numpy(zero_copy_only=False)
+        mp = g["min_pack"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((mp, k))
+        k_s, o_s, m_s = k[order], occ[order], mp[order]
+        new_key = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.flatnonzero(new_key)
+        occ_sum = np.add.reduceat(o_s, starts)
+        dup = occ_sum >= 2
+        return pa.table({
+            "ngram_key": pa.array(k_s[starts][dup], pa.int64()),
+            "min_pack": pa.array(m_s[starts][dup], pa.int64()),
+        }, schema=dup_schema)
+
+    winners = (
+        toks.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("prt")
+        .map_groups(lambda g: merge(g.drop_columns(["prt"])),
+                    batch_format="pyarrow")
+    ).materialize()
+    if broadcast is None:
+        broadcast = winners.count() <= _DUP_BCAST_MAX_KEYS
+
+    out_schema = pa.schema([
+        ("doc_id", pa.string()), ("n_tok", pa.int64()),
+        ("n_removed", pa.int64()), ("keep_frac", pa.float64()),
+    ])
+
+    def _emit(did: pa.Array, ntk: np.ndarray, rem: np.ndarray) -> pa.Table:
+        frac = np.round((ntk - rem) / np.maximum(ntk, 1), 6)
+        return pa.table({
+            "doc_id": did, "n_tok": pa.array(ntk, pa.int64()),
+            "n_removed": pa.array(rem, pa.int64()),
+            "keep_frac": pa.array(frac, pa.float64()),
+        }, schema=out_schema)
+
+    def _removed_per_row(vals, offs, keys, win_row, did, loser_mask):
+        """Union loser spans [i, i+n) per row, vectorized by difference
+        array over the batch's flat token positions."""
+        lens = np.diff(offs)
+        counts = np.maximum(lens - n + 1, 0)
+        flat_starts = np.repeat(offs[:-1], counts)
+        ipos = (np.arange(len(keys), dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        diff = np.zeros(len(vals) + 1, np.int64)
+        lp = flat_starts[loser_mask] + ipos[loser_mask]
+        np.add.at(diff, lp, 1)
+        np.add.at(diff, np.minimum(lp + n, np.repeat(offs[1:], counts)[loser_mask]), -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        # clip spans at row boundaries: spans never cross rows because a
+        # window lives inside one row and i + n <= row end by construction
+        seg = np.zeros(len(vals) + 1, np.int64)
+        np.add.at(seg, offs[:-1], 1)
+        row_of = np.cumsum(seg[:-1]) - 1
+        rem = np.bincount(row_of[covered], minlength=len(lens)).astype(np.int64)
+        return rem
+
+    if broadcast:
+        import ray as _ray
+
+        wt = dataset_to_table(winners, schema=dup_schema)
+        k_arr = wt["ngram_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        p_arr = wt["min_pack"].to_numpy(zero_copy_only=False).astype(np.int64)
+        srt = np.argsort(k_arr)
+        w_ref = _ray.put((k_arr[srt], p_arr[srt]))
+
+        def mark(t: pa.Table) -> pa.Table:
+            wk, wp = _ray.get(w_ref)
+            t = t.combine_chunks()
+            vals, offs = _flat_tokens(t)
+            keys, win_row = _ngram_keys(vals, offs, n)
+            did = t["doc_id"]
+            if isinstance(did, pa.ChunkedArray):
+                did = did.combine_chunks()
+            ntk = np.diff(offs)
+            if not len(keys):
+                return _emit(did, ntk, np.zeros(len(ntk), np.int64))
+            did_np = did.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            counts = np.maximum(ntk - n + 1, 0)
+            ipos = (np.arange(len(keys), dtype=np.int64)
+                    - np.repeat(np.cumsum(counts) - counts, counts))
+            pack = did_np[win_row] * (1 << _POS_BITS) + ipos
+            if len(wk):
+                at = np.searchsorted(wk, keys)
+                at_c = np.minimum(at, len(wk) - 1)
+                is_dup = wk[at_c] == keys
+                loser = is_dup & (wp[at_c] != pack)
+            else:
+                loser = np.zeros(len(keys), dtype=bool)
+            rem = _removed_per_row(vals, offs, keys, win_row, did_np, loser)
+            return _emit(did, ntk, rem)
+
+        return toks.map_batches(
+            mark, batch_format="pyarrow", batch_size=65536
+        ).sort("doc_id")
+
+    # ---- partitioned path: union-mark on hash(key), then doc-keyed merge
+    mark_schema = pa.schema([
+        ("ngram_key", pa.int64()), ("pack", pa.int64()),
+        ("is_key", pa.int32()), ("prt", pa.int64()),
+    ])
+
+    def win_rows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        vals, offs = _flat_tokens(t)
+        keys, win_row = _ngram_keys(vals, offs, n)
+        if not len(keys):
+            return pa.Table.from_pylist([], schema=mark_schema)
+        did_np = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        counts = np.maximum(np.diff(offs) - n + 1, 0)
+        ipos = (np.arange(len(keys), dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        pack = did_np[win_row] * (1 << _POS_BITS) + ipos
+        return pa.table({
+            "ngram_key": pa.array(keys, pa.int64()),
+            "pack": pa.array(pack, pa.int64()),
+            "is_key": pa.array(np.zeros(len(keys), np.int32), pa.int32()),
+            "prt": pa.array(hash_prt(keys, buckets), pa.int64()),
+        }, schema=mark_schema)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        k = t["ngram_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mp = t["min_pack"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "ngram_key": pa.array(k, pa.int64()),
+            "pack": pa.array(mp, pa.int64()),
+            "is_key": pa.array(np.ones(len(k), np.int32), pa.int32()),
+            "prt": pa.array(hash_prt(k, buckets), pa.int64()),
+        }, schema=mark_schema)
+
+    # one shared schema for the doc-keyed merge: doc rows carry val=n_tok
+    # with is_doc=1, loser rows carry val=ipos with is_doc=0
+    doc_schema = pa.schema([
+        ("did", pa.int64()), ("val", pa.int64()),
+        ("is_doc", pa.int32()), ("dprt", pa.int64()),
+    ])
+
+    def mark_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        is_key = g["is_key"].to_numpy(zero_copy_only=False).astype(bool)
+        keys = g["ngram_key"].to_numpy(zero_copy_only=False)
+        pack = g["pack"].to_numpy(zero_copy_only=False)
+        kk = keys[is_key]
+        kp = pack[is_key]
+        srt = np.argsort(kk)
+        kk, kp = kk[srt], kp[srt]
+        wk, wp = keys[~is_key], pack[~is_key]
+        if len(kk):
+            at = np.searchsorted(kk, wk)
+            at_c = np.minimum(at, len(kk) - 1)
+            loser = (kk[at_c] == wk) & (kp[at_c] != wp)
+        else:
+            loser = np.zeros(len(wk), dtype=bool)
+        lp = wp[loser]
+        did = lp >> _POS_BITS
+        ipos = lp & ((1 << _POS_BITS) - 1)
+        return pa.table({
+            "did": pa.array(did, pa.int64()),
+            "val": pa.array(ipos, pa.int64()),
+            "is_doc": pa.array(np.zeros(len(did), np.int32), pa.int32()),
+            "dprt": pa.array(hash_prt(did, buckets), pa.int64()),
+        }, schema=doc_schema)
+
+    losers = (
+        toks.map_batches(win_rows, batch_format="pyarrow", batch_size=65536)
+        .union(winners.map_batches(key_rows, batch_format="pyarrow"))
+        .groupby("prt")
+        .map_groups(lambda g: mark_partition(g.drop_columns(["prt"])),
+                    batch_format="pyarrow")
+    )
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        did = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ntk = t["n_tok"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "did": pa.array(did, pa.int64()),
+            "val": pa.array(ntk, pa.int64()),
+            "is_doc": pa.array(np.ones(len(did), np.int32), pa.int32()),
+            "dprt": pa.array(hash_prt(did, buckets), pa.int64()),
+        }, schema=doc_schema)
+
+    def merge_doc(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        did = g["did"].to_numpy(zero_copy_only=False)
+        val = g["val"].to_numpy(zero_copy_only=False)
+        is_doc = g["is_doc"].to_numpy(zero_copy_only=False).astype(bool)
+        ntk = np.where(is_doc, val, -1)
+        ipos = np.where(is_doc, -1, val)
+        order = np.argsort(did[is_doc], kind="stable")
+        d_doc = did[is_doc][order]
+        n_doc = ntk[is_doc][order]
+        out_rem = np.zeros(len(d_doc), np.int64)
+        lmask = ~is_doc
+        if lmask.any():
+            ld, li = did[lmask], ipos[lmask]
+            o2 = np.lexsort((li, ld))
+            ld, li = ld[o2], li[o2]
+            # union spans per doc via difference array over doc-local axes
+            row = np.searchsorted(d_doc, ld)
+            ntk_l = n_doc[row]
+            # build a compact flat axis: per involved doc, n_tok slots
+            uniq, first = np.unique(row, return_index=True)
+            base = np.zeros(len(uniq), np.int64)
+            base[1:] = np.cumsum(n_doc[uniq])[:-1]
+            flat = base[np.searchsorted(uniq, row)] + li
+            total = int(n_doc[uniq].sum())
+            diff = np.zeros(total + 1, np.int64)
+            np.add.at(diff, flat, 1)
+            ends = np.minimum(li + n, ntk_l)
+            np.add.at(diff, base[np.searchsorted(uniq, row)] + ends, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            seg_row = np.repeat(uniq, n_doc[uniq])
+            rem = np.bincount(seg_row[covered], minlength=len(d_doc))
+            out_rem = rem[: len(d_doc)].astype(np.int64)
+        did_str = pa.array([str(x) for x in d_doc], pa.string())
+        return _emit(did_str, n_doc, out_rem)
+
+    docs = toks.map_batches(doc_rows, batch_format="pyarrow",
+                            batch_size=65536)
+    return (
+        docs.union(losers)
+        .groupby("dprt")
+        .map_groups(lambda g: merge_doc(g.drop_columns(["dprt"])),
+                    batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+def dedup_ngram_spans_sql(n: int = 8) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)::BIGINT) AS wl,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, wl, n, unnest(generate_series(1, n - {n - 1})) AS i
+  FROM tok WHERE n >= {n}
+),
+keys AS (
+  SELECT doc_id, n, i - 1 AS ipos, {_dup_sql_key(n)} AS ngram_key
+  FROM pos
+),
+winners AS (
+  SELECT ngram_key,
+         min(doc_id * {1 << _POS_BITS} + ipos) AS min_pack,
+         count(*) AS occ
+  FROM keys GROUP BY ngram_key HAVING count(*) >= 2
+),
+losers AS (
+  SELECT k.doc_id, k.ipos, k.n
+  FROM keys k JOIN winners w USING (ngram_key)
+  WHERE k.doc_id * {1 << _POS_BITS} + k.ipos <> w.min_pack
+),
+removed AS (
+  SELECT doc_id, count(DISTINCT p) AS n_removed
+  FROM (SELECT doc_id,
+               unnest(generate_series(ipos, least(ipos + {n - 1}, n - 1))) AS p
+        FROM losers)
+  GROUP BY doc_id
+)
+SELECT CAST(t.doc_id AS VARCHAR) AS doc_id,
+       t.n::BIGINT AS n_tok,
+       coalesce(r.n_removed, 0)::BIGINT AS n_removed,
+       round((t.n - coalesce(r.n_removed, 0))::DOUBLE
+             / greatest(t.n, 1)::DOUBLE, 6) AS keep_frac
+FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id
+ORDER BY CAST(t.doc_id AS VARCHAR)
+"""

@@ -178,3 +178,57 @@ def test_token_ngram_queries_duckdb_parity(ray_session):
         mine = canon(to_pandas(ds))
         oracle = canon(con.execute(sql).df())
         pdt.assert_frame_equal(mine, oracle, check_dtype=False)
+
+
+def test_dedup_ngram_spans_fixture(ray_session, tmp_path):
+    """ExactSubstr semantics, hand-checked: the corpus-FIRST occurrence
+    of a duplicated window survives; later occurrences excise their
+    token span; overlapping loser spans union; unique docs lose nothing."""
+    from crossai_ts_ray.pipelines.token_ngrams import dedup_ngram_spans
+    from crossai_ts_ray.sources import readers
+
+    readers._DERIVED_CACHE.clear()
+    # doc0 owns the first (1,2,3) at pos 0; doc1 repeats it at pos 0 AND
+    # pos 2 (overlap via lens 1,2,1,2,3); doc2 is unique
+    _write_docs(tmp_path, [
+        "a bb ccc",              # lens 1,2,3: winner of key(1,2,3)
+        "x yy z ww eee",         # lens 1,2,1,2,3 -> windows at 0,1,2
+        "pppp qq rrrrrr",        # lens 4,2,6: unique
+    ])
+    out = _canon(dedup_ngram_spans(str(tmp_path), n=3))
+    got = {r.doc_id: (int(r.n_tok), int(r.n_removed), r.keep_frac)
+           for r in out.itertuples()}
+    # doc1: windows (1,2,1)@0 unique, (2,1,2)@1 unique, (1,2,3)@2 LOSES
+    # to doc0 -> removes tokens [2,5) = 3 tokens
+    assert got["0"] == (3, 0, 1.0)
+    assert got["1"] == (5, 3, 0.4)
+    assert got["2"] == (3, 0, 1.0)
+
+    # in-doc repeat: first occurrence wins WITHIN a doc too
+    readers._DERIVED_CACHE.clear()
+    _write_docs(tmp_path, ["a bb ccc q a bb ccc"])  # lens 1,2,3,1,1,2,3
+    out2 = _canon(dedup_ngram_spans(str(tmp_path), n=3))
+    r = out2.iloc[0]
+    # loser windows: (1,2,3)@4 -> removes [4,7) = 3 tokens
+    assert (int(r.n_tok), int(r.n_removed)) == (7, 3)
+    readers._DERIVED_CACHE.clear()
+
+
+def test_dedup_ngram_spans_paths_and_oracle(ray_session):
+    import duckdb
+    import pandas.testing as pdt
+
+    from crossai_ts_ray.pipelines.token_ngrams import (
+        dedup_ngram_spans,
+        dedup_ngram_spans_sql,
+    )
+    from tools.verify_correctness import canon, to_pandas
+
+    a = canon(to_pandas(dedup_ngram_spans(SF, broadcast=True)))
+    b = canon(to_pandas(dedup_ngram_spans(SF, broadcast=False)))
+    pdt.assert_frame_equal(a, b)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    oracle = canon(con.execute(dedup_ngram_spans_sql()).df())
+    pdt.assert_frame_equal(a, oracle, check_dtype=False)
