@@ -329,6 +329,12 @@ def _synth_job_q(sf_dir: str):
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def _corpus_ingest_q(sf_dir: str):
+    from crossai_ts_ray.state.dedup_index import corpus_ingest_job
+
+    return corpus_ingest_job(sf_dir)
+
+
 def _synth_retention_q(sf_dir: str):
     """Checkpointed rollup job + per-tier retention enforcement (keep the
     last 5 finest-tier buckets per source; file-stat fast paths, atomic
@@ -531,6 +537,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # job + retention-policy enforcement (keep-last-K prune with
         # file-stat fast paths, markers, atomic rewrites)
         "synth_retention_job": _synth_retention_q,
+        # persisted exact-dedup index: two-shard incremental ingest with
+        # crash-safe two-phase commits; admission stats are SQL-exact
+        "corpus_ingest_job": _corpus_ingest_q,
         # fitted-model scoring: distributed IRLS logistic fit + actor-pool
         # predict_proba (rows-only -- an iterative fit has no SQL oracle;
         # the IRLS path is pytest-verified against a NumPy reference fit)
@@ -817,7 +826,10 @@ def ann_sql(name: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from crossai_ts_ray.state.dedup_index import CORPUS_INGEST_SQL
+
     return {
+        "corpus_ingest_job": CORPUS_INGEST_SQL,
         "rollup_w4": _rollup_sql(4),
         "rollup_w8_cascade": _rollup_sql(8),
         "rollup_w16_cascade": _rollup_sql(16),

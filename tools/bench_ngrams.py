@@ -73,6 +73,7 @@ def main():
     sf_dir = make_docs(tokens, f"/tmp/bench_ngrams_{tokens}")
 
     from crossai_ts_ray.pipelines.token_ngrams import (
+        dedup_ngram_spans,
         doc_dup_ngram_rate,
         dup_token_ngrams,
         rollup_distinct_tokens,
@@ -84,6 +85,7 @@ def main():
     for name, fn in (
         ("dup_token_ngrams", dup_token_ngrams),
         ("doc_dup_ngram_rate", doc_dup_ngram_rate),
+        ("dedup_ngram_spans", dedup_ngram_spans),
         ("rollup_distinct_tokens", rollup_distinct_tokens),
         ("token_novelty_by_bucket", token_novelty_by_bucket),
     ):
