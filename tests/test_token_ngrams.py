@@ -232,3 +232,34 @@ def test_dedup_ngram_spans_paths_and_oracle(ray_session):
                 f"read_parquet('{SF}/documents.parquet')")
     oracle = canon(con.execute(dedup_ngram_spans_sql()).df())
     pdt.assert_frame_equal(a, oracle, check_dtype=False)
+
+
+def test_ngram_edges_no_dups_and_empty_tokens(ray_session, tmp_path):
+    """Zero duplicated keys: rate=0 everywhere, spans remove nothing, on
+    BOTH paths; empty-string tokens (len 0) pack fine."""
+    import pandas.testing as pdt
+
+    from crossai_ts_ray.pipelines.token_ngrams import (
+        dedup_ngram_spans,
+        doc_dup_ngram_rate,
+        dup_token_ngrams,
+    )
+    from crossai_ts_ray.sources import readers
+
+    readers._DERIVED_CACHE.clear()
+    # all windows unique; doc1 has a double space -> an empty token (len 0)
+    _write_docs(tmp_path, [
+        "a bb ccc dddd",
+        "x  yyy zz q",     # lens 1,0,3,2,1
+    ])
+    assert len(_canon(dup_token_ngrams(str(tmp_path), n=3))) == 0
+    for bc in (True, False):
+        rate = _canon(doc_dup_ngram_rate(str(tmp_path), n=3, broadcast=bc))
+        assert (rate.n_dup == 0).all() and (rate.dup_rate == 0.0).all()
+        spans = _canon(dedup_ngram_spans(str(tmp_path), n=3, broadcast=bc))
+        assert (spans.n_removed == 0).all()
+        assert (spans.keep_frac == 1.0).all()
+    a = _canon(dedup_ngram_spans(str(tmp_path), n=3, broadcast=True))
+    b = _canon(dedup_ngram_spans(str(tmp_path), n=3, broadcast=False))
+    pdt.assert_frame_equal(a, b)
+    readers._DERIVED_CACHE.clear()
