@@ -513,10 +513,10 @@ def _gif_lzw(data: bytes, min_code_size: int, npix: int) -> np.ndarray:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
-def decode_gif_bytes(data: bytes) -> np.ndarray:
-    """GIF87a/89a FIRST frame -> (h, w) float64 grayscale in [0, 1]
-    (palette RGB averaged, the house color convention).  Interlaced
-    images are de-interlaced per the four-pass spec order."""
+def _iter_gif_frames(data: bytes):
+    """Yield (gray_frame, delay_cs) for each full-canvas image block.
+    Partial-canvas frames and transparency compositing need a real GIF
+    renderer (declared seam)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
@@ -526,15 +526,26 @@ def decode_gif_bytes(data: bytes) -> np.ndarray:
         ngct = 2 << (flags & 0x07)
         gct = np.frombuffer(data, np.uint8, ngct * 3, i).reshape(-1, 3)
         i += ngct * 3
+    delay_cs = 0
     while i < len(data):
         b = data[i]
         if b == 0x21:  # extension: label + sub-blocks
+            label = data[i + 1]
             i += 2
+            if label == 0xF9 and data[i] >= 4:  # graphic control
+                gflags, delay_cs = data[i + 1], struct.unpack_from(
+                    "<H", data, i + 2)[0]
+                if gflags & 0x01:
+                    raise NotImplementedError(
+                        "GIF transparency compositing (declared seam)")
             while data[i] != 0:
                 i += 1 + data[i]
             i += 1
         elif b == 0x2C:  # image descriptor
-            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", data, i + 1)
+            x, y, w, h, iflags = struct.unpack_from("<HHHHB", data, i + 1)
+            if (x, y, w, h) != (0, 0, sw, sh):
+                raise NotImplementedError(
+                    "partial-canvas GIF frame compositing (declared seam)")
             i += 10
             ct = gct
             if iflags & 0x80:
@@ -550,6 +561,7 @@ def decode_gif_bytes(data: bytes) -> np.ndarray:
                 n = data[i]
                 lzw += data[i + 1 : i + 1 + n]
                 i += 1 + n
+            i += 1  # block terminator
             idx = _gif_lzw(bytes(lzw), min_code, w * h).reshape(h, w)
             if iflags & 0x40:  # interlaced: rows arrive in 4 passes
                 rows = np.concatenate(
@@ -557,28 +569,44 @@ def decode_gif_bytes(data: bytes) -> np.ndarray:
                 un = np.empty_like(idx)
                 un[rows] = idx
                 idx = un
-            gray = ct[idx].mean(axis=2)
-            return gray / 255.0
+            yield ct[idx].mean(axis=2) / 255.0, delay_cs
         elif b == 0x3B:  # trailer
-            break
+            return
         else:
             raise ValueError(f"unknown GIF block 0x{b:02x}")
+
+
+def decode_gif_bytes(data: bytes) -> np.ndarray:
+    """GIF87a/89a FIRST frame -> (h, w) float64 grayscale in [0, 1]
+    (palette RGB averaged, the house color convention).  Interlaced
+    images are de-interlaced per the four-pass spec order."""
+    for frame, _delay in _iter_gif_frames(data):
+        return frame
     raise ValueError("GIF without an image block")
 
 
-def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
-    """Minimal GIF89a encoder for fixtures: 8-bit grayscale palette,
-    UNCOMPRESSED-style LZW (every pixel emitted as a root code, with
-    clear codes injected before the width would grow past the root
-    size) -- trivially spec-legal output any GIF decoder must accept."""
-    a = np.asarray(img)
-    if a.dtype != np.uint8:
-        a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+def decode_gif_frames(data: bytes) -> tuple[np.ndarray, float]:
+    """Animated GIF -> ``(frames, fps)``: (n, h, w) float64 grayscale plus
+    the frame rate implied by the first nonzero frame delay (GIF delays
+    are centiseconds; 10 fps when absent) -- the video-modality shape
+    ``decode_y4m_bytes`` returns, so the frame-sample stage dispatches on
+    magic bytes alone."""
+    frames = []
+    fps = 10.0
+    for frame, delay_cs in _iter_gif_frames(data):
+        if not frames and delay_cs:
+            fps = 100.0 / delay_cs
+        frames.append(frame)
+    if not frames:
+        raise ValueError("GIF without an image block")
+    return np.stack(frames), fps
+
+
+def _gif_image_block(a: np.ndarray, interlace: bool) -> bytes:
+    """One image descriptor + UNCOMPRESSED-style LZW data (root codes
+    with periodic clears so codes never widen past 9 bits)."""
     h, w = a.shape
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
-    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
-    out += pal.tobytes()
+    out = bytearray()
     iflags = 0x40 if interlace else 0
     out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
     min_code = 8
@@ -590,20 +618,16 @@ def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
             [np.arange(s, h, step) for s, step in _GIF_INTERLACE])
         a = a[rows]
     pix = a.ravel()
-    # emit: CLEAR, then root codes; re-CLEAR every 253 pixels so the
-    # decoder's dictionary growth never widens codes past 9 bits
-    bits = []
-    bits.append((clear, width))
+    bits = [(clear, width)]
     for j, p in enumerate(pix):
         if j and j % 253 == 0:
             bits.append((clear, width))
         bits.append((int(p), width))
     bits.append((eoi, width))
-    # pack LSB-first
     acc = 0
     nacc = 0
     payload = bytearray()
-    for code, wd in bits:
+    for code, wd in bits:  # pack LSB-first
         acc |= code << nacc
         nacc += wd
         while nacc >= 8:
@@ -616,7 +640,45 @@ def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
         blk = payload[k:k + 255]
         out.append(len(blk))
         out += blk
-    out += b"\x00\x3b"
+    out.append(0)  # block terminator
+    return bytes(out)
+
+
+def _gif_header(w: int, h: int) -> bytes:
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
+    pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    out += pal.tobytes()
+    return bytes(out)
+
+
+def _to_u8(img: np.ndarray) -> np.ndarray:
+    a = np.asarray(img)
+    if a.dtype != np.uint8:
+        a = np.clip(np.round(a * 255.0), 0, 255).astype(np.uint8)
+    return a
+
+
+def encode_gif_gray(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Minimal GIF89a encoder for fixtures: 8-bit IDENTITY grayscale
+    palette (decode is lossless), uncompressed-style LZW -- trivially
+    spec-legal output any GIF decoder must accept."""
+    a = _to_u8(img)
+    return (_gif_header(a.shape[1], a.shape[0])
+            + _gif_image_block(a, interlace) + b"\x3b")
+
+
+def encode_gif_frames(frames: np.ndarray, delay_cs: int = 10) -> bytes:
+    """Animated GIF89a fixture: one graphic-control extension (frame
+    delay in centiseconds, no transparency) per full-canvas frame."""
+    f = _to_u8(frames)
+    n, h, w = f.shape
+    out = bytearray(_gif_header(w, h))
+    gce = b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+    for i in range(n):
+        out += gce
+        out += _gif_image_block(f[i], interlace=False)
+    out += b"\x3b"
     return bytes(out)
 
 

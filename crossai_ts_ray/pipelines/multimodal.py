@@ -257,7 +257,14 @@ class VideoFrameSample:
     def _real(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        from ..functions.imagecodec import decode_gif_frames
         from ..functions.videocodec import decode_y4m_bytes
+
+        def decode_clip(raw: bytes):
+            # magic dispatch: Y4M or animated GIF (both -> (frames, fps))
+            if raw[:3] == b"GIF":
+                return decode_gif_frames(raw)
+            return decode_y4m_bytes(raw)
 
         schema = pa.schema(
             [
@@ -275,7 +282,7 @@ class VideoFrameSample:
         pay = sub["payload"]
         ids_out, means_out, fps_out, counts = [], [], np.empty(n), []
         for i in range(n):
-            frames, fps = decode_y4m_bytes(bytes(pay[i].as_buffer()))
+            frames, fps = decode_clip(bytes(pay[i].as_buffer()))
             sel = np.arange(0, len(frames), self.every, dtype=np.int32)
             ids_out.append(sel)
             # per-frame luma mean over ALL sampled frames, one reduction
@@ -315,7 +322,11 @@ def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
     (functions/videocodec.encode_y4m_gray), so the decode='real' path
     runs end to end for all modalities with no external data."""
     from ..functions.flaccodec import encode_flac_pcm16
-    from ..functions.imagecodec import encode_gif_gray, encode_png_gray
+    from ..functions.imagecodec import (
+        encode_gif_frames,
+        encode_gif_gray,
+        encode_png_gray,
+    )
     from ..functions.jpegcodec import encode_jpeg
     from ..functions.videocodec import encode_y4m_gray
     from ..functions.wavcodec import encode_wav_pcm16
@@ -356,10 +367,12 @@ def synth_real_media_table(n: int = 96, seed: int = 0) -> pa.Table:
         else:
             nf = 12 + (i % 5)
             clip = rng.random((nf, 8, 8))
+            enc = (encode_gif_frames(clip, delay_cs=10) if i % 6 == 5
+                   else encode_y4m_gray(clip, fps=10))
             rows.append(
                 {
                     "media_id": f"m{i:05d}", "kind": "video",
-                    "payload": encode_y4m_gray(clip, fps=10),
+                    "payload": enc,
                     "width": 8, "height": 8, "sample_rate": 0, "n_frames": nf,
                 }
             )

@@ -346,3 +346,33 @@ def test_gif_local_color_table_and_corrupt():
     with pytest.raises(ValueError, match="corrupt"):
         # width-3 LSB-first stream: CLEAR(4='001'lsb) then 7 ('111')
         _gif_lzw(bytes([0x3C]), 2, 2)
+
+
+def test_gif_animated_frames_roundtrip():
+    """Multi-frame GIF: lossless per-frame round-trip, fps from the GCE
+    delay, declared seams for transparency and partial frames."""
+    from crossai_ts_ray.functions.imagecodec import (
+        decode_gif_frames,
+        encode_gif_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    clip = rng.integers(0, 256, size=(5, 9, 7)).astype(np.uint8)
+    enc = encode_gif_frames(clip, delay_cs=4)  # 25 fps
+    frames, fps = decode_gif_frames(enc)
+    assert fps == 25.0
+    assert np.array_equal(frames, clip.astype(np.float64) / 255.0)
+
+    # transparency flag -> declared seam
+    bad = bytearray(enc)
+    g = bad.find(b"\x21\xf9\x04")
+    bad[g + 3] |= 0x01
+    with pytest.raises(NotImplementedError, match="transparency"):
+        decode_gif_frames(bytes(bad))
+    # partial-canvas frame -> declared seam (skip header + 768B palette
+    # when locating the descriptor: palette bytes also hit 0x2C)
+    bad2 = bytearray(enc)
+    d = bad2.find(b"\x2c", 13 + 768)
+    struct.pack_into("<HH", bad2, d + 1, 1, 0)  # x offset 1
+    with pytest.raises(NotImplementedError, match="partial-canvas"):
+        decode_gif_frames(bytes(bad2))
