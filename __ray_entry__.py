@@ -614,6 +614,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percent_rank": _analytics("value_percent_rank"),
         # CUME_DIST + DENSE_RANK (same single-exchange rank-scan shape)
         "value_cume_dist": _analytics("value_cume_dist"),
+        # bounded window FRAMES: trailing k-row count/sum/avg/min (block-min
+        # kernel) and trailing time-interval RANGE frame (searchsorted)
+        "user_value_moving_stats": _analytics("user_value_moving_stats"),
+        "user_value_time_window": _analytics("user_value_time_window"),
         # robust dispersion (median absolute deviation) per user
         "user_value_mad": _analytics("user_value_mad"),
         # churn (EXCEPT shape): last week's absentees among the previous
@@ -663,6 +667,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": _rel_w5("q11_important_parts"),
         "q20_dominant_suppliers": _rel_w5("q20_dominant_suppliers"),
         "q21_waiting_suppliers": _rel_w5("q21_waiting_suppliers"),
+        # GROUP BY CUBE: all four (segment, nation) granularities from one
+        # bounded-domain pass (ROLLUP's missing nation margin included)
+        "segment_nation_cube": _rel_w5("segment_nation_cube"),
         "q7_volume_shipping": _rel_w3("q7_volume_shipping"),
         "q8_market_share": _rel_w3("q8_market_share"),
         "q13_customer_distribution": _rel_w3("q13_customer_distribution"),
@@ -899,6 +906,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": analytics_sql("COHORT_RETENTION_SQL"),
         "value_percent_rank": analytics_sql("VALUE_PERCENT_RANK_SQL"),
         "value_cume_dist": analytics_sql("VALUE_CUME_DIST_SQL"),
+        "user_value_moving_stats": analytics_sql("USER_VALUE_MOVING_STATS_SQL"),
+        "user_value_time_window": analytics_sql("USER_VALUE_TIME_WINDOW_SQL"),
         "user_value_mad": analytics_sql("USER_VALUE_MAD_SQL"),
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
@@ -948,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "q11_important_parts": rel_w5_sql("Q11_SQL"),
         "q20_dominant_suppliers": rel_w5_sql("Q20_SQL"),
         "q21_waiting_suppliers": rel_w5_sql("Q21_SQL"),
+        "segment_nation_cube": rel_w5_sql("SEGMENT_NATION_CUBE_SQL"),
         "part_supplier_variety": rel_w4_sql("Q16_SQL"),
         "q2_min_price_supplier": rel_w4_sql("Q2_SQL"),
         "q7_volume_shipping": rel_w3_sql("Q7_SQL"),

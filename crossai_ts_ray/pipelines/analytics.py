@@ -3715,3 +3715,233 @@ WHERE w1.week = mx.w - 1
     WHERE w2.user_id = w1.user_id AND w2.week = m2.w
   )
 """
+
+
+# ---------------------------------------------------------------------------
+# Window FRAME aggregates: ROWS BETWEEN k PRECEDING and RANGE BETWEEN
+# INTERVAL PRECEDING -- the moving-aggregate shapes (rolling count / sum /
+# avg / min over a bounded trailing frame) that round out the window-function
+# family next to the UNBOUNDED-PRECEDING running total.
+# ---------------------------------------------------------------------------
+
+def user_value_moving_stats(sf_dir: str, k: int = 10,
+                            buckets: int | None = None):
+    """Per-event trailing-``k``-row aggregates over each user's
+    (ts, event_id)-ordered stream: frame ``ROWS BETWEEN k-1 PRECEDING AND
+    CURRENT ROW``, emitting the frame's row count, value sum, average and
+    minimum (clipped at the partition start, as SQL clips it).
+
+    Scale shape: ONE keyed exchange (hash by user); each partition serves
+    ALL its users in four vectorized passes -- prefix sums with a
+    per-row ``win = min(k, pos_in_group+1)`` for count/sum/avg, and the
+    two-pass block min (per-k-block forward/backward ``minimum.accumulate``)
+    over a +inf-padded layout that inserts ``k-1`` sentinels before each
+    group so no window ever reads a neighbouring user.  No per-group
+    Python; the padding adds at most ``(k-1)/rows_per_group`` overhead.
+    Exactness: sums ride int64 micro-units; the average mirrors the
+    oracle's ``SUM(micro)/1e6/COUNT`` operand order; MIN is a pure value
+    move -- all bitwise.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("mov_cnt", pa.int64()),
+            ("mov_sum", pa.float64()),
+            ("mov_avg", pa.float64()),
+            ("mov_min", pa.float64()),
+        ]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((eid, ts, uid))
+        u_s, v_s = uid[order], v[order]
+        n = len(u_s)
+        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        gid = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        pos = np.arange(n) - starts[gid]
+        win = np.minimum(k, pos + 1)
+        v_u = np.round(v_s * 1_000_000).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(v_u)))
+        idx = np.arange(1, n + 1)
+        mov_sum_u = csum[idx] - csum[idx - win]
+        mov_avg = (mov_sum_u / 1_000_000.0) / win
+        # sliding MIN via the two-pass block trick on a +inf-padded layout:
+        # k-1 sentinels before every group guarantee window isolation, and
+        # q >= k-1 for every real row so right[q-k+1] never underflows
+        q = np.arange(n) + (gid + 1) * (k - 1)
+        m = int(q[-1]) + 1
+        m += (-m) % k
+        p = np.full(m, np.inf)
+        p[q] = v_s
+        blocks = p.reshape(-1, k)
+        left = np.minimum.accumulate(blocks, axis=1).ravel()
+        right = np.minimum.accumulate(
+            blocks[:, ::-1], axis=1
+        )[:, ::-1].ravel()
+        mov_min = np.minimum(right[q - k + 1], left[q])
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "ts": pa.array(ts[order].view("datetime64[us]")),
+                "value": pa.array(v_s, pa.float64()),
+                "mov_cnt": pa.array(win.astype(np.int64), pa.int64()),
+                "mov_sum": pa.array(mov_sum_u / 1_000_000.0, pa.float64()),
+                "mov_avg": pa.array(mov_avg, pa.float64()),
+                "mov_min": pa.array(mov_min, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_VALUE_MOVING_STATS_SQL = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       value::DOUBLE AS value,
+       COUNT(*) OVER w::BIGINT AS mov_cnt,
+       SUM(CAST(round(value * 1000000, 0) AS BIGINT)) OVER w / 1000000.0
+         AS mov_sum,
+       SUM(CAST(round(value * 1000000, 0) AS BIGINT)) OVER w / 1000000.0
+         / COUNT(*) OVER w AS mov_avg,
+       MIN(value) OVER w AS mov_min
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+
+
+def user_value_time_window(sf_dir: str, window_s: int = 3600,
+                           buckets: int | None = None):
+    """Per-event trailing TIME-window aggregates: for every event, the
+    count / sum / average of the SAME user's values with ``ts`` in
+    ``[ts_i - window_s, ts_i]`` -- frame ``RANGE BETWEEN INTERVAL
+    window_s SECOND PRECEDING AND CURRENT ROW`` (peers of the current
+    timestamp included, as RANGE frames include them).
+
+    Scale shape: ONE keyed exchange (hash by user); each partition
+    computes every frame bound for ALL its users with two global
+    ``searchsorted`` calls on a composite ``dense_gid * K + ts_rel`` key
+    (K spans the partition's ts range + window, so group blocks never
+    interleave), then prefix-sum differences -- no per-group Python.
+    The composite pack guards loudly against int64 overflow in the house
+    style (``n_groups * K < 2^62``).  Exactness: sums ride int64
+    micro-units; the average mirrors the oracle's operand order.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    w_us = np.int64(window_s) * 1_000_000
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("w_cnt", pa.int64()),
+            ("w_sum", pa.float64()),
+            ("w_avg", pa.float64()),
+        ]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((eid, ts, uid))
+        u_s, ts_s, v_s = uid[order], ts[order], v[order]
+        n = len(u_s)
+        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        gid = np.cumsum(first) - 1
+        ts_rel = ts_s - ts_s.min()
+        K = np.int64(int(ts_rel.max()) + int(w_us) + 2)
+        if int(gid[-1] + 1) * int(K) >= (1 << 62):
+            raise ValueError(
+                "user_value_time_window: composite frame key overflows "
+                f"(groups={int(gid[-1]) + 1}, span_us={int(K)}); split the "
+                "partition by time range before the windowed scan"
+            )
+        ckey = gid * K + ts_rel
+        lo = np.searchsorted(ckey, gid * K + (ts_rel - w_us), side="left")
+        hi = np.searchsorted(ckey, ckey, side="right") - 1
+        v_u = np.round(v_s * 1_000_000).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(v_u)))
+        w_sum_u = csum[hi + 1] - csum[lo]
+        w_cnt = hi - lo + 1
+        w_avg = (w_sum_u / 1_000_000.0) / w_cnt
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "ts": pa.array(ts_s.view("datetime64[us]")),
+                "value": pa.array(v_s, pa.float64()),
+                "w_cnt": pa.array(w_cnt.astype(np.int64), pa.int64()),
+                "w_sum": pa.array(w_sum_u / 1_000_000.0, pa.float64()),
+                "w_avg": pa.array(w_avg, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_VALUE_TIME_WINDOW_SQL = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       value::DOUBLE AS value,
+       COUNT(*) OVER w::BIGINT AS w_cnt,
+       SUM(CAST(round(value * 1000000, 0) AS BIGINT)) OVER w / 1000000.0
+         AS w_sum,
+       SUM(CAST(round(value * 1000000, 0) AS BIGINT)) OVER w / 1000000.0
+         / COUNT(*) OVER w AS w_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING AND CURRENT ROW)
+"""

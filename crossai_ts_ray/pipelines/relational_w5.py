@@ -911,3 +911,152 @@ JOIN nation ON n_nationkey = s_nationkey
 WHERE n_name = 'NATION_3'
 GROUP BY s_name
 """
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY CUBE: all four granularities of (segment, nation) in one pass --
+# completes the grouping-sets family next to segment_nation_rollup's ROLLUP
+# ---------------------------------------------------------------------------
+
+def segment_nation_cube(sf_dir: str, broadcast: bool | None = None):
+    """Order revenue at ALL FOUR granularities of (market segment,
+    customer nation) -- per (segment, nation), per segment, per nation,
+    and the grand total -- the ``GROUP BY CUBE`` shape.  Rolled-up key
+    columns are NULL exactly as SQL emits them.
+
+    Scale shape: identical to ``segment_nation_rollup``
+    (relational_ext.py) -- ONE combiner pass over orders folds to
+    (segment x nation)-cell micro-unit partials, the bounded merged
+    domain finalizes in one task, and every coarser CUBE level is a
+    dense scatter over that domain (segment margins, nation margins,
+    grand total) -- no second scan of raw rows, no extra exchange.
+    The customer dimension broadcasts behind the stat guard.
+    """
+    import ray
+    from .relational_ext import _lookup
+
+    if broadcast is None:
+        broadcast = _fits_broadcast(f"{sf_dir}/customer.parquet")
+    if not broadcast:
+        raise ValueError(
+            "segment_nation_cube: customer exceeds the broadcast guard; "
+            "route the (custkey -> segment, nation) attach through "
+            "keyed_equijoin (revenue_by_nation shows the fallback wiring)"
+        )
+    cust = pd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_nationkey"],
+    )
+    ck = cust["c_custkey"].to_numpy().astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    segs = sorted(cust["c_mktsegment"].unique())
+    seg_rank = {s: i for i, s in enumerate(segs)}
+    seg_code = np.array(
+        [seg_rank[s] for s in cust["c_mktsegment"].to_numpy()[order]],
+        dtype=np.int64,
+    )
+    nat_code = cust["c_nationkey"].to_numpy().astype(np.int64)[order]
+    nseg = len(segs)
+    nnat = int(nat_code.max()) + 1
+    ref = ray.put((ck[order], seg_code * nnat + nat_code))
+
+    orders = read_parquet_sized(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, cell_of_cust = ray.get(ref)
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"cell": pa.nulls(0, pa.int64()),
+                 "rev_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64())}
+            )
+        probes = _np(t["o_custkey"]).astype(np.int64)
+        pos = _lookup(keys, probes, "segment_nation_cube o_custkey")
+        cell = cell_of_cust[pos]
+        rev = _micros(_np(t["o_totalprice"]))
+        acc = np.zeros(nseg * nnat, dtype=np.int64)
+        np.add.at(acc, cell, rev)
+        cnt = np.bincount(cell, minlength=nseg * nnat)
+        seen = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "cell": pa.array(seen, pa.int64()),
+                "rev_u": pa.array(acc[seen], pa.int64()),
+                "n": pa.array(cnt[seen].astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = orders.map_batches(partial, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # merged finest-level cells -> all four CUBE levels; O(domain)
+        t = t.combine_chunks()
+        cell = _np(t["cell"])
+        acc = np.zeros(nseg * nnat, dtype=np.int64)
+        np.add.at(acc, cell, _np(t["rev_u"]))
+        cnt = np.zeros(nseg * nnat, dtype=np.int64)
+        np.add.at(cnt, cell, _np(t["n"]))
+        seen = np.flatnonzero(cnt)
+        seg_s, nat_s = seen // nnat, seen % nnat
+        # level (segment, nation)
+        seg_col = [segs[i] for i in seg_s]
+        nat_col: list = list(nat_s)
+        rev_col = list(acc[seen])
+        n_col = list(cnt[seen])
+        # level (segment, NULL)
+        m = np.zeros(nseg, dtype=np.int64)
+        np.add.at(m, seg_s, acc[seen])
+        c1 = np.zeros(nseg, dtype=np.int64)
+        np.add.at(c1, seg_s, cnt[seen])
+        live = np.flatnonzero(c1)
+        seg_col += [segs[i] for i in live]
+        nat_col += [None] * len(live)
+        rev_col += list(m[live])
+        n_col += list(c1[live])
+        # level (NULL, nation) -- the margin ROLLUP lacks
+        mn = np.zeros(nnat, dtype=np.int64)
+        np.add.at(mn, nat_s, acc[seen])
+        cn = np.zeros(nnat, dtype=np.int64)
+        np.add.at(cn, nat_s, cnt[seen])
+        nlive = np.flatnonzero(cn)
+        seg_col += [None] * len(nlive)
+        nat_col += list(nlive)
+        rev_col += list(mn[nlive])
+        n_col += list(cn[nlive])
+        # level (NULL, NULL)
+        seg_col += [None]
+        nat_col += [None]
+        rev_col += [int(acc.sum())]
+        n_col += [int(cnt.sum())]
+        from .relational import MICRO
+
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg_col, pa.string()),
+                "c_nationkey": pa.array(
+                    [None if x is None else int(x) for x in nat_col],
+                    pa.int64(),
+                ),
+                "revenue": pa.array(
+                    [u / MICRO for u in rev_col], pa.float64()
+                ),
+                "orders": pa.array([int(x) for x in n_col], pa.int64()),
+            }
+        )
+
+    return parts.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
+SEGMENT_NATION_CUBE_SQL = """
+SELECT c.c_mktsegment, c.c_nationkey::BIGINT AS c_nationkey,
+       SUM(CAST(round(o.o_totalprice * 1000000, 0) AS BIGINT)) / 1000000.0
+         AS revenue,
+       count(*)::BIGINT AS orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY CUBE (c.c_mktsegment, c.c_nationkey)
+"""
