@@ -518,6 +518,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # routes rows to queries; exact per-query parity in tests)
         "ann_ivf_topk_multi": _ann("ivf_topk_multi"),
         "embedding_near_pairs": _ann("embedding_near_pairs"),
+        # embedding-modality corpus CLEAN: exact cosine pairs -> contracted
+        # union-find components -> representative keep (SemDeDup semantics)
+        "clean_corpus_embedding": _ann("clean_corpus_embedding"),
         # IVF cell-blocked approximate near-pairs (the 10^9-row scale path;
         # recall vs the exact triangle join measured in tests)
         "embedding_near_pairs_ivf": _ann("embedding_near_pairs_ivf"),
@@ -970,6 +973,7 @@ def oracle_sql() -> dict[str, str]:
         # exact triangle-join near pairs ARE SQL-expressible (quadratic
         # oracle is fine at sf0.01)
         "embedding_near_pairs": ann_sql("EMBEDDING_NEAR_PAIRS_SQL"),
+        "clean_corpus_embedding": ann_sql("CLEAN_CORPUS_EMBEDDING_SQL"),
         "outlier_filter_zscore": _OUTLIER_SQL,
         # still rows-only by design: ann_lsh_topk / ann_lsh_topk_multi
         # / ann_ivf_topk / ann_ivf_topk_multi /

@@ -1305,3 +1305,143 @@ def pq_compression_stats(sf_dir: str, m: int = 4,
             [round(orig_bytes / max(code_bytes, 1), 2)], pa.float64()),
         "mse": pa.array([round(sq / max(n, 1), 8)], pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine corpus cleaning: the near-dup CLEAN path for the
+# embedding modality (exact/SimHash/paragraph/n-gram variants live in
+# text_pipeline.py) -- SemDeDup-style semantics with an exact pair source
+# ---------------------------------------------------------------------------
+
+def clean_corpus_embedding(
+    sf_dir: str, threshold: float = 0.35, blocks: int = 8, buckets: int = 16
+):
+    """END-TO-END embedding near-dup cleaning: exact cosine pairs
+    (``embedding_near_pairs`` triangle block join) -> connected components
+    (the contracted union-find of ``text_pipeline.dedup_clusters``) -> keep
+    each component's REPRESENTATIVE (min vec_id) plus every unpaired
+    vector.  Returns (vec_id, label) of kept vectors.
+
+    Scale shape: pair generation is block-bounded (never an all-pairs
+    broadcast), components resolve through contracted metadata only, and
+    the keep-set applies as the partitioned anti-join from
+    ``text_pipeline.clean_corpus`` -- ONE hash(vec_id) exchange over the
+    corpus, nothing raw-sized on the driver.  For 10^9+ rows swap the
+    exact pair source for ``embedding_near_pairs_ivf`` (cell-blocked);
+    the cleaning plumbing is identical.
+    """
+    from ..stages.joins import hash_prt
+    from .text_pipeline import dedup_clusters
+
+    pairs = embedding_near_pairs(sf_dir, threshold=threshold, blocks=blocks)
+
+    def as_doc_pairs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return pa.table({"doc_a": t["vec_a"], "doc_b": t["vec_b"]})
+
+    clusters = dedup_clusters(
+        pairs.map_batches(as_doc_pairs, batch_format="pyarrow"),
+        buckets=buckets,
+    )
+
+    union_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("side", pa.int8()),
+            ("label", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def tag_vecs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(vid)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid, pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8), pa.int8()),
+                "label": t["label"].cast(pa.int64()),
+                "prt": pa.array(hash_prt(vid, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def tag_losers(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = t["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
+        losers = did[did != cl]  # component representatives stay
+        n = len(losers)
+        return pa.table(
+            {
+                "vec_id": pa.array(losers, pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "label": pa.nulls(n, pa.int64()),
+                "prt": pa.array(hash_prt(losers, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    vecs = read_parquet_sized(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(tag_vecs, batch_format="pyarrow")
+    losers = clusters.map_batches(tag_losers, batch_format="pyarrow")
+
+    out_schema = pa.schema([("vec_id", pa.int64()), ("label", pa.int64())])
+
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False)
+        drop = np.unique(vid[side == 1])
+        keep_idx = np.flatnonzero(side == 0)
+        vk = vid[keep_idx]
+        if len(drop):
+            pos = np.searchsorted(drop, vk)
+            hit = (pos < len(drop)) & (
+                drop[np.minimum(pos, len(drop) - 1)] == vk
+            )
+        else:
+            hit = np.zeros(len(vk), dtype=bool)
+        sub = t.take(pa.array(keep_idx[~hit]))
+        return pa.table(
+            {"vec_id": sub["vec_id"], "label": sub["label"]},
+            schema=out_schema,
+        )
+
+    return (
+        vecs.union(losers)
+        .groupby("prt")
+        .map_groups(
+            lambda g: anti_bucket(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+CLEAN_CORPUS_EMBEDDING_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+),
+edges AS (SELECT va, vb FROM pairs UNION SELECT vb AS va, va AS vb FROM pairs),
+reach(src, dst) AS (
+  SELECT va, vb FROM edges
+  UNION
+  SELECT r.src, ed.vb FROM reach r JOIN edges ed ON r.dst = ed.va
+),
+clusters AS (
+  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster
+  FROM reach GROUP BY src
+)
+SELECT em.vec_id::BIGINT AS vec_id, em.label::BIGINT AS label
+FROM embeddings em
+WHERE em.vec_id NOT IN
+      (SELECT vec_id FROM clusters WHERE vec_id <> cluster)
+"""

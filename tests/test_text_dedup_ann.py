@@ -604,3 +604,55 @@ def test_tfidf_prefers_rare_terms(ray_session, tmp_path):
     assert got.loc[(2, "common"), "tfidf"] == 0.0
     d3 = got.loc[3].sort_values("tfidf", ascending=False)
     assert d3.index[0] == "yak"
+
+
+def test_clean_corpus_embedding_matches_duckdb_and_semantics(ray_session):
+    """Embedding-modality corpus clean: exact DuckDB recursive-CTE mirror
+    at sf0.001 plus the representative-keep invariants (every component
+    keeps exactly its min vec_id; unpaired vectors all survive)."""
+    import duckdb
+    import numpy as np
+
+    from crossai_ts_ray.pipelines.ann_pipeline import (
+        CLEAN_CORPUS_EMBEDDING_SQL,
+        clean_corpus_embedding,
+        embedding_near_pairs,
+    )
+    from crossai_ts_ray.util import dataset_to_table
+    from tools.verify_correctness import TABLES, canon, to_pandas
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    got = canon(to_pandas(clean_corpus_embedding(SF)))
+    want = canon(con.sql(CLEAN_CORPUS_EMBEDDING_SQL).df())
+    assert list(got.columns) == list(want.columns)
+    assert got.equals(want)
+
+    # invariants vs the pair list: paired vec_ids that survive must each
+    # be their component's minimum (greedy first-occurrence keep)
+    pairs = dataset_to_table(embedding_near_pairs(SF, threshold=0.35))
+    pa_ids = pairs["vec_a"].to_numpy(zero_copy_only=False)
+    pb_ids = pairs["vec_b"].to_numpy(zero_copy_only=False)
+    kept = set(got["vec_id"].tolist())
+    # union-find reference on the driver (test-scale only)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pa_ids.tolist(), pb_ids.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for x in parent:
+        comp.setdefault(find(x), []).append(x)
+    for root, members in comp.items():
+        assert kept & set(members) == {min(members)}
