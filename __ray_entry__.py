@@ -634,6 +634,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": _text("dedup_paragraphs"),
         "clean_corpus_paragraphs": _text("clean_corpus_paragraphs"),
         "token_vocab_topk": _text("token_vocab_topk"),
+        # exact heavy hitters with bounded state: local-threshold candidate
+        # pass (<= denom survivors/batch regardless of vocab) + exact recount
+        "heavy_hitter_terms": _text("heavy_hitter_terms"),
         "token_bigram_topk": _text("token_bigram_topk"),
         # token-n-gram (substring-granularity) dedup layer + per-bucket
         # vocabulary dynamics over the derived token table
@@ -917,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": text_sql("DEDUP_PARAGRAPHS_SQL"),
         "clean_corpus_paragraphs": text_sql("CLEAN_CORPUS_PARAGRAPHS_SQL"),
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),
+        "heavy_hitter_terms": text_sql("HEAVY_HITTER_TERMS_SQL"),
         "token_bigram_topk": text_sql("TOKEN_BIGRAM_TOPK_SQL"),
         "dup_token_ngrams": _tngram_sql("dup_token_ngrams_sql"),
         "doc_dup_ngram_rate": _tngram_sql("doc_dup_ngram_rate_sql"),

@@ -2957,3 +2957,156 @@ r AS (SELECT doc_id, par_idx, par,
 SELECT doc_id, string_agg(par, ' ' ORDER BY par_idx) AS clean_text
 FROM r WHERE rn = 1 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters with BOUNDED state: two-pass frequent-items
+# (local-threshold candidate generation + exact recount of candidates)
+# ---------------------------------------------------------------------------
+
+def heavy_hitter_terms(
+    sf_dir: str, denom: int = 400, buckets: int = 32
+) -> rd.Dataset:
+    """Every whitespace term occurring at least once per ``denom`` corpus
+    term occurrences (``cnt * denom >= N``, integer comparison -- no float
+    knife edge), with its EXACT count -- the frequent-items guarantee a
+    stopword/boilerplate audit needs at vocabularies too large to count
+    exactly in one pass.
+
+    Scale shape (the point of this operator vs ``token_vocab_topk``'s
+    total-order prune): pass 1 keeps per batch ONLY terms with local
+    ``cnt_b * denom >= n_b`` -- at most ``denom`` survivors per batch
+    regardless of vocabulary size (pigeonhole: a globally-heavy term is
+    locally heavy in >= 1 batch, so the union is a guaranteed superset;
+    if ``cnt_b*denom <= n_b - 1`` in every batch then summing gives
+    ``cnt*denom <= N - B < N``).  The candidate table is CONTRACTED
+    metadata (<= denom x batches rows) -- only it is driver-collected and
+    broadcast; pass 2 recounts candidates exactly with vocab-bounded
+    value_counts partials and ONE hash exchange, then applies the integer
+    threshold.  Exact output, state bounded by ``denom``, never by vocab.
+    """
+    import ray
+
+    from ..stages.joins import hash_prt
+    from ..util import dataset_to_table
+
+    docs = _read_docs(sf_dir, columns=("text",))
+
+    cand_schema = pa.schema([("word", pa.string()), ("n_b", pa.int64())])
+
+    def local_heavy(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        words = pc.list_flatten(pc.split_pattern(t["text"], pattern=" "))
+        n_b = len(words)
+        if n_b == 0:
+            return pa.Table.from_pylist([], schema=cand_schema)
+        vc = pc.value_counts(words)
+        cnt = vc.field("counts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = cnt * denom >= n_b
+        surv = vc.field("values").filter(pa.array(keep))
+        # one row carries the batch's total occurrence count (word NULL);
+        # survivors carry NULL n_b -- the union stays candidate-bounded
+        return pa.table(
+            {
+                "word": pa.concat_arrays(
+                    [surv.combine_chunks() if isinstance(surv, pa.ChunkedArray) else surv,
+                     pa.nulls(1, pa.string())]
+                ),
+                "n_b": pa.concat_arrays(
+                    [pa.nulls(len(surv), pa.int64()),
+                     pa.array([n_b], pa.int64())]
+                ),
+            },
+            schema=cand_schema,
+        )
+
+    cand_tbl = dataset_to_table(
+        docs.map_batches(local_heavy, batch_format="pyarrow")
+    )
+    word_col = cand_tbl["word"]
+    is_tot = pc.is_null(word_col)
+    total = int(
+        pc.sum(cand_tbl.filter(is_tot)["n_b"]).as_py() or 0
+    )
+    cands = pc.unique(word_col.filter(pc.invert(is_tot)))
+    cand_sorted = np.sort(
+        np.asarray(cands.to_pylist(), dtype=object)
+    )
+    ref = ray.put(cand_sorted)
+
+    part_schema = pa.schema(
+        [("word", pa.string()), ("cnt", pa.int64()), ("prt", pa.int64())]
+    )
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand = ray.get(ref)
+        t = t.combine_chunks()
+        words = pc.list_flatten(pc.split_pattern(t["text"], pattern=" "))
+        if len(words) == 0 or len(cand) == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        vc = pc.value_counts(words)
+        uniq = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnt = vc.field("counts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.searchsorted(cand, uniq)
+        hit = (pos < len(cand)) & (
+            cand[np.minimum(pos, len(cand) - 1)] == uniq
+        )
+        uniq, cnt = uniq[hit], cnt[hit]
+        h = np.array(
+            [__import__("zlib").crc32(w.encode()) for w in uniq],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "word": pa.array(list(uniq), pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema([("word", pa.string()), ("cnt", pa.int64())])
+
+    def merge_filter(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        codes = t["word"].dictionary_encode().combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        ks = idx[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(cnt[order], starts)
+        sel = order[starts]
+        heavy = sums * denom >= total
+        return pa.table(
+            {
+                "word": codes.take(pa.array(sel[heavy])).cast(pa.string()),
+                "cnt": pa.array(sums[heavy], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        docs.map_batches(recount, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge_filter(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+HEAVY_HITTER_TERMS_SQL = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+tot AS (SELECT count(*) AS n FROM w)
+SELECT word, count(*)::BIGINT AS cnt
+FROM w, tot
+GROUP BY word, tot.n
+HAVING count(*) * 400 >= tot.n
+"""

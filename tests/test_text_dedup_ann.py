@@ -656,3 +656,52 @@ def test_clean_corpus_embedding_matches_duckdb_and_semantics(ray_session):
         comp.setdefault(find(x), []).append(x)
     for root, members in comp.items():
         assert kept & set(members) == {min(members)}
+
+
+def test_heavy_hitter_terms_threshold_and_planted(ray_session, tmp_path):
+    """Exact heavy hitters: planted corpus vs a pandas exact reference at
+    two denominators (integer ``cnt*denom >= N`` threshold, boundary
+    inclusive), plus the sf0.001 DuckDB mirror."""
+    import collections
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.text_pipeline import (
+        HEAVY_HITTER_TERMS_SQL,
+        heavy_hitter_terms,
+    )
+    from tools.verify_correctness import TABLES, canon, to_pandas
+
+    d = str(tmp_path / "hh")
+    os.makedirs(d, exist_ok=True)
+    # "the" is spread thin across docs (never dominant in one doc) but
+    # globally heavy; "rare" appears once
+    texts = ["the alpha beta the gamma"] * 6 + ["delta the rare"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())}),
+        f"{d}/documents.parquet",
+    )
+    all_words = " ".join(texts).split(" ")
+    n = len(all_words)
+    exact = collections.Counter(all_words)
+    for denom in (3, 12):
+        got = canon(to_pandas(heavy_hitter_terms(d, denom=denom)))
+        want = sorted(
+            (w, c) for w, c in exact.items() if c * denom >= n
+        )
+        assert list(map(tuple, got[["word", "cnt"]].to_numpy())) == want
+        assert all(int(c) == exact[w] for w, c in want)  # counts exact
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    got = canon(to_pandas(heavy_hitter_terms(SF)))
+    want = canon(con.sql(HEAVY_HITTER_TERMS_SQL).df())
+    assert got.equals(want)
