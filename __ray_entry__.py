@@ -646,6 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram_spans": _tngram("dedup_ngram_spans"),
         "rollup_distinct_tokens": _tngram("rollup_distinct_tokens"),
         "token_novelty_by_bucket": _tngram("token_novelty_by_bucket"),
+        # train/eval decontamination: eval-split n-gram keys broadcast once
+        # (guarded), training docs scored exchange-free per batch
+        "decontaminate_against_eval": _tngram("decontaminate_against_eval"),
         # persisted inverted index: conjunctive term search reads ONLY
         # each term's hash partition (the text-search sibling of the
         # partitioned LSH/IVF ANN indexes)
@@ -926,6 +929,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_dup_ngram_rate": _tngram_sql("doc_dup_ngram_rate_sql"),
         "clean_corpus_ngram": _tngram_sql("clean_corpus_ngram_sql"),
         "dedup_ngram_spans": _tngram_sql("dedup_ngram_spans_sql"),
+        "decontaminate_against_eval": _tngram_sql(
+            "decontaminate_against_eval_sql"
+        ),
         "rollup_distinct_tokens": _tngram_sql("rollup_distinct_tokens_sql"),
         "token_novelty_by_bucket": _tngram_sql("token_novelty_by_bucket_sql"),
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),

@@ -1018,3 +1018,156 @@ SELECT CAST(t.doc_id AS VARCHAR) AS doc_id,
 FROM tok t LEFT JOIN removed r ON t.doc_id = r.doc_id
 ORDER BY CAST(t.doc_id AS VARCHAR)
 """
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination: flag training docs sharing token n-grams with
+# a held-out eval split -- the benchmark-leakage check every LLM-training
+# corpus runs before training (the eval side is tiny by construction)
+# ---------------------------------------------------------------------------
+
+def decontaminate_against_eval(
+    sf_dir: str, n: int = 8, eval_mod: int = 10, buckets: int = 32
+) -> rd.Dataset:
+    """Per TRAINING document (``doc_id % eval_mod != 0``): total token
+    n-gram windows, how many of them occur anywhere in the EVAL split
+    (``doc_id % eval_mod == 0``), the contamination rate, and the
+    contaminated flag.  Docs shorter than ``n`` tokens have no windows and
+    are excluded, as the window definition implies.
+
+    Scale shape: pass 1 distills the eval split to its DISTINCT packed
+    n-gram keys -- per-batch unique, ONE hash(key) exchange, per-partition
+    unique -- and broadcasts the sorted key array once (eval sets are
+    benchmark-sized; the ``_DUP_BCAST_MAX_KEYS`` guard raises loudly if
+    not, pointing at the union-mark exchange ``doc_dup_ngram_rate`` uses
+    for raw-sized key sets).  Pass 2 is exchange-FREE: each batch scores
+    its own training docs by one ``searchsorted`` membership test; a doc
+    never spans batches, so per-doc sums complete locally.
+    """
+    import ray
+
+    toks = tokens_from_documents(sf_dir)
+
+    key_schema = pa.schema([("ngram_key", pa.int64()), ("prt", pa.int64())])
+
+    def eval_keys(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        did = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(did % eval_mod == 0)
+        if not len(sel):
+            return pa.Table.from_pylist([], schema=key_schema)
+        vals, offs = _flat_tokens(t.take(pa.array(sel)))
+        keys, _ = _ngram_keys(vals, offs, n)
+        uniq = np.unique(keys)
+        return pa.table(
+            {
+                "ngram_key": pa.array(uniq, pa.int64()),
+                "prt": pa.array(hash_prt(uniq, buckets), pa.int64()),
+            },
+            schema=key_schema,
+        )
+
+    def uniq_partition(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        u = np.unique(g["ngram_key"].to_numpy(zero_copy_only=False))
+        return pa.table({"ngram_key": pa.array(u, pa.int64())})
+
+    ek_tbl = dataset_to_table(
+        toks.map_batches(eval_keys, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: uniq_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+    if ek_tbl.num_rows > _DUP_BCAST_MAX_KEYS:
+        raise ValueError(
+            f"decontaminate_against_eval: {ek_tbl.num_rows} eval n-gram "
+            f"keys exceed the broadcast guard ({_DUP_BCAST_MAX_KEYS}); "
+            "an eval split this large needs the partitioned union-mark "
+            "path (doc_dup_ngram_rate broadcast=False shows the wiring)"
+        )
+    ek = np.sort(ek_tbl["ngram_key"].to_numpy(zero_copy_only=False))
+    ref = ray.put(ek)
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("windows", pa.int64()),
+            ("contaminated", pa.int64()),
+            ("contamination_rate", pa.float64()),
+            ("is_contaminated", pa.bool_()),
+        ]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        ev = ray.get(ref)
+        t = t.combine_chunks()
+        did = t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(did % eval_mod != 0)
+        if not len(sel):
+            return pa.Table.from_pylist([], schema=out_schema)
+        sub = t.take(pa.array(sel))
+        vals, offs = _flat_tokens(sub)
+        keys, win_row = _ngram_keys(vals, offs, n)
+        if not len(keys):
+            return pa.Table.from_pylist([], schema=out_schema)
+        if len(ev):
+            pos = np.searchsorted(ev, keys)
+            hit = (pos < len(ev)) & (
+                ev[np.minimum(pos, len(ev) - 1)] == keys
+            )
+        else:
+            hit = np.zeros(len(keys), dtype=bool)
+        # windows are emitted row-major, so win_row is non-decreasing:
+        # per-doc sums reduce over contiguous runs
+        starts = np.flatnonzero(
+            np.concatenate(([True], win_row[1:] != win_row[:-1]))
+        )
+        cont = np.add.reduceat(hit.astype(np.int64), starts)
+        rows = win_row[starts]
+        counts = np.maximum(np.diff(offs) - n + 1, 0)
+        w = counts[rows]
+        doc_col = sub["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": doc_col.take(pa.array(rows)),
+                "windows": pa.array(w, pa.int64()),
+                "contaminated": pa.array(cont, pa.int64()),
+                "contamination_rate": pa.array(cont / w, pa.float64()),
+                "is_contaminated": pa.array(cont > 0, pa.bool_()),
+            },
+            schema=out_schema,
+        )
+
+    return toks.map_batches(score, batch_format="pyarrow")
+
+
+def decontaminate_against_eval_sql(n: int = 8, eval_mod: int = 10) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)::BIGINT) AS wl,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, wl, unnest(generate_series(1, n - {n - 1})) AS i
+  FROM tok WHERE n >= {n}
+),
+keys AS (SELECT doc_id, {_dup_sql_key(n)} AS ngram_key FROM pos),
+ek AS (SELECT DISTINCT ngram_key FROM keys WHERE doc_id % {eval_mod} = 0),
+tr AS (SELECT doc_id, ngram_key FROM keys WHERE doc_id % {eval_mod} <> 0)
+SELECT CAST(tr.doc_id AS VARCHAR) AS doc_id,
+       count(*)::BIGINT AS windows,
+       count(ek.ngram_key)::BIGINT AS contaminated,
+       count(ek.ngram_key)::DOUBLE / count(*) AS contamination_rate,
+       (count(ek.ngram_key) > 0) AS is_contaminated
+FROM tr LEFT JOIN ek ON tr.ngram_key = ek.ngram_key
+GROUP BY tr.doc_id
+"""
+
+
+DECONTAMINATE_AGAINST_EVAL_SQL = decontaminate_against_eval_sql()

@@ -263,3 +263,49 @@ def test_ngram_edges_no_dups_and_empty_tokens(ray_session, tmp_path):
     b = _canon(dedup_ngram_spans(str(tmp_path), n=3, broadcast=False))
     pdt.assert_frame_equal(a, b)
     readers._DERIVED_CACHE.clear()
+
+
+def test_decontaminate_fixture_and_duckdb(ray_session, tmp_path):
+    """Planted leakage: doc 0 is the eval split (eval_mod=2 puts even ids
+    there); doc 1 copies an eval phrase (contaminated), doc 3 shares no
+    window (clean), short docs are excluded.  Plus the full-SF DuckDB
+    mirror at the default n=8/eval_mod=10."""
+    import duckdb
+
+    from crossai_ts_ray.pipelines.token_ngrams import (
+        DECONTAMINATE_AGAINST_EVAL_SQL,
+        decontaminate_against_eval,
+    )
+    from crossai_ts_ray.sources import readers
+    from tools.verify_correctness import TABLES, canon, to_pandas
+
+    readers._DERIVED_CACHE.clear()
+    _write_docs(tmp_path, [
+        "a bb ccc d",        # 0: eval (tokens 1,2,3,1)
+        "a bb ccc d x",      # 1: train, windows [1,2,3],[2,3,1],[3,1,1]
+                             #    -> first two hit eval's [1,2,3],[2,3,1]
+        "zz qqq w",          # 2: eval
+        "mm nn oo pp",       # 3: train (2,2,2,2) -> no eval window
+        "hi yo",             # 4: train but < n tokens -> excluded
+    ])
+    got = canon(to_pandas(
+        decontaminate_against_eval(str(tmp_path), n=3, eval_mod=2)
+    )).set_index("doc_id")
+    assert sorted(got.index) == ["1", "3"]
+    assert int(got.loc["1", "windows"]) == 3
+    assert int(got.loc["1", "contaminated"]) == 2
+    assert got.loc["1", "contamination_rate"] == 2 / 3
+    assert bool(got.loc["1", "is_contaminated"])
+    assert int(got.loc["3", "contaminated"]) == 0
+    assert not bool(got.loc["3", "is_contaminated"])
+
+    readers._DERIVED_CACHE.clear()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    full = canon(to_pandas(decontaminate_against_eval(SF)))
+    want = canon(con.sql(DECONTAMINATE_AGAINST_EVAL_SQL).df())
+    assert full.equals(want)
