@@ -649,6 +649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # train/eval decontamination: eval-split n-gram keys broadcast once
         # (guarded), training docs scored exchange-free per batch
         "decontaminate_against_eval": _tngram("decontaminate_against_eval"),
+        # flagship curation composition: exact dedup -> eval removal +
+        # decontamination -> length gate, ONE extra anti-join exchange
+        "curate_corpus": _tngram("curate_corpus"),
         # persisted inverted index: conjunctive term search reads ONLY
         # each term's hash partition (the text-search sibling of the
         # partitioned LSH/IVF ANN indexes)
@@ -932,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_against_eval": _tngram_sql(
             "decontaminate_against_eval_sql"
         ),
+        "curate_corpus": _tngram_sql("curate_corpus_sql"),
         "rollup_distinct_tokens": _tngram_sql("rollup_distinct_tokens_sql"),
         "token_novelty_by_bucket": _tngram_sql("token_novelty_by_bucket_sql"),
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),

@@ -1171,3 +1171,166 @@ GROUP BY tr.doc_id
 
 
 DECONTAMINATE_AGAINST_EVAL_SQL = decontaminate_against_eval_sql()
+
+
+# ---------------------------------------------------------------------------
+# Flagship curation composition: the end-to-end training-corpus gate
+# (exact dedup -> eval-split removal + decontamination -> length quality)
+# ---------------------------------------------------------------------------
+
+def curate_corpus(
+    sf_dir: str, n: int = 8, eval_mod: int = 10,
+    min_chars: int = 100, max_chars: int = 500,
+    buckets: int = 32,
+) -> rd.Dataset:
+    """The composed LLM-training-data curation pipeline in one query:
+    exact dedup (first doc of each duplicate group survives), removal of
+    the eval split itself plus every training doc it contaminates
+    (``decontaminate_against_eval``), then the length quality gate
+    (``min_chars <= n_chars <= max_chars``).  Returns the final corpus's
+    (doc_id, lang, n_chars).
+
+    Scale shape: each stage keeps its own exchange discipline -- dedup's
+    hash(key) group pass, decontamination's bounded eval-key exchange +
+    exchange-free scoring -- and the composition adds exactly ONE more
+    hash(doc_id) exchange: the union-tag anti-join that subtracts the
+    contaminated ids (corpus-scale, so NEVER broadcast or collected) from
+    the deduped stream.  Eval-split and length predicates apply inside
+    that same final kernel; no stage materializes raw data on the driver.
+    """
+    from ..pipelines.text_pipeline import clean_corpus_exact
+
+    deduped = clean_corpus_exact(sf_dir, buckets=buckets)
+    flagged = decontaminate_against_eval(
+        sf_dir, n=n, eval_mod=eval_mod, buckets=buckets
+    )
+
+    union_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("side", pa.int8()),
+            ("lang", pa.string()),
+            ("n_chars", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def tag_kept(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (
+            (did % eval_mod != 0)
+            & (nch >= min_chars)
+            & (nch <= max_chars)
+        )
+        sub = t.take(pa.array(np.flatnonzero(keep)))
+        did = did[keep]
+        nrow = len(did)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "side": pa.array(np.zeros(nrow, np.int8), pa.int8()),
+                "lang": sub["lang"].cast(pa.string()),
+                "n_chars": sub["n_chars"].cast(pa.int64()),
+                "prt": pa.array(hash_prt(did, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    def tag_contaminated(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        flag = t["is_contaminated"].to_numpy(zero_copy_only=False)
+        did = (
+            t["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )[flag]
+        nrow = len(did)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "side": pa.array(np.ones(nrow, np.int8), pa.int8()),
+                "lang": pa.nulls(nrow, pa.string()),
+                "n_chars": pa.nulls(nrow, pa.int64()),
+                "prt": pa.array(hash_prt(did, buckets), pa.int64()),
+            },
+            schema=union_schema,
+        )
+
+    kept = deduped.map_batches(tag_kept, batch_format="pyarrow")
+    drops = flagged.map_batches(tag_contaminated, batch_format="pyarrow")
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()),
+         ("n_chars", pa.int64())]
+    )
+
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        drop = np.unique(did[side == 1])
+        keep_idx = np.flatnonzero(side == 0)
+        dk = did[keep_idx]
+        if len(drop):
+            pos = np.searchsorted(drop, dk)
+            hit = (pos < len(drop)) & (
+                drop[np.minimum(pos, len(drop) - 1)] == dk
+            )
+        else:
+            hit = np.zeros(len(dk), dtype=bool)
+        sub = t.take(pa.array(keep_idx[~hit]))
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "lang": sub["lang"],
+                "n_chars": sub["n_chars"],
+            },
+            schema=out_schema,
+        )
+
+    return (
+        kept.union(drops)
+        .groupby("prt")
+        .map_groups(
+            lambda g: anti_bucket(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def curate_corpus_sql(
+    n: int = 8, eval_mod: int = 10,
+    min_chars: int = 100, max_chars: int = 500,
+) -> str:
+    return f"""
+WITH dedup AS (
+  SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT AS n_chars
+  FROM documents
+  QUALIFY row_number() OVER (PARTITION BY substr(text, 1, 40)
+                             ORDER BY doc_id) = 1
+),
+tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), w -> length(w)::BIGINT) AS wl,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, wl, unnest(generate_series(1, n - {n - 1})) AS i
+  FROM tok WHERE n >= {n}
+),
+keys AS (SELECT doc_id, {_dup_sql_key(n)} AS ngram_key FROM pos),
+ek AS (SELECT DISTINCT ngram_key FROM keys WHERE doc_id % {eval_mod} = 0),
+cont AS (
+  SELECT DISTINCT k.doc_id FROM keys k JOIN ek ON k.ngram_key = ek.ngram_key
+  WHERE k.doc_id % {eval_mod} <> 0
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM dedup d
+WHERE d.doc_id % {eval_mod} <> 0
+  AND d.n_chars BETWEEN {min_chars} AND {max_chars}
+  AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+"""
+
+
+CURATE_CORPUS_SQL = curate_corpus_sql()

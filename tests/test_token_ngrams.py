@@ -309,3 +309,39 @@ def test_decontaminate_fixture_and_duckdb(ray_session, tmp_path):
     full = canon(to_pandas(decontaminate_against_eval(SF)))
     want = canon(con.sql(DECONTAMINATE_AGAINST_EVAL_SQL).df())
     assert full.equals(want)
+
+
+def test_curate_corpus_composition(ray_session):
+    """The composed curation gate equals its DuckDB mirror at sf0.001, and
+    each predicate provably bites: the survivor set excludes every eval id,
+    every contaminated id, every non-first duplicate, and every
+    out-of-bounds length."""
+    import duckdb
+
+    from crossai_ts_ray.pipelines.token_ngrams import (
+        CURATE_CORPUS_SQL,
+        curate_corpus,
+        decontaminate_against_eval,
+    )
+    from tools.verify_correctness import TABLES, canon, to_pandas
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    got = canon(to_pandas(curate_corpus(SF)))
+    want = canon(con.sql(CURATE_CORPUS_SQL).df())
+    assert got.equals(want)
+    assert 0 < len(got) < 500  # the gate actually filters
+
+    ids = got["doc_id"].to_numpy()
+    assert (ids % 10 != 0).all()
+    nch = got["n_chars"].to_numpy()
+    assert ((nch >= 100) & (nch <= 500)).all()
+    flagged = canon(to_pandas(decontaminate_against_eval(SF)))
+    cont = set(
+        flagged.loc[flagged["is_contaminated"], "doc_id"].astype(int)
+    )
+    assert not (set(ids.tolist()) & cont)
