@@ -269,6 +269,21 @@ def _tngram_sql(fn_name: str) -> str:
     return getattr(token_ngrams, fn_name)()
 
 
+def _qual(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import quality_w5
+
+        return getattr(quality_w5, fn_name)(sf_dir)
+
+    return run
+
+
+def _qual_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import quality_w5
+
+    return getattr(quality_w5, name)
+
+
 def _ann(fn_name: str) -> Callable[[str], Any]:
     def run(sf_dir: str):
         from crossai_ts_ray.pipelines import ann_pipeline
@@ -656,6 +671,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # each term's hash partition (the text-search sibling of the
         # partitioned LSH/IVF ANN indexes)
         "inverted_index_search": _text("inverted_index_search"),
+        # Gopher-style repetition signals (top 2/3-gram + duplicated-3-gram
+        # char fractions) and the per-source repetition quality gate
+        "gopher_repetition": _qual("gopher_repetition"),
+        "gopher_gate": _qual("gopher_gate"),
+        # blocklist redaction (PII/contamination-removal shape; RE2 on
+        # both sides so the oracle is value-exact incl. the rewritten text)
+        "doc_redact_terms": _qual("doc_redact_terms"),
+        # BPE tokenizer training: distributed word histogram -> driver-local
+        # merge learning -> distributed encode (rows-only: iterative; pinned
+        # vs a naive pure-Python reference in tests/test_quality_w5.py)
+        "bpe_merges": _qual("bpe_merges"),
+        "bpe_encode_stats": _qual("bpe_encode_stats"),
         "q10_returned_revenue": _rel_ext("q10_returned_revenue"),
         "segment_nation_rollup": _rel_ext("segment_nation_rollup"),
         "customer_order_counts": _rel_ext("customer_order_counts"),
@@ -923,6 +950,9 @@ def oracle_sql() -> dict[str, str]:
         "user_value_mad": analytics_sql("USER_VALUE_MAD_SQL"),
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
+        "gopher_repetition": _qual_sql("GOPHER_REPETITION_SQL"),
+        "gopher_gate": _qual_sql("GOPHER_GATE_SQL"),
+        "doc_redact_terms": _qual_sql("DOC_REDACT_SQL"),
         "dedup_paragraphs": text_sql("DEDUP_PARAGRAPHS_SQL"),
         "clean_corpus_paragraphs": text_sql("CLEAN_CORPUS_PARAGRAPHS_SQL"),
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),

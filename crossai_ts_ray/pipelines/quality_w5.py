@@ -1,0 +1,515 @@
+"""Wave-5 corpus-quality operators: Gopher-style repetition signals, a
+repetition quality gate, blocklist redaction, and BPE tokenizer training
+(distributed word histogram -> local merge learning -> distributed encode).
+
+Engine-new: the reference has no corpus-quality module; these follow the
+published shapes (Rae et al. 2021 "Gopher" Table A1 repetition filters;
+Sennrich et al. 2016 BPE) re-expressed Ray-Data-first.  Reference analogue
+for the per-doc scan style: caits' per-instance feature loops
+(/root/reference/caits/fe/_statistical.py) -- here one vectorized Arrow/NumPy
+kernel per batch, an elastic task pool, no exchange for per-doc signals.
+
+Scale shape:
+* repetition signals / redaction: embarrassingly parallel ``map_batches``
+  (zero exchange; output is per-doc scalars, never re-shipped text except
+  the redaction result itself).
+* the quality gate ships only per-batch (source, kept, dropped) partials --
+  a #sources-bounded exchange.
+* BPE training: ONE distributed word-count pass (vocab-bounded exchange,
+  same contract as token_vocab_topk), then merge learning runs DRIVER-LOCAL
+  over the bounded histogram (O(vocab * merges) -- this is how production
+  BPE trainers work at corpus scale: the corpus never re-enters the loop),
+  then ONE distributed encode pass whose per-batch cost is proportional to
+  DISTINCT words in the batch (dictionary-encode first, encode each unique
+  word once, scatter by code).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..sources.readers import read_parquet_sized
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")):
+    return read_parquet_sized(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals
+# ---------------------------------------------------------------------------
+
+# Adapted Gopher Table-A1 thresholds for this corpus's word-domain signals
+# (the paper's line/paragraph fractions are degenerate here: the synthetic
+# docs have no newlines).  A doc passes when ALL hold.
+GATE_TOP2 = 0.20   # chars in the most frequent word 2-gram / chars
+GATE_TOP3 = 0.18   # chars in the most frequent word 3-gram / chars
+GATE_DUP3 = 0.12   # chars in word 3-grams occurring >= 2 times / chars
+
+
+def _gram_doc_stats(
+    flat: pa.Array,
+    doc_of: np.ndarray,
+    nd: int,
+    n: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (max count*charlen, sum over dup grams of count*charlen) for
+    word n-grams, fully vectorized: Arrow take+join builds the gram strings,
+    dictionary-encode + np.unique counts them per (doc, gram), reduceat
+    collapses to per-doc scalars."""
+    top = np.zeros(nd, np.float64)
+    dup = np.zeros(nd, np.float64)
+    m = len(flat)
+    if m < n:
+        return top, dup
+    # start positions whose n-1 successors are in the SAME document
+    valid = doc_of[: m - n + 1] == doc_of[n - 1 :]
+    idx = np.flatnonzero(valid)
+    if len(idx) == 0:
+        return top, dup
+    arrays = [flat.take(pa.array(idx + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*arrays, " ")
+    glen = pc.utf8_length(grams).to_numpy(zero_copy_only=False).astype(np.int64)
+    enc = grams.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    K = np.int64(len(enc.dictionary))
+    key = doc_of[idx] * K + codes
+    uk, first, cnt = np.unique(key, return_index=True, return_counts=True)
+    weight = cnt.astype(np.float64) * glen[first]
+    gdoc = (uk // K).astype(np.int64)
+    starts = np.flatnonzero(np.concatenate(([True], gdoc[1:] != gdoc[:-1])))
+    docs_with = gdoc[starts]
+    top[docs_with] = np.maximum.reduceat(weight, starts)
+    dupw = np.where(cnt >= 2, weight, 0.0)
+    dup[docs_with] = np.add.reduceat(dupw, starts)
+    return top, dup
+
+
+def _round6_sql(x: np.ndarray) -> np.ndarray:
+    """round(x, 6) with SQL semantics (half AWAY from zero; np.round's
+    banker's rounding diverges on dyadic ties like 9/128 = 0.0703125)."""
+    v = x * 1e6
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)) / 1e6
+
+
+_REP_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("top2_frac", pa.float64()),
+        ("top3_frac", pa.float64()),
+        ("dup3_frac", pa.float64()),
+    ]
+)
+
+
+def _repetition_kernel(t: pa.Table) -> pa.Table:
+    t = t.combine_chunks()
+    if t.num_rows == 0:
+        return pa.Table.from_pylist([], schema=_REP_SCHEMA)
+    text = t["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n_chars = pc.utf8_length(text).cast(pa.float64()).to_numpy(zero_copy_only=False)
+    split = pc.split_pattern(text, pattern=" ")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    flat = split.values
+    offs = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    nd = t.num_rows
+    doc_of = np.repeat(np.arange(nd, dtype=np.int64), offs[1:] - offs[:-1])
+    top2, _ = _gram_doc_stats(flat, doc_of, nd, 2)
+    top3, dup3 = _gram_doc_stats(flat, doc_of, nd, 3)
+    denom = np.where(n_chars > 0, n_chars, 1.0)
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "top2_frac": pa.array(_round6_sql(top2 / denom), pa.float64()),
+            "top3_frac": pa.array(_round6_sql(top3 / denom), pa.float64()),
+            "dup3_frac": pa.array(_round6_sql(dup3 / denom), pa.float64()),
+        },
+        schema=_REP_SCHEMA,
+    )
+
+
+def gopher_repetition(sf_dir: str) -> rd.Dataset:
+    """Per-doc Gopher-style repetition signals: fraction of characters in
+    the most frequent word 2-gram / 3-gram, and in all duplicated 3-grams
+    (counted count x charlen, the paper's convention).  Zero-exchange
+    elastic task pool."""
+    return _read_docs(sf_dir).map_batches(
+        _repetition_kernel, batch_format="pyarrow"
+    )
+
+
+GOPHER_REPETITION_SQL = """
+WITH tok AS (
+  SELECT doc_id, length(text)::DOUBLE AS nch, string_split(text, ' ') AS words
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+  FROM tok, LATERAL unnest(generate_series(1, len(words) - 1)) AS t(i)
+),
+c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(c * length(g))::DOUBLE AS m FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+  FROM tok, LATERAL unnest(generate_series(1, len(words) - 2)) AS t(i)
+),
+c3 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g3 GROUP BY 1, 2),
+a3 AS (
+  SELECT doc_id,
+         max(c * length(g))::DOUBLE AS m,
+         sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)::DOUBLE AS s
+  FROM c3 GROUP BY doc_id
+)
+SELECT tok.doc_id,
+       round(coalesce(t2.m, 0) / tok.nch, 6) AS top2_frac,
+       round(coalesce(a3.m, 0) / tok.nch, 6) AS top3_frac,
+       round(coalesce(a3.s, 0) / tok.nch, 6) AS dup3_frac
+FROM tok LEFT JOIN t2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+"""
+
+
+_GATE_SCHEMA = pa.schema(
+    [("source", pa.string()), ("kept", pa.int64()), ("dropped", pa.int64())]
+)
+
+
+def gopher_gate(sf_dir: str) -> rd.Dataset:
+    """Per-source kept/dropped counts under the repetition gate (all three
+    signals within threshold).  The exchange ships only #sources-bounded
+    (source, kept, dropped) partials."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_GATE_SCHEMA)
+        sig = _repetition_kernel(t)
+        ok = (
+            (sig["top2_frac"].to_numpy(zero_copy_only=False) <= GATE_TOP2)
+            & (sig["top3_frac"].to_numpy(zero_copy_only=False) <= GATE_TOP3)
+            & (sig["dup3_frac"].to_numpy(zero_copy_only=False) <= GATE_DUP3)
+        )
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        ks = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        kept = np.add.reduceat(ok[order].astype(np.int64), starts)
+        tot = np.add.reduceat(np.ones(len(ks), np.int64), starts)
+        return pa.table(
+            {
+                "source": enc.dictionary.take(pa.array(ks[starts])),
+                "kept": pa.array(kept, pa.int64()),
+                "dropped": pa.array(tot - kept, pa.int64()),
+            },
+            schema=_GATE_SCHEMA,
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        return pa.table(
+            {
+                "source": g["source"].slice(0, 1),
+                "kept": pa.array(
+                    [pc.sum(g["kept"]).as_py() or 0], pa.int64()
+                ),
+                "dropped": pa.array(
+                    [pc.sum(g["dropped"]).as_py() or 0], pa.int64()
+                ),
+            },
+            schema=_GATE_SCHEMA,
+        )
+
+    ds = _read_docs(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return ds.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+GOPHER_GATE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, length(text)::DOUBLE AS nch,
+         string_split(text, ' ') AS words
+  FROM documents
+),
+g2 AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] AS g
+  FROM tok, LATERAL unnest(generate_series(1, len(words) - 1)) AS t(i)
+),
+c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(c * length(g))::DOUBLE AS m FROM c2 GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+  FROM tok, LATERAL unnest(generate_series(1, len(words) - 2)) AS t(i)
+),
+c3 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g3 GROUP BY 1, 2),
+a3 AS (
+  SELECT doc_id,
+         max(c * length(g))::DOUBLE AS m,
+         sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)::DOUBLE AS s
+  FROM c3 GROUP BY doc_id
+),
+sig AS (
+  SELECT tok.source,
+         (round(coalesce(t2.m, 0) / tok.nch, 6) <= {GATE_TOP2}
+          AND round(coalesce(a3.m, 0) / tok.nch, 6) <= {GATE_TOP3}
+          AND round(coalesce(a3.s, 0) / tok.nch, 6) <= {GATE_DUP3}) AS ok
+  FROM tok LEFT JOIN t2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+)
+SELECT source,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS kept,
+       sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS dropped
+FROM sig GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# Blocklist redaction
+# ---------------------------------------------------------------------------
+
+# RE2-compatible on BOTH sides (Arrow and DuckDB both compile RE2); word
+# boundaries keep 'spark' from matching inside hypothetical longer words.
+REDACT_PATTERN = r"\b(spark|vector|stream)\b"
+REDACT_TOKEN = "<REDACTED>"
+
+
+def doc_redact_terms(sf_dir: str) -> rd.Dataset:
+    """Blocklist redaction (the PII/contamination-removal shape): replace
+    blocklisted terms, count hits per doc.  Pure Arrow RE2 kernels, zero
+    exchange; at 100 TB this is a streaming rewrite straight into the sink."""
+
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_hits", pa.int64()),
+            ("text_red", pa.string()),
+        ]
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_hits": pc.count_substring_regex(
+                    text, pattern=REDACT_PATTERN
+                ).cast(pa.int64()),
+                "text_red": pc.replace_substring_regex(
+                    text, pattern=REDACT_PATTERN, replacement=REDACT_TOKEN
+                ),
+            },
+            schema=schema,
+        )
+
+    return _read_docs(sf_dir).map_batches(kernel, batch_format="pyarrow")
+
+
+DOC_REDACT_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{REDACT_PATTERN}'))::BIGINT AS n_hits,
+       regexp_replace(text, '{REDACT_PATTERN}', '{REDACT_TOKEN}', 'g')
+         AS text_red
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+_EOW = "\x17"  # end-of-word sentinel (ETB; cannot occur in whitespace words)
+_MAX_VOCAB = 1_000_000  # loud guard: the histogram must stay driver-sized
+
+
+def corpus_word_histogram(sf_dir: str) -> dict[str, int]:
+    """ONE distributed counting pass -> {word: count} on the driver.  The
+    exchange ships only per-batch distinct (word, cnt) partials; the driver
+    result is vocab-bounded and guarded loud."""
+    docs = _read_docs(sf_dir, columns=("text",))
+    part_schema = pa.schema([("w", pa.string()), ("cnt", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        split = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        if len(split.values) == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        vc = pc.value_counts(split.values)
+        return pa.table(
+            {"w": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())},
+            schema=part_schema,
+        )
+
+    merged = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("w")
+        .sum("cnt")
+    )
+    out: dict[str, int] = {}
+    for batch in merged.iter_batches(batch_format="pyarrow"):
+        for w, c in zip(
+            batch["w"].to_pylist(), batch["sum(cnt)"].to_pylist()
+        ):
+            out[w] = int(c)
+        if len(out) > _MAX_VOCAB:
+            raise ValueError(
+                f"corpus vocabulary exceeds {_MAX_VOCAB} distinct words; "
+                "BPE training over an unbounded vocab needs a sampled or "
+                "hash-bucketed histogram -- refusing to materialize it"
+            )
+    return out
+
+
+def learn_bpe_merges(
+    word_counts: dict[str, int], num_merges: int
+) -> list[tuple[str, str, int]]:
+    """Sennrich-style merge learning over the word histogram (driver-local;
+    the corpus is never touched again).  Tie-break: highest total count,
+    then lexicographically smallest (left, right) -- fully deterministic.
+    Returns [(left, right, pair_count_at_merge)]."""
+    words: list[list[str]] = []
+    counts: list[int] = []
+    for w in sorted(word_counts):
+        if not w:
+            continue
+        words.append(list(w) + [_EOW])
+        counts.append(word_counts[w])
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for sym, c in zip(words, counts):
+            for a, b in zip(sym[:-1], sym[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts, key=lambda p: (-pair_counts[p], p))
+        n = pair_counts[best]
+        if n < 2:
+            break
+        merges.append((best[0], best[1], n))
+        a, b = best
+        ab = a + b
+        for sym in words:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == a and sym[i + 1] == b:
+                    sym[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def encode_word(word: str, merges: list[tuple[str, str, int]]) -> list[str]:
+    """Apply learned merges (in order) to one word; greedy left-to-right per
+    merge, matching the training-time replacement."""
+    sym = list(word) + [_EOW]
+    for a, b, _ in merges:
+        i = 0
+        while i < len(sym) - 1:
+            if sym[i] == a and sym[i + 1] == b:
+                sym[i : i + 2] = [a + b]
+            else:
+                i += 1
+    return sym
+
+
+def bpe_merges(sf_dir: str, num_merges: int = 24) -> pa.Table:
+    """The learned merge table (step, left, right, pair_count).  Iterative
+    training -> no SQL oracle; exactness vs a naive pure-Python reference is
+    pinned in tests/test_quality_w5.py."""
+    hist = corpus_word_histogram(sf_dir)
+    merges = learn_bpe_merges(hist, num_merges)
+    return pa.table(
+        {
+            "step": pa.array(range(len(merges)), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )
+
+
+def bpe_encode_stats(sf_dir: str, num_merges: int = 24) -> rd.Dataset:
+    """Distributed encode pass: per-source total piece count under the
+    learned merges.  Per-batch cost is proportional to DISTINCT words in
+    the batch (dictionary-encode, encode each unique word once, scatter
+    piece counts by code); merges ride the closure (few KB)."""
+    hist = corpus_word_histogram(sf_dir)
+    merges = learn_bpe_merges(hist, num_merges)
+
+    out_schema = pa.schema(
+        [("source", pa.string()), ("n_pieces", pa.int64()), ("n_words", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        split = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.values
+        offs = split.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        nd = t.num_rows
+        if len(flat) == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        enc = flat.dictionary_encode()
+        pieces_per_code = np.array(
+            [len(encode_word(w, merges)) for w in enc.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        per_tok = pieces_per_code[
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        per_doc = np.add.reduceat(per_tok, offs[:-1]) if len(per_tok) else np.zeros(0, np.int64)
+        per_doc = np.where(offs[1:] > offs[:-1], per_doc, 0)
+        n_words = offs[1:] - offs[:-1]
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        senc = src.dictionary_encode()
+        codes = senc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        ks = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        return pa.table(
+            {
+                "source": senc.dictionary.take(pa.array(ks[starts])),
+                "n_pieces": pa.array(
+                    np.add.reduceat(per_doc[order], starts), pa.int64()
+                ),
+                "n_words": pa.array(
+                    np.add.reduceat(n_words[order], starts), pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        return pa.table(
+            {
+                "source": g["source"].slice(0, 1),
+                "n_pieces": pa.array([pc.sum(g["n_pieces"]).as_py() or 0], pa.int64()),
+                "n_words": pa.array([pc.sum(g["n_words"]).as_py() or 0], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    ds = _read_docs(sf_dir, columns=("text", "source")).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return ds.groupby("source").map_groups(merge, batch_format="pyarrow")
