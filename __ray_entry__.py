@@ -628,6 +628,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": _kmeans_q,
         # cohort retention matrix (weekly actives by first-active week)
         "cohort_retention": _analytics("cohort_retention"),
+        # cross-series Pearson correlation between event types' hourly
+        # mean series (pairing over common hours; two rollup-sized exchanges)
+        "type_hourly_corr": _analytics("type_hourly_corr"),
         # PERCENT_RANK + NTILE window functions (exact integer-ratio SQL)
         "value_percent_rank": _analytics("value_percent_rank"),
         # CUME_DIST + DENSE_RANK (same single-exchange rank-scan shape)
@@ -950,6 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_mad": analytics_sql("USER_VALUE_MAD_SQL"),
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
+        "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "gopher_repetition": _qual_sql("GOPHER_REPETITION_SQL"),
         "gopher_gate": _qual_sql("GOPHER_GATE_SQL"),
         "doc_redact_terms": _qual_sql("DOC_REDACT_SQL"),

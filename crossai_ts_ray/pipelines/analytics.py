@@ -3945,3 +3945,118 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-series correlation: Pearson r between event types' hourly mean series
+# ---------------------------------------------------------------------------
+
+
+def type_hourly_corr(sf_dir: str):
+    """Pearson correlation between each pair of event types' hourly mean
+    series, over the hours where BOTH types have data (the time-series form
+    of the reference's corr-matrix EDA, caits/eda via functions/eda.corr --
+    there a per-DataFrame column matrix, here distributed series pairing).
+
+    Scale shape: exchange 1 is the hourly rollup (events collapse to
+    (type, hour) partials -- rollup-sized); exchange 2 groups the rollup by
+    HOUR and emits T*(T-1)/2 pair rows per hour via triu indices (types are
+    a bounded set, so pair rows are hours x T^2 -- still rollup-sized);
+    the final per-pair moment reduce is #pairs rows.  Raw events are read
+    once and never re-shipped.
+    """
+    from .events_pipeline import hourly_rollup
+
+    pair_schema = pa.schema(
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("x", pa.float64()),
+            ("y", pa.float64()),
+        ]
+    )
+
+    def pair_rows(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        k = g.num_rows
+        if k < 2:
+            return pa.Table.from_pylist([], schema=pair_schema)
+        src = g["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        order = pa.compute.sort_indices(src)
+        src = src.take(order)
+        # hourly mean from the already-exact rollup columns (val_sum is the
+        # oracle-matched rounded sum, so x/y are bit-identical to SQL's)
+        m = (
+            _np(g["val_sum"])[order.to_numpy(zero_copy_only=False)]
+            / _np(g["count"])[order.to_numpy(zero_copy_only=False)]
+        )
+        i, j = np.triu_indices(k, 1)
+        return pa.table(
+            {
+                "type_a": src.take(pa.array(i)),
+                "type_b": src.take(pa.array(j)),
+                "x": pa.array(m[i], pa.float64()),
+                "y": pa.array(m[j], pa.float64()),
+            },
+            schema=pair_schema,
+        )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        x = _np(g["x"])
+        y = _np(g["y"])
+        n = len(x)
+        mx, my = x.sum() / n, y.sum() / n
+        sxx, syy, sxy = (x * x).sum() / n, (y * y).sum() / n, (x * y).sum() / n
+        vx, vy = sxx - mx * mx, syy - my * my
+        corr = (
+            round(float((sxy - mx * my) / np.sqrt(vx * vy)), 6)
+            if vx > 0 and vy > 0
+            else None
+        )
+        return pa.table(
+            {
+                "type_a": g["type_a"][:1].cast(pa.string()),
+                "type_b": g["type_b"][:1].cast(pa.string()),
+                "n_hours": pa.array([n], pa.int64()),
+                "corr_ab": pa.array([corr], pa.float64()),
+            }
+        )
+
+    pairs = (
+        hourly_rollup(sf_dir)
+        .groupby("bucket")
+        .map_groups(pair_rows, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["type_a", "type_b"])
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+TYPE_HOURLY_CORR_SQL = """
+WITH h AS (
+  SELECT event_type AS source, (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         count(*)::BIGINT AS cnt, round(sum(value), 6) AS val_sum
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT source, bucket, val_sum / cnt AS v FROM h),
+p AS (
+  SELECT a.source AS type_a, b.source AS type_b, a.v AS x, b.v AS y
+  FROM m a JOIN m b ON a.bucket = b.bucket AND a.source < b.source
+),
+s AS (
+  SELECT type_a, type_b, count(*)::BIGINT AS n_hours,
+         avg(x) AS mx, avg(y) AS my,
+         avg(x * x) AS sxx, avg(y * y) AS syy, avg(x * y) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_hours,
+       CASE WHEN sxx - mx * mx > 0 AND syy - my * my > 0
+            THEN round((sxy - mx * my)
+                       / sqrt((sxx - mx * mx) * (syy - my * my)), 6)
+       END AS corr_ab
+FROM s
+"""

@@ -47,6 +47,7 @@ SAMPLE = [
     "user_conversion",       # funnel: first signup -> first later purchase
     "q10_returned_revenue",  # join + grouped top-k + dimension attach
     "segment_nation_rollup", # GROUP BY ROLLUP: 3 granularities, one pass
+    "type_hourly_corr",      # cross-series Pearson r over paired hourly means
 ]
 
 
