@@ -185,6 +185,26 @@ def interval_iou(a: tuple[int, int], b: tuple[int, int]) -> float:
     return inter / union if union > 0 else 0.0
 
 
+def _match_intervals(
+    ps: np.ndarray, pe: np.ndarray, ground_truth: list[tuple[int, int]]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Best-IoU ground-truth match for every predicted interval, as one
+    (n_pred x n_gt) broadcast: returns (best_index, best_iou) with ties
+    resolved to the first maximum (argmax order, matching the scalar
+    formulation in interval_iou / detection.py:98-160)."""
+    n = len(ps)
+    if not ground_truth or n == 0:
+        return np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.float64)
+    g = np.asarray(ground_truth, dtype=np.float64).reshape(-1, 2)
+    inter = np.maximum(
+        0.0, np.minimum(pe[:, None], g[None, :, 1]) - np.maximum(ps[:, None], g[None, :, 0])
+    )
+    union = np.maximum(pe[:, None], g[None, :, 1]) - np.minimum(ps[:, None], g[None, :, 0])
+    iou = np.divide(inter, union, out=np.zeros_like(inter), where=union > 0)
+    best = iou.argmax(axis=1)
+    return best, iou[np.arange(n), best]
+
+
 def classify_events(
     predicted: list[tuple[int, int]],
     ground_truth: list[tuple[int, int]],
@@ -193,32 +213,35 @@ def classify_events(
     """Match each predicted event to the ground truth with max IoU
     (detection.py:98-160): insertions (no match), correct detections,
     and per-gt hit bookkeeping for deletion counting."""
-    rows = []
-    matched_gt: set[int] = set()
-    for p in predicted:
-        ious = [interval_iou(p, g) for g in ground_truth]
-        best = int(np.argmax(ious)) if ious else -1
-        best_iou = ious[best] if ious else 0.0
-        ok = best_iou >= iou_threshold
-        if ok:
-            matched_gt.add(best)
-        rows.append(
-            {
-                "pred_start": p[0], "pred_end": p[1],
-                "gt_index": best if ok else -1,
-                "iou": round(best_iou, 6),
-                "kind": "detection" if ok else "insertion",
-            }
+    pred = np.asarray(predicted, dtype=np.float64).reshape(-1, 2)
+    best, best_iou = _match_intervals(pred[:, 0], pred[:, 1], ground_truth)
+    ok = best_iou >= iou_threshold
+    rows = pd.DataFrame(
+        {
+            "pred_start": pred[:, 0].astype(np.int64),
+            "pred_end": pred[:, 1].astype(np.int64),
+            "gt_index": np.where(ok, best, -1),
+            "iou": np.round(best_iou, 6),
+            "kind": np.where(ok, "detection", "insertion"),
+        }
+    )
+    matched_gt = set(best[ok].tolist())
+    missing = [gi for gi in range(len(ground_truth)) if gi not in matched_gt]
+    if missing:
+        rows = pd.concat(
+            [
+                rows,
+                pd.DataFrame(
+                    {
+                        "pred_start": -1, "pred_end": -1,
+                        "gt_index": np.asarray(missing, dtype=np.int64),
+                        "iou": 0.0, "kind": "deletion",
+                    }
+                ),
+            ],
+            ignore_index=True,
         )
-    for gi in range(len(ground_truth)):
-        if gi not in matched_gt:
-            rows.append(
-                {
-                    "pred_start": -1, "pred_end": -1, "gt_index": gi,
-                    "iou": 0.0, "kind": "deletion",
-                }
-            )
-    return pd.DataFrame(rows, columns=["pred_start", "pred_end", "gt_index", "iou", "kind"])
+    return rows[["pred_start", "pred_end", "gt_index", "iou", "kind"]]
 
 
 def detection_metrics(events_df: pd.DataFrame, n_gt: int) -> dict:
@@ -241,18 +264,52 @@ def classify_events_distributed(pred_ds, ground_truth_by_key: dict, iou_threshol
 
     gt_ref = ray.put(ground_truth_by_key)
 
+    out_schema = pa.schema(
+        [
+            ("pred_start", pa.int64()),
+            ("pred_end", pa.int64()),
+            ("gt_index", pa.int64()),
+            ("iou", pa.float64()),
+            ("kind", pa.string()),
+            ("key", pa.string()),
+        ]
+    )
+
     def match(t: pa.Table) -> pa.Table:
+        """Vectorized per-batch kernel: group rows by key with one stable
+        argsort, then run the broadcast IoU match (_match_intervals) on each
+        contiguous key slice -- no per-row or per-pair Python work; the only
+        loop is over distinct keys in the batch, each iteration pure NumPy.
+        Deletions need the global per-key view, so only detection/insertion
+        rows are emitted here."""
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
         gts = ray.get(gt_ref)
-        df = t.to_pandas()
-        out = []
-        for key, grp in df.groupby("key"):
-            preds = list(zip(grp["start"], grp["end"]))
-            res = classify_events(preds, gts.get(key, []), iou_threshold)
-            res = res[res["kind"] != "deletion"].copy()  # deletions need global view
-            res["key"] = key
-            out.append(res)
-        if not out:
-            return pa.Table.from_pylist([])
-        return pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False)
+        t = t.combine_chunks()
+        keys = np.asarray(t["key"].to_numpy(zero_copy_only=False))
+        start = t["start"].to_numpy(zero_copy_only=False).astype(np.float64)
+        end = t["end"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.argsort(keys, kind="stable")
+        keys, start, end = keys[order], start[order], end[order]
+        uniq, bounds = np.unique(keys, return_index=True)
+        gt_index = np.empty(len(keys), dtype=np.int64)
+        iou = np.empty(len(keys), dtype=np.float64)
+        slices = np.append(bounds, len(keys))
+        for ki, key in enumerate(uniq):
+            sl = slice(slices[ki], slices[ki + 1])
+            best, best_iou = _match_intervals(start[sl], end[sl], gts.get(key, []))
+            gt_index[sl], iou[sl] = best, best_iou
+        ok = iou >= iou_threshold
+        return pa.table(
+            {
+                "pred_start": pa.array(start.astype(np.int64)),
+                "pred_end": pa.array(end.astype(np.int64)),
+                "gt_index": pa.array(np.where(ok, gt_index, -1)),
+                "iou": pa.array(np.round(iou, 6)),
+                "kind": pa.array(np.where(ok, "detection", "insertion")),
+                "key": pa.array(keys, pa.string()),
+            },
+            schema=out_schema,
+        )
 
     return pred_ds.map_batches(match, batch_format="pyarrow")

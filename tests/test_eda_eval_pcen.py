@@ -91,6 +91,52 @@ def test_classify_events_iou():
     assert m["erer"] == 1.0
 
 
+def test_classify_events_distributed_matches_serial(ray_session):
+    """The vectorized batch kernel must reproduce the serial classify_events
+    row-for-row (minus deletions, which need the global per-key view) on a
+    randomized many-key fixture with overlaps, ties, and gt-less keys."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 400
+    keys = rng.choice([f"k{i}" for i in range(12)], n)
+    start = rng.integers(0, 1000, n)
+    end = start + rng.integers(1, 60, n)
+    pred = pd.DataFrame({"key": keys, "start": start, "end": end})
+    gts = {
+        f"k{i}": [
+            (int(s), int(s + w))
+            for s, w in zip(rng.integers(0, 1000, 8), rng.integers(1, 80, 8))
+        ]
+        for i in range(10)  # k10/k11 deliberately absent
+    }
+    out = (
+        ev.classify_events_distributed(rd.from_pandas(pred), gts, 0.4)
+        .to_pandas()
+        .sort_values(["key", "pred_start", "pred_end", "gt_index"])
+        .reset_index(drop=True)
+    )
+    expected = []
+    for key, grp in pred.groupby("key"):
+        res = ev.classify_events(
+            list(zip(grp["start"], grp["end"])), gts.get(key, []), 0.4
+        )
+        res = res[res["kind"] != "deletion"].copy()
+        res["key"] = key
+        expected.append(res)
+    exp = (
+        pd.concat(expected, ignore_index=True)
+        .sort_values(["key", "pred_start", "pred_end", "gt_index"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == n == len(exp)
+    pd.testing.assert_frame_equal(
+        out[["key", "pred_start", "pred_end", "gt_index", "iou", "kind"]],
+        exp[["key", "pred_start", "pred_end", "gt_index", "iou", "kind"]],
+        check_dtype=False,
+    )
+
+
 def test_classify_events_distributed(ray_session):
     import ray.data as rd
 
