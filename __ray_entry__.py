@@ -284,6 +284,21 @@ def _qual_sql(name: str) -> str:
     return getattr(quality_w5, name)
 
 
+def _mix(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import mixture
+
+        return getattr(mixture, fn_name)(sf_dir)
+
+    return run
+
+
+def _mix_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import mixture
+
+    return getattr(mixture, name)
+
+
 def _ann(fn_name: str) -> Callable[[str], Any]:
     def run(sf_dir: str):
         from crossai_ts_ray.pipelines import ann_pipeline
@@ -566,6 +581,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative IRLS fit; NumPy-reference parity + planted-class
         # recovery pinned in tests/test_quality_classifier.py)
         "doc_quality_scores": _doc_quality_q,
+        # deterministic source-mixture resampling (domain balancing by
+        # content-hash thresholds; one #sources exchange + a pure filter)
+        "resample_mixture": _mix("resample_mixture"),
+        # greedy sequence packing into 512-token bins, per-source in-order
+        # (cumsum + searchsorted kernel; loop is per output bin)
+        "pack_sequences": _mix("pack_sequences"),
         "q6_forecast_revenue": _rel("q6_forecast_revenue"),
         "q3_shipping_priority": _rel("q3_shipping_priority"),
         "parts_never_bulk_ordered": _rel("parts_never_bulk_ordered"),
@@ -954,6 +975,8 @@ def oracle_sql() -> dict[str, str]:
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
+        "resample_mixture": _mix_sql("RESAMPLE_MIXTURE_SQL"),
+        "pack_sequences": _mix_sql("PACK_SEQUENCES_SQL"),
         "gopher_repetition": _qual_sql("GOPHER_REPETITION_SQL"),
         "gopher_gate": _qual_sql("GOPHER_GATE_SQL"),
         "doc_redact_terms": _qual_sql("DOC_REDACT_SQL"),
