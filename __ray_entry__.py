@@ -652,6 +652,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-series Pearson correlation between event types' hourly
         # mean series (pairing over common hours; two rollup-sized exchanges)
         "type_hourly_corr": _analytics("type_hourly_corr"),
+        # ordered-pair lagged cross-correlation (lead/lag structure): A at
+        # hour t vs B at t+1 (map-side rollup duplication, bounded pairs)
+        "type_hourly_xcorr_lag1": _analytics("type_hourly_xcorr_lag1"),
+        # deterministic n-per-source sample by (md5, doc_id) order with
+        # per-batch monotone combiner (grouped companion of doc_sample_hash)
+        "stratified_sample_docs": _analytics("stratified_sample_docs"),
         # PERCENT_RANK + NTILE window functions (exact integer-ratio SQL)
         "value_percent_rank": _analytics("value_percent_rank"),
         # CUME_DIST + DENSE_RANK (same single-exchange rank-scan shape)
@@ -975,6 +981,8 @@ def oracle_sql() -> dict[str, str]:
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
+        "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),
+        "stratified_sample_docs": analytics_sql("STRATIFIED_SAMPLE_SQL"),
         "resample_mixture": _mix_sql("RESAMPLE_MIXTURE_SQL"),
         "pack_sequences": _mix_sql("PACK_SEQUENCES_SQL"),
         "gopher_repetition": _qual_sql("GOPHER_REPETITION_SQL"),

@@ -4003,28 +4003,6 @@ def type_hourly_corr(sf_dir: str):
             schema=pair_schema,
         )
 
-    def finalize(g: pa.Table) -> pa.Table:
-        g = g.combine_chunks()
-        x = _np(g["x"])
-        y = _np(g["y"])
-        n = len(x)
-        mx, my = x.sum() / n, y.sum() / n
-        sxx, syy, sxy = (x * x).sum() / n, (y * y).sum() / n, (x * y).sum() / n
-        vx, vy = sxx - mx * mx, syy - my * my
-        corr = (
-            round(float((sxy - mx * my) / np.sqrt(vx * vy)), 6)
-            if vx > 0 and vy > 0
-            else None
-        )
-        return pa.table(
-            {
-                "type_a": g["type_a"][:1].cast(pa.string()),
-                "type_b": g["type_b"][:1].cast(pa.string()),
-                "n_hours": pa.array([n], pa.int64()),
-                "corr_ab": pa.array([corr], pa.float64()),
-            }
-        )
-
     pairs = (
         hourly_rollup(sf_dir)
         .groupby("bucket")
@@ -4032,7 +4010,33 @@ def type_hourly_corr(sf_dir: str):
     )
     return (
         pairs.groupby(["type_a", "type_b"])
-        .map_groups(finalize, batch_format="pyarrow")
+        .map_groups(_corr_finalize, batch_format="pyarrow")
+    )
+
+
+def _corr_finalize(g: pa.Table) -> pa.Table:
+    """Per-(type_a, type_b) Pearson r from the paired (x, y) series via
+    moment sums -- one output row per group; the SQL mirror computes the
+    identical avg-of-products form."""
+    g = g.combine_chunks()
+    x = _np(g["x"])
+    y = _np(g["y"])
+    n = len(x)
+    mx, my = x.sum() / n, y.sum() / n
+    sxx, syy, sxy = (x * x).sum() / n, (y * y).sum() / n, (x * y).sum() / n
+    vx, vy = sxx - mx * mx, syy - my * my
+    corr = (
+        round(float((sxy - mx * my) / np.sqrt(vx * vy)), 6)
+        if vx > 0 and vy > 0
+        else None
+    )
+    return pa.table(
+        {
+            "type_a": g["type_a"][:1].cast(pa.string()),
+            "type_b": g["type_b"][:1].cast(pa.string()),
+            "n_hours": pa.array([n], pa.int64()),
+            "corr_ab": pa.array([corr], pa.float64()),
+        }
     )
 
 
@@ -4059,4 +4063,209 @@ SELECT type_a, type_b, n_hours,
                        / sqrt((sxx - mx * mx) * (syy - my * my)), 6)
        END AS corr_ab
 FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Lagged cross-correlation: type A's hourly mean at t vs type B's at t+1
+# ---------------------------------------------------------------------------
+
+
+def type_hourly_xcorr_lag1(sf_dir: str, lag: int = 1):
+    """Pearson correlation between each ORDERED pair of event types with a
+    one-hour lead: type_a's hourly mean at hour t paired with type_b's at
+    t + ``lag`` (lead/lag structure detection -- which series anticipates
+    which).  Direction matters at lag != 0, so all T*(T-1) ordered pairs.
+
+    Scale shape: same two rollup-sized exchanges as ``type_hourly_corr``,
+    plus one map-side duplication of the rollup (each (type, hour, mean) row
+    is tagged once as the x side at pairing-hour ``bucket`` and once as the
+    y side at ``bucket - lag``); the per-pairing-hour group emits the
+    x-by-y cross pairs (bounded: types are a small domain).
+    """
+    from .events_pipeline import hourly_rollup
+
+    tag_schema = pa.schema(
+        [
+            ("h", pa.int64()),
+            ("side", pa.int8()),
+            ("source", pa.string()),
+            ("m", pa.float64()),
+        ]
+    )
+    pair_schema = pa.schema(
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("x", pa.float64()),
+            ("y", pa.float64()),
+        ]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        b = _np(t["bucket"]).astype(np.int64)
+        m = _np(t["val_sum"]) / _np(t["count"])
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        n = len(b)
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate([b, b - lag])),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+                "source": pa.concat_arrays([src, src]),
+                "m": pa.array(np.concatenate([m, m]), pa.float64()),
+            },
+            schema=tag_schema,
+        )
+
+    def cross_pairs(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        side = _np(g["side"])
+        src = np.asarray(g["source"].to_pylist(), dtype=object)
+        m = _np(g["m"])
+        xi = np.flatnonzero(side == 0)
+        yi = np.flatnonzero(side == 1)
+        if len(xi) == 0 or len(yi) == 0:
+            return pa.Table.from_pylist([], schema=pair_schema)
+        # deterministic pair order regardless of group row order
+        xi = xi[np.argsort(src[xi], kind="stable")]
+        yi = yi[np.argsort(src[yi], kind="stable")]
+        ii, jj = np.meshgrid(xi, yi, indexing="ij")
+        ii, jj = ii.ravel(), jj.ravel()
+        keep = src[ii] != src[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pa.table(
+            {
+                "type_a": pa.array(src[ii], pa.string()),
+                "type_b": pa.array(src[jj], pa.string()),
+                "x": pa.array(m[ii], pa.float64()),
+                "y": pa.array(m[jj], pa.float64()),
+            },
+            schema=pair_schema,
+        )
+
+    pairs = (
+        hourly_rollup(sf_dir)
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("h")
+        .map_groups(cross_pairs, batch_format="pyarrow")
+    )
+    return (
+        pairs.groupby(["type_a", "type_b"])
+        .map_groups(_corr_finalize, batch_format="pyarrow")
+    )
+
+
+TYPE_HOURLY_XCORR_SQL = """
+WITH h AS (
+  SELECT event_type AS source, (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         count(*)::BIGINT AS cnt, round(sum(value), 6) AS val_sum
+  FROM events GROUP BY 1, 2
+),
+m AS (SELECT source, bucket, val_sum / cnt AS v FROM h),
+p AS (
+  SELECT a.source AS type_a, b.source AS type_b, a.v AS x, b.v AS y
+  FROM m a JOIN m b ON b.bucket = a.bucket + 1 AND a.source <> b.source
+),
+s AS (
+  SELECT type_a, type_b, count(*)::BIGINT AS n_hours,
+         avg(x) AS mx, avg(y) AS my,
+         avg(x * x) AS sxx, avg(y * y) AS syy, avg(x * y) AS sxy
+  FROM p GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_hours,
+       CASE WHEN sxx - mx * mx > 0 AND syy - my * my > 0
+            THEN round((sxy - mx * my)
+                       / sqrt((sxx - mx * mx) * (syy - my * my)), 6)
+       END AS corr_ab
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sample: n docs per source by content-hash order
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample_docs(sf_dir: str, n: int = 5):
+    """The ``n`` documents per source with the smallest ``(md5(text),
+    doc_id)`` key -- per-stratum capped sampling that is a pure function of
+    content (same rows at any cluster size / partitioning), the grouped
+    companion of ``doc_sample_hash``'s global Bernoulli sample.
+
+    Scale shape: the per-batch combiner prunes to <= n rows per source per
+    batch (selection by minimum is monotone under merging), so the keyed
+    exchange moves at most ``batches x sources_per_batch x n`` rows; the
+    per-source merge repeats the selection and emits the rank.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.text import md5_fingerprint
+
+    ds = read_parquet_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "n_chars"],
+    )
+
+    def select(t: pa.Table, emit_rank: bool) -> pa.Table:
+        t = t.combine_chunks()
+        if "fp" not in t.schema.names:
+            fp = pa.array(
+                [md5_fingerprint(s) for s in t["text"].to_pylist()], pa.string()
+            )
+            t = t.drop_columns(["text"]).append_column("fp", fp)
+        order = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("source", "ascending"),
+                ("fp", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        t = t.take(order)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        codes = src.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate(([True], codes[1:] != codes[:-1]))
+        )
+        rank = np.arange(len(codes), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(codes)))
+        )
+        t = t.append_column("rn", pa.array(rank + 1))
+        t = t.filter(pa.array(rank < n))
+        if emit_rank:
+            return pa.table(
+                {
+                    "source": t["source"],
+                    "doc_id": t["doc_id"].cast(pa.int64()),
+                    "n_chars": t["n_chars"].cast(pa.int64()),
+                    "rn": t["rn"],
+                }
+            )
+        return t.drop_columns(["rn"])
+
+    pruned = ds.map_batches(lambda b: select(b, False), batch_format="pyarrow")
+    return pruned.groupby("source").map_groups(
+        lambda g: select(g, True), batch_format="pyarrow"
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT source, doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+       rn::BIGINT AS rn
+FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= 5
 """

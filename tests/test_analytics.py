@@ -511,3 +511,51 @@ def test_lead_bounds_matches_pandas(ray_session):
             assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
         else:
             assert (a == b).all(), c
+
+
+def test_xcorr_lag1_detects_planted_lead(ray_session, tmp_path):
+    """Type b is type a shifted forward one hour: corr(a at t, b at t+1)
+    is ~1, while the reverse direction (b leads a) is far from 1."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.analytics import type_hourly_xcorr_lag1
+
+    d = str(tmp_path / "xc")
+    os.makedirs(d, exist_ok=True)
+    base = np.datetime64("2000-01-01T00:00:00", "us").astype(np.int64)
+    HOUR_US = 3600 * 1_000_000
+    n = 24 * 10
+    rng = np.random.default_rng(3)
+    sig = np.round(np.cumsum(rng.normal(0, 1, n)) + 100, 2)  # wandering series
+    ts = base + np.arange(n, dtype=np.int64) * HOUR_US
+    rows = {
+        "user_id": pa.array(np.ones(2 * n, np.int64)),
+        "event_id": pa.array(np.arange(2 * n, dtype=np.int64)),
+        "event_type": pa.array(["a"] * n + ["b"] * n),
+        # b at hour t+1 equals a at hour t
+        "ts": pa.array(np.concatenate([ts, ts + HOUR_US]).view("datetime64[us]")),
+        "value": pa.array(np.concatenate([sig, sig]), pa.float64()),
+    }
+    pq.write_table(pa.table(rows), f"{d}/events.parquet")
+    got = type_hourly_xcorr_lag1(d).to_pandas().set_index(["type_a", "type_b"])
+    assert got.loc[("a", "b"), "corr_ab"] == 1.0
+    assert got.loc[("b", "a"), "corr_ab"] < 0.99
+
+
+def test_stratified_sample_docs_cap_and_determinism(ray_session):
+    import pandas as pd
+
+    from crossai_ts_ray.pipelines.analytics import stratified_sample_docs
+
+    out = stratified_sample_docs(SF, n=3).to_pandas()
+    per = out.groupby("source").size()
+    assert (per == 3).all()
+    assert set(out["rn"]) == {1, 2, 3}
+    out2 = stratified_sample_docs(SF, n=3).to_pandas()
+    a = out.sort_values(["source", "rn"]).reset_index(drop=True)
+    b = out2.sort_values(["source", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
