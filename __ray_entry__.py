@@ -532,6 +532,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_exact": _text("clean_corpus_exact"),
         # similarity search family
         "ann_cosine_topk": _ann("cosine_topk"),
+        # incremental IVF: even half built, odd half APPENDED (two-phase
+        # committed, no rebuild), all cells probed -- must equal exact top-k
+        "ann_ivf_append_topk": _ann("ann_ivf_append_topk"),
         # one streaming pass scores ALL queries (batch x query matmul
         # vs a broadcast query matrix) -- the production batch shape
         "ann_cosine_topk_multi": _ann("cosine_topk_multi"),
@@ -1048,6 +1051,9 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": rel_w3_sql("Q17_SQL"),
         "q22_lapsed_customers": rel_w3_sql("Q22_SQL"),
         "ann_cosine_topk": ann_sql("COSINE_TOPK_SQL"),
+        # the append path probed at nprobe=all is exact, so it shares the
+        # brute-force oracle
+        "ann_ivf_append_topk": ann_sql("COSINE_TOPK_SQL"),
         "ann_cosine_topk_multi": ann_sql("COSINE_TOPK_MULTI_SQL"),
         # exact triangle-join near pairs ARE SQL-expressible (quadratic
         # oracle is fine at sf0.01)

@@ -990,6 +990,210 @@ def ivf_topk(
 
 
 # ---------------------------------------------------------------------------
+# Incremental IVF: append new vectors to a persisted index without rebuild
+# ---------------------------------------------------------------------------
+
+
+def _read_ivf_centroids(root: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    cent = pq.read_table(os.path.join(root, "_centroids.parquet"))
+    flat = cent["centroid"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    C = flat.reshape(cent.num_rows, len(flat) // cent.num_rows)
+    return C, cent["cell"].to_numpy(zero_copy_only=False)
+
+
+def _ivf_assign_kernel(c_ref):
+    """Shared cell-assignment kernel: argmax cosine against the broadcast
+    centroid matrix (identical math at build and append time, so an
+    appended vector lands exactly where a rebuild would put it)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        t = t.combine_chunks()
+        m, ids = _emb_matrix(t)
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        cell = np.argmax(mn @ Cm.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), pa.int64()),
+                "embedding": t["embedding"],
+                "cell": pa.array(cell, pa.int64()),
+            }
+        )
+
+    return assign
+
+
+def _append_marker(root: str, batch_id: str) -> str:
+    return os.path.join(root, f"_append_{batch_id}.committed")
+
+
+def append_ivf_index(root: str, new_vectors, batch_id: str) -> dict:
+    """Append new embeddings to the persisted IVF index WITHOUT rebuilding:
+    vectors are assigned to the EXISTING centroids and written as new files
+    inside their cell partitions -- the production shape for a growing
+    corpus (the index is built once; daily ingest appends).
+
+    Two-phase commit in the dedup-index style (state/dedup_index.py):
+    per-cell data files land as ``.tmp`` (invisible to readers, who glob
+    ``*.parquet`` only), then a driver-side marker file publishes the whole
+    append atomically.  A replay of the same ``batch_id`` after a crash
+    first removes any partially-renamed files of that batch (filenames
+    embed the batch id, so recovery is deterministic), re-writes, and
+    commits; a replay after commit is a no-op.
+
+    Scale shape: ONE keyed exchange of the appended vectors (groupby cell);
+    one file per touched cell per append (the compaction stage exists for
+    the many-appends case).  The centroid matrix is tiny and broadcast.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.exists(_append_marker(root, batch_id)):
+        return {"appended": 0, "cells_touched": 0, "replayed": True}
+    # crash recovery: drop any files a previously-interrupted attempt of
+    # THIS batch left behind (committed appends never reach this branch)
+    stale = _glob.glob(os.path.join(root, "cell=*", f"append-{batch_id}.parquet*"))
+    for f in stale:
+        os.remove(f)
+
+    C, _cells = _read_ivf_centroids(root)
+    c_ref = ray.put(C)
+    assign = _ivf_assign_kernel(c_ref)
+
+    stats_schema = pa.schema([("cell", pa.int64()), ("rows", pa.int64())])
+
+    def write_cell(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        cell = int(g["cell"][0].as_py())
+        pdir = os.path.join(root, f"cell={cell}")
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(
+            g.drop_columns(["cell"]),
+            os.path.join(pdir, f"append-{batch_id}.parquet.tmp"),
+        )
+        return pa.table({"cell": pa.array([cell]), "rows": pa.array([g.num_rows])},
+                        schema=stats_schema)
+
+    stats = (
+        new_vectors.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(write_cell, batch_format="pyarrow")
+        .take_all()  # bounded: one row per touched cell
+    )
+    # publish: rename data files, then the marker (the commit point)
+    for f in _glob.glob(os.path.join(root, "cell=*", f"append-{batch_id}.parquet.tmp")):
+        os.replace(f, f[: -len(".tmp")])
+    m_tmp = _append_marker(root, batch_id) + ".tmp"
+    with open(m_tmp, "w") as fh:
+        fh.write(str(sorted((int(r["cell"]), int(r["rows"])) for r in stats)))
+    os.replace(m_tmp, _append_marker(root, batch_id))
+    return {
+        "appended": int(sum(r["rows"] for r in stats)),
+        "cells_touched": len(stats),
+        "replayed": False,
+    }
+
+
+_IVF_APPEND_DIRS: dict[tuple[str, int], str] = {}
+
+
+def _ivf_split_root(sf_dir: str, cells: int = 8, sample_rows: int = 4096) -> str:
+    """Build an IVF index on the even vec_ids, then APPEND the odd half --
+    the incremental-ingest fixture behind ``ann_ivf_append_topk`` (cached
+    per process like the other persisted indexes)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    ck = (sf_dir, cells)
+    hit = _IVF_APPEND_DIRS.get(ck)
+    if hit is not None and os.path.isdir(hit):
+        return hit
+
+    def half(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % 2 == parity))
+
+        return f
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    sample_t = pa.Table.from_batches(
+        [next(pf.iter_batches(batch_size=sample_rows, columns=["vec_id", "embedding"]))]
+    )
+    sample_t = half(0)(sample_t)
+    sm, _ = _emb_matrix(sample_t)
+    smn = sm / np.sqrt((sm * sm).sum(axis=1, keepdims=True))
+    C = _kmeans_centroids(smn, cells)
+    c_ref = ray.put(C)
+
+    root = tempfile.mkdtemp(prefix="crossai_ivf_app_")
+    try:
+        _read_emb(sf_dir).map_batches(half(0), batch_format="pyarrow").map_batches(
+            _ivf_assign_kernel(c_ref), batch_format="pyarrow"
+        ).write_parquet(root, partition_cols=["cell"])
+        pq.write_table(
+            pa.table(
+                {
+                    "cell": pa.array(np.arange(len(C), dtype=np.int64), pa.int64()),
+                    "centroid": pa.array(list(C.astype(np.float64)), pa.list_(pa.float64())),
+                }
+            ),
+            os.path.join(root, "_centroids.parquet"),
+        )
+        odd = _read_emb(sf_dir).map_batches(half(1), batch_format="pyarrow")
+        append_ivf_index(root, odd, batch_id="odd-half")
+    except BaseException:
+        shutil.rmtree(root, ignore_errors=True)
+        raise
+    _IVF_APPEND_DIRS[ck] = root
+    return root
+
+
+def ann_ivf_append_topk(sf_dir: str, k: int = 10, query_id: int = 0, cells: int = 8):
+    """Exact top-k over the INCREMENTALLY BUILT index (even half built,
+    odd half appended) probing ALL cells: proves the append path loses and
+    duplicates nothing -- the result must equal brute-force cosine top-k
+    over the whole table, which is what the SQL oracle computes."""
+    import glob as _glob
+
+    root = _ivf_split_root(sf_dir, cells=cells)
+    q = query_vector(sf_dir, query_id)
+    qn = q / np.sqrt((q * q).sum())
+    q_ref = ray.put(qn)
+    files = _glob.glob(os.path.join(root, "cell=*", "*.parquet"))
+    ds = read_parquet_sized(files, columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        m, ids = _emb_matrix(t)
+        sims = (m @ qv) / np.sqrt((m * m).sum(axis=1))
+        idx = np.argpartition(-sims, k)[:k] if len(sims) > k else np.arange(len(sims))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[idx].astype(np.int64), pa.int64()),
+                "sim": pa.array(np.round(sims[idx], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["sim", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed full-data k-means (Lloyd) over the embedding column
 # ---------------------------------------------------------------------------
 

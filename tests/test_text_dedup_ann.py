@@ -705,3 +705,74 @@ def test_heavy_hitter_terms_threshold_and_planted(ray_session, tmp_path):
     got = canon(to_pandas(heavy_hitter_terms(SF)))
     want = canon(con.sql(HEAVY_HITTER_TERMS_SQL).df())
     assert got.equals(want)
+
+
+def test_ivf_append_placement_replay_and_crash_recovery(ray_session):
+    """Incremental IVF append: (1) appended vectors land in the argmax cell
+    the build kernel would choose; (2) a committed replay is a no-op;
+    (3) a crash window with partially-renamed files but no marker recovers
+    to exactly one copy; (4) .tmp files are never visible to readers."""
+    import glob
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from crossai_ts_ray.pipelines.ann_pipeline import (
+        _ivf_split_root,
+        _read_ivf_centroids,
+        append_ivf_index,
+        _read_emb,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    root = _ivf_split_root(sf, cells=4)
+    all_ids = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id"])[
+        "vec_id"
+    ].to_numpy(zero_copy_only=False)
+
+    # (4) committed index has no .tmp anywhere
+    assert not glob.glob(os.path.join(root, "cell=*", "*.tmp"))
+
+    # (1) every appended (odd) vector sits in its argmax cell
+    C, _ = _read_ivf_centroids(root)
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.array(emb["embedding"].combine_chunks().to_pylist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy(zero_copy_only=False)
+    mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    want_cell = dict(zip(ids, np.argmax(mn @ C.T, axis=1)))
+    seen = {}
+    for d in glob.glob(os.path.join(root, "cell=*")):
+        cell = int(d.split("=")[1])
+        for f in glob.glob(os.path.join(d, "append-odd-half.parquet")):
+            for v in pq.read_table(f, columns=["vec_id"])["vec_id"].to_pylist():
+                seen[v] = cell
+    assert seen, "append wrote no files"
+    assert set(seen) == {int(i) for i in all_ids if i % 2 == 1}
+    for v, c in seen.items():
+        assert c == want_cell[v]
+
+    # (2) replay of a committed batch is a no-op
+    odd = _read_emb(sf).map_batches(
+        lambda t: t.filter(
+            (t["vec_id"].to_pandas() % 2 == 1).to_numpy()
+        ),
+        batch_format="pyarrow",
+    )
+    rep = append_ivf_index(root, odd, batch_id="odd-half")
+    assert rep["replayed"] and rep["appended"] == 0
+    files_before = sorted(glob.glob(os.path.join(root, "cell=*", "*.parquet")))
+
+    # (3) crash window: marker gone, one data file of the batch still
+    # present (as if renamed before the crash) -> replay must converge to
+    # exactly one committed copy per cell, identical totals
+    total_before = sum(
+        pq.read_metadata(f).num_rows for f in files_before
+    )
+    os.remove(os.path.join(root, "_append_odd-half.committed"))
+    rep2 = append_ivf_index(root, odd, batch_id="odd-half")
+    assert not rep2["replayed"] and rep2["appended"] == len(seen)
+    files_after = sorted(glob.glob(os.path.join(root, "cell=*", "*.parquet")))
+    total_after = sum(pq.read_metadata(f).num_rows for f in files_after)
+    assert total_after == total_before
+    assert os.path.exists(os.path.join(root, "_append_odd-half.committed"))
