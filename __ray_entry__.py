@@ -501,6 +501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_type_distinct": _rel("brand_type_distinct"),
         # text family (stats, lang, exact dedup; minhash/simhash rows-only)
         "text_stats": _text("text_stats"),
+        # per-source token-distribution entropy + KL vs corpus (hash(word)
+        # partitioning co-locates corpus totals -- no second join)
+        "source_token_entropy": _text("source_token_entropy"),
         "lang_distribution": _text("lang_distribution"),
         "dedup_exact": _text("dedup_exact"),
         "dedup_minhash_pairs": _text("dedup_minhash_pairs"),
@@ -1008,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "token_novelty_by_bucket": _tngram_sql("token_novelty_by_bucket_sql"),
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),
         "text_stats": _TEXT_STATS_SQL,
+        "source_token_entropy": text_sql("SOURCE_TOKEN_ENTROPY_SQL"),
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
         # the full connected-components + anti-join machinery on

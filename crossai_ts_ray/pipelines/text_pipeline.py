@@ -10,6 +10,8 @@ driver at corpus scale.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -3109,4 +3111,194 @@ SELECT word, count(*)::BIGINT AS cnt
 FROM w, tot
 GROUP BY word, tot.n
 HAVING count(*) * 400 >= tot.n
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-distribution diagnostics: Shannon entropy + KL vs corpus
+# ---------------------------------------------------------------------------
+
+
+def source_token_entropy(sf_dir: str, buckets: int = 32) -> pa.Table:
+    """Per-source token-distribution diagnostics: token count, distinct
+    vocabulary, Shannon entropy (bits/token), and KL divergence against the
+    whole-corpus distribution -- the standard audit pair for spotting
+    low-diversity or off-distribution sources before training.
+
+    Scale shape: per-batch ``value_counts`` collapses each batch to
+    (source, word, cnt) partials BEFORE the one hash(word) exchange
+    (vocab x sources bounded).  Partitioning by WORD means every source's
+    count for a word co-locates with the word's corpus total, so the
+    KL cross term sum_t c_st*log2(C_t) needs NO second join -- each
+    partition emits one moment row per source, and the finalizer reduces
+    #sources x #partitions rows (driver-side, metadata-sized).
+
+    Moment form shared with the SQL mirror: H_s = log2(N_s) - S1/N_s and
+    KL_s = (S1 - S2)/N_s - log2(N_s) + log2(N) with S1 = sum c*log2(c),
+    S2 = sum c*log2(C_t); round-6 bridges float summation order.
+    """
+    from ..stages.joins import hash_prt
+
+    docs = _read_docs(sf_dir, columns=("text", "source"))
+
+    part_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("word", pa.string()),
+            ("cnt", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        lists = pc.split_pattern(t["text"], pattern=" ")
+        words = pc.list_flatten(lists)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_per = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src_rep = src.take(pa.array(np.repeat(np.arange(len(n_per)), n_per)))
+        # batch-local (source, word) counts via a combined dictionary sort
+        sc = src_rep.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wd = words.dictionary_encode()
+        wc = wd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((wc, sc))
+        key_s, key_w = sc[order], wc[order]
+        new = np.concatenate(
+            ([True], (key_s[1:] != key_s[:-1]) | (key_w[1:] != key_w[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(order)))
+        sel = pa.array(order[starts])
+        uniq_words = words.take(sel)
+        # crc32 once per DISTINCT batch word (the dictionary), then gather --
+        # the loop is vocab-sized, not (source x word)-sized
+        dict_h = np.array(
+            [zlib.crc32(w.encode()) for w in wd.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        h = dict_h[key_w[starts]]
+        return pa.table(
+            {
+                "source": src_rep.take(sel),
+                "word": uniq_words,
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    mom_schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_part", pa.int64()),
+            ("vocab_part", pa.int64()),
+            ("s1", pa.float64()),
+            ("s2", pa.float64()),
+        ]
+    )
+
+    def partition_moments(g: pa.Table) -> pa.Table:
+        """Merge partials to exact (source, word) counts, compute the
+        partition's word totals, emit one moment row per source."""
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=mom_schema)
+        sc = g["source"].dictionary_encode().combine_chunks()
+        wc = g["word"].dictionary_encode().combine_chunks()
+        si = sc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        wi = wc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False)
+        # exact (source, word) counts
+        order = np.lexsort((si, wi))
+        kw, ks, kc = wi[order], si[order], cnt[order]
+        new = np.concatenate(([True], (kw[1:] != kw[:-1]) | (ks[1:] != ks[:-1])))
+        starts = np.flatnonzero(new)
+        c = np.add.reduceat(kc, starts)
+        w_of = kw[starts]
+        s_of = ks[starts]
+        # corpus totals per word (all sources of a word are in THIS prt)
+        wstarts = np.flatnonzero(np.concatenate(([True], w_of[1:] != w_of[:-1])))
+        ct = np.add.reduceat(c, wstarts)
+        ct_of = np.repeat(ct, np.diff(np.append(wstarts, len(w_of))))
+        t1 = c * np.log2(c.astype(np.float64))
+        t2 = c * np.log2(ct_of.astype(np.float64))
+        # reduce per source
+        sorder = np.argsort(s_of, kind="stable")
+        ss = s_of[sorder]
+        sstarts = np.flatnonzero(np.concatenate(([True], ss[1:] != ss[:-1])))
+        return pa.table(
+            {
+                "source": sc.dictionary.take(pa.array(ss[sstarts])),
+                "n_part": pa.array(np.add.reduceat(c[sorder], sstarts).astype(np.int64)),
+                "vocab_part": pa.array(
+                    np.diff(np.append(sstarts, len(ss))).astype(np.int64)
+                ),
+                "s1": pa.array(np.add.reduceat(t1[sorder], sstarts), pa.float64()),
+                "s2": pa.array(np.add.reduceat(t2[sorder], sstarts), pa.float64()),
+            },
+            schema=mom_schema,
+        )
+
+    moments = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: partition_moments(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+        .take_all()  # bounded: #sources x #partitions moment rows
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(moments)
+    agg = df.groupby("source", sort=True).agg(
+        n_tokens=("n_part", "sum"),
+        vocab=("vocab_part", "sum"),
+        s1=("s1", "sum"),
+        s2=("s2", "sum"),
+    )
+    n_total = float(agg["n_tokens"].sum())
+    ns = agg["n_tokens"].to_numpy().astype(np.float64)
+    ent = np.round(np.log2(ns) - agg["s1"].to_numpy() / ns, 6)
+    kl = np.round(
+        (agg["s1"].to_numpy() - agg["s2"].to_numpy()) / ns
+        - np.log2(ns)
+        + np.log2(n_total),
+        6,
+    )
+    return pa.table(
+        {
+            "source": pa.array(agg.index.to_numpy(), pa.string()),
+            "n_tokens": pa.array(agg["n_tokens"].to_numpy(), pa.int64()),
+            "vocab": pa.array(agg["vocab"].to_numpy(), pa.int64()),
+            "entropy_bits": pa.array(ent, pa.float64()),
+            "kl_vs_corpus": pa.array(kl, pa.float64()),
+        }
+    )
+
+
+SOURCE_TOKEN_ENTROPY_SQL = """
+WITH w AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (SELECT source, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2),
+g AS (SELECT word, sum(c)::BIGINT AS ct FROM c GROUP BY 1),
+s AS (
+  SELECT c.source, sum(c.c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+         sum(c.c * log2(c.c::DOUBLE)) AS s1,
+         sum(c.c * log2(g.ct::DOUBLE)) AS s2
+  FROM c JOIN g USING (word) GROUP BY 1
+),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS n FROM s)
+SELECT source, n_tokens, vocab,
+       round(log2(n_tokens::DOUBLE) - s1 / n_tokens, 6) AS entropy_bits,
+       round((s1 - s2) / n_tokens - log2(n_tokens::DOUBLE) + log2(n), 6)
+         AS kl_vs_corpus
+FROM s, tot
 """

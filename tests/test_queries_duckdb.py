@@ -48,6 +48,8 @@ SAMPLE = [
     "q10_returned_revenue",  # join + grouped top-k + dimension attach
     "segment_nation_rollup", # GROUP BY ROLLUP: 3 granularities, one pass
     "type_hourly_corr",      # cross-series Pearson r over paired hourly means
+    "source_token_entropy",  # per-source Shannon entropy + KL vs corpus via
+                             # hash(word)-partitioned moment reduction
 ]
 
 
