@@ -78,6 +78,65 @@ FROM ntok_agg n JOIN tok_agg t USING (source, bucket)
 """
 
 
+def _tier_anomaly_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.rollup_pipeline import tier_anomaly
+
+    return tier_anomaly(sf_dir, "w4", trail=8, z_thresh=3.0)
+
+
+# Bitwise mirror of tier_anomaly: the tier's round-6 mean re-quantized to
+# exact int64 micro-units; window count/sum/sum-of-squares are exact integer
+# sums (order-free), and the float expression over them is written in the
+# SAME op order as the numpy kernel, so the doubles agree bit-for-bit.
+_TIER_ANOMALY_SQL = """
+WITH tok AS (
+  SELECT source,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 4
+           AS bucket,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT source, bucket,
+         round(sum(n_tok)::DOUBLE / count(*)::DOUBLE, 6) AS mean
+  FROM tok GROUP BY 1, 2
+),
+t AS (
+  SELECT source, bucket,
+         CAST(round(mean * 1000000, 0) AS BIGINT) AS xu
+  FROM agg
+),
+w AS (
+  SELECT source, bucket, xu,
+         count(xu) OVER win AS pn,
+         coalesce(sum(xu) OVER win, 0) AS ps1,
+         coalesce(sum(xu * xu) OVER win, 0) AS ps2
+  FROM t
+  WINDOW win AS (PARTITION BY source ORDER BY bucket
+                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+),
+calc AS (
+  SELECT source, bucket, xu, pn,
+         CAST(ps1 AS DOUBLE) / pn AS avgu,
+         CASE WHEN pn >= 2 THEN
+           (CAST(ps2 AS DOUBLE) - CAST(ps1 AS DOUBLE) * CAST(ps1 AS DOUBLE)
+              / pn) / (pn - 1)
+         END AS var
+  FROM w
+)
+SELECT source, bucket,
+       xu / 1000000.0 AS mean,
+       pn::BIGINT AS trail_n,
+       CASE WHEN pn > 0 THEN (avgu) / 1000000.0 END AS trail_mean,
+       CASE WHEN pn >= 2 AND var > 0
+            THEN round((CAST(xu AS DOUBLE) - avgu) / sqrt(var), 6) END AS z,
+       coalesce(pn >= 2 AND var > 0
+                AND abs((CAST(xu AS DOUBLE) - avgu) / sqrt(var)) > 3.0,
+                FALSE) AS is_anomaly
+FROM calc
+"""
+
+
 # --------------------------------------------------------------------------
 # events family: wall-clock hour buckets, gap-fill, sliding windows
 # --------------------------------------------------------------------------
@@ -474,6 +533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_w4": _rollup_query("w4"),
         "rollup_w8_cascade": _rollup_query("w8"),
         "rollup_w16_cascade": _rollup_query("w16"),
+        # trailing-window z-score drift flags over the w4 tier (anomaly
+        # scans run on rollup-sized data, never raw tokens)
+        "tier_anomaly_w4": _tier_anomaly_q,
         # events family (wall-clock buckets, gap-fill, sliding windows)
         "events_hourly": _events_hourly,
         "events_gapfill_locf": _events_gapfill("locf"),
@@ -915,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_w4": _rollup_sql(4),
         "rollup_w8_cascade": _rollup_sql(8),
         "rollup_w16_cascade": _rollup_sql(16),
+        "tier_anomaly_w4": _TIER_ANOMALY_SQL,
         "events_hourly": _EVENTS_HOURLY_SQL,
         "events_gapfill_locf": _EVENTS_LOCF_SQL,
         "events_gapfill_linear": _EVENTS_LINEAR_SQL,

@@ -50,6 +50,9 @@ SAMPLE = [
     "type_hourly_corr",      # cross-series Pearson r over paired hourly means
     "source_token_entropy",  # per-source Shannon entropy + KL vs corpus via
                              # hash(word)-partitioned moment reduction
+    "tier_anomaly_w4",       # trailing-window z-score drift flags over the
+                             # w4 rollup tier (int64 micro-unit windows,
+                             # bitwise-mirrored float expression)
 ]
 
 

