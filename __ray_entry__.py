@@ -751,6 +751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pass (<= denom survivors/batch regardless of vocab) + exact recount
         "heavy_hitter_terms": _text("heavy_hitter_terms"),
         "token_bigram_topk": _text("token_bigram_topk"),
+        # collocation strength: bigram PMI (two crc32-routed partitioned
+        # joins attach unigram counts; string-equality post-filter)
+        "token_pmi_topk": _text("token_pmi_topk"),
         # token-n-gram (substring-granularity) dedup layer + per-bucket
         # vocabulary dynamics over the derived token table
         "dup_token_ngrams": _tngram("dup_token_ngrams"),
@@ -1062,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),
         "heavy_hitter_terms": text_sql("HEAVY_HITTER_TERMS_SQL"),
         "token_bigram_topk": text_sql("TOKEN_BIGRAM_TOPK_SQL"),
+        "token_pmi_topk": text_sql("TOKEN_PMI_TOPK_SQL"),
         "dup_token_ngrams": _tngram_sql("dup_token_ngrams_sql"),
         "doc_dup_ngram_rate": _tngram_sql("doc_dup_ngram_rate_sql"),
         "clean_corpus_ngram": _tngram_sql("clean_corpus_ngram_sql"),

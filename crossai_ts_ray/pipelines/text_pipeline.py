@@ -3302,3 +3302,270 @@ SELECT source, n_tokens, vocab,
          AS kl_vs_corpus
 FROM s, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# Bigram PMI: collocation strength, the phrase-mining statistic
+# ---------------------------------------------------------------------------
+
+
+def token_pmi_topk(sf_dir: str, k: int = 30, min_count: int = 5,
+                   buckets: int = 32) -> rd.Dataset:
+    """Top-``k`` in-document token bigrams by pointwise mutual information
+    ``PMI(a,b) = log2(p(ab) / (p(a) p(b)))`` with ``p(ab) = c_ab / Nb``
+    and ``p(w) = c_w / N`` -- the collocation score phrase mining and
+    tokenizer-merge audits rank by.  ``min_count`` drops rare pairs whose
+    PMI is noise.
+
+    Scale shape: unigram and bigram counts are exact
+    per-batch-``value_counts`` partials merged through one hash exchange
+    each (distinct-vocab / distinct-pair bounded); unigram counts attach to
+    the (min_count-filtered) pair table via TWO partitioned
+    ``keyed_equijoin`` s on crc32(word) keys (string-equality post-filter
+    makes hash collisions harmless -- the join key is a route, not the
+    identity); N and Nb are driver-side scalar reductions of batch partials
+    (metadata-sized).  Per-batch top-k pruning under the (pmi desc, w1, w2)
+    total order bounds the final sort's input.
+    """
+    from ..stages.joins import hash_prt, keyed_equijoin
+
+    docs = _read_docs(sf_dir, columns=("text",))
+
+    # --- scalar pass: N tokens, Nb bigram slots (tiny partials) ---
+    def scalar_partial(t: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(
+            pc.split_pattern(t["text"], pattern=" ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([int(lens.sum())], pa.int64()),
+                "nb": pa.array([int(np.maximum(lens - 1, 0).sum())],
+                               pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(
+        scalar_partial, batch_format="pyarrow", batch_size=1_048_576
+    ).take_all()  # one row per batch
+    N = float(sum(r["n"] for r in parts))
+    Nb = float(sum(r["nb"] for r in parts))
+
+    # --- exact unigram counts, hash(word)-partitioned ---
+    uni_part_schema = pa.schema(
+        [("uw", pa.string()), ("c", pa.int64()), ("prt", pa.int64())]
+    )
+
+    def uni_partial(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern(t["text"], pattern=" "))
+        if len(words) == 0:
+            return pa.Table.from_pylist([], schema=uni_part_schema)
+        vc = pc.value_counts(words)
+        uniq = vc.field("values")
+        h = np.array([zlib.crc32(w.encode()) for w in uniq.to_pylist()],
+                     dtype=np.int64)
+        return pa.table(
+            {
+                "uw": uniq,
+                "c": vc.field("counts").cast(pa.int64()),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=uni_part_schema,
+        )
+
+    uni_schema = pa.schema(
+        [("uw", pa.string()), ("c", pa.int64()), ("h", pa.int64())]
+    )
+
+    def uni_merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=uni_schema)
+        codes = g["uw"].dictionary_encode().combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g["c"].to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        ks = idx[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(cnt[order], starts)
+        words = codes.dictionary.take(pa.array(ks[starts]))
+        h = np.array([zlib.crc32(w.encode()) for w in words.to_pylist()],
+                     dtype=np.int64)
+        return pa.table(
+            {"uw": words, "c": pa.array(sums, pa.int64()),
+             "h": pa.array(h, pa.int64())},
+            schema=uni_schema,
+        )
+
+    uni = (
+        docs.map_batches(uni_partial, batch_format="pyarrow",
+                         batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(lambda g: uni_merge(g.drop_columns(["prt"])),
+                    batch_format="pyarrow")
+    )
+
+    # --- exact bigram counts (>= min_count), hash(pair)-partitioned ---
+    SEP = "\x1f"
+    big_part_schema = pa.schema(
+        [("pair", pa.string()), ("cab", pa.int64()), ("prt", pa.int64())]
+    )
+
+    def big_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        lists = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = lists.values
+        offs = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(flat)
+        if n == 0:
+            return pa.Table.from_pylist([], schema=big_part_schema)
+        keep = np.ones(n, bool)
+        last = offs[1:] - 1
+        keep[last[last >= 0]] = False
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            return pa.Table.from_pylist([], schema=big_part_schema)
+        joined = pc.binary_join_element_wise(
+            flat.take(pa.array(idx)), flat.take(pa.array(idx + 1)), SEP
+        )
+        vc = pc.value_counts(joined)
+        uniq = vc.field("values")
+        h = np.array([zlib.crc32(p.encode()) for p in uniq.to_pylist()],
+                     dtype=np.int64)
+        return pa.table(
+            {
+                "pair": uniq,
+                "cab": vc.field("counts").cast(pa.int64()),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=big_part_schema,
+        )
+
+    big_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("cab", pa.int64()),
+         ("h1", pa.int64()), ("h2", pa.int64())]
+    )
+
+    def big_merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=big_schema)
+        codes = g["pair"].dictionary_encode().combine_chunks()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g["cab"].to_numpy(zero_copy_only=False)
+        order = np.argsort(idx, kind="stable")
+        ks = idx[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(cnt[order], starts)
+        m = sums >= min_count
+        if not m.any():
+            return pa.Table.from_pylist([], schema=big_schema)
+        pairs = codes.dictionary.take(pa.array(ks[starts][m]))
+        split = pc.split_pattern(pairs, pattern=SEP)
+        w1 = pc.list_element(split, 0)
+        w2 = pc.list_element(split, 1)
+        # hash each side's DISTINCT words only (dictionary), then gather
+        d1 = w1.dictionary_encode()
+        d2 = w2.dictionary_encode()
+        h1d = np.array([zlib.crc32(w.encode())
+                        for w in d1.dictionary.to_pylist()], np.int64)
+        h2d = np.array([zlib.crc32(w.encode())
+                        for w in d2.dictionary.to_pylist()], np.int64)
+        return pa.table(
+            {
+                "w1": w1, "w2": w2,
+                "cab": pa.array(sums[m], pa.int64()),
+                "h1": pa.array(
+                    h1d[d1.indices.to_numpy(zero_copy_only=False)],
+                    pa.int64()),
+                "h2": pa.array(
+                    h2d[d2.indices.to_numpy(zero_copy_only=False)],
+                    pa.int64()),
+            },
+            schema=big_schema,
+        )
+
+    big = (
+        docs.map_batches(big_partial, batch_format="pyarrow",
+                         batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(lambda g: big_merge(g.drop_columns(["prt"])),
+                    batch_format="pyarrow")
+    )
+
+    # --- attach unigram counts: two partitioned joins on crc32 routes ---
+    j1 = keyed_equijoin(
+        big, uni, on=("h1", "h"), buckets=buckets,
+        schemas=(big_schema, uni_schema),
+    )
+    j1 = j1.filter(expr="w1 == uw").drop_columns(["uw"]) \
+           .rename_columns({"c": "c1"})
+    j1_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("cab", pa.int64()),
+         ("h1", pa.int64()), ("h2", pa.int64()), ("c1", pa.int64())]
+    )
+    j2 = keyed_equijoin(
+        j1, uni, on=("h2", "h"), buckets=buckets,
+        schemas=(j1_schema, uni_schema),
+    )
+    j2 = j2.filter(expr="w2 == uw").drop_columns(["uw", "h1", "h2"]) \
+           .rename_columns({"c": "c2"})
+
+    out_schema = pa.schema(
+        [("w1", pa.string()), ("w2", pa.string()), ("cnt", pa.int64()),
+         ("pmi", pa.float64())]
+    )
+
+    def score_prune(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        cab = t["cab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = t["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = t["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # SAME op order as the SQL mirror: (cab/Nb) / ((c1/N)*(c2/N))
+        pmi = np.round(np.log2((cab / Nb) / ((c1 / N) * (c2 / N))), 6)
+        scored = pa.table(
+            {"w1": t["w1"], "w2": t["w2"], "cnt": t["cab"],
+             "pmi": pa.array(pmi, pa.float64())},
+            schema=out_schema,
+        )
+        if scored.num_rows <= k:
+            return scored
+        df = scored.to_pandas().sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True],
+            kind="mergesort",
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        j2.map_batches(score_prune, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+TOKEN_PMI_TOPK_SQL = """
+WITH tok AS (SELECT string_split(text, ' ') AS words FROM documents),
+uni0 AS (SELECT unnest(words) AS w FROM tok),
+uni AS (SELECT w, count(*)::BIGINT AS c FROM uni0 GROUP BY 1),
+n AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+nb AS (SELECT sum(greatest(len(words) - 1, 0))::DOUBLE AS nb FROM tok),
+big0 AS (
+  SELECT words[i] AS w1, words[i + 1] AS w2
+  FROM tok, LATERAL unnest(generate_series(1, len(words) - 1)) AS t(i)
+),
+big AS (
+  SELECT w1, w2, count(*)::BIGINT AS cab FROM big0 GROUP BY 1, 2
+  HAVING count(*) >= 5
+)
+SELECT b.w1, b.w2, b.cab AS cnt,
+       round(log2((b.cab / nb.nb) /
+                  ((u1.c / n.n) * (u2.c / n.n))), 6) AS pmi
+FROM big b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w, n, nb
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 30
+"""

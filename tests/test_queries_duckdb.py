@@ -53,6 +53,8 @@ SAMPLE = [
     "tier_anomaly_w4",       # trailing-window z-score drift flags over the
                              # w4 rollup tier (int64 micro-unit windows,
                              # bitwise-mirrored float expression)
+    "token_pmi_topk",        # bigram PMI collocations: two crc32-routed
+                             # partitioned joins + string post-filter
 ]
 
 
