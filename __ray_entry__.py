@@ -739,6 +739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # churn (EXCEPT shape): last week's absentees among the previous
         # week's actives; W from Parquet footer stats (zero data read)
         "churned_users": _analytics("churned_users"),
+        # burstiness: per-user inter-arrival gap stats (exact integer
+        # count/sum/max/sum-of-squares, mirrored float mean/CV)
+        "user_interarrival_stats": _analytics("user_interarrival_stats"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1051,6 +1054,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_time_window": analytics_sql("USER_VALUE_TIME_WINDOW_SQL"),
         "user_value_mad": analytics_sql("USER_VALUE_MAD_SQL"),
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
+        "user_interarrival_stats": analytics_sql("USER_INTERARRIVAL_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

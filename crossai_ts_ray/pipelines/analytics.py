@@ -4269,3 +4269,133 @@ FROM (
 )
 WHERE rn <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics per user (burstiness)
+# ---------------------------------------------------------------------------
+
+
+def user_interarrival_stats(sf_dir: str, buckets: int | None = None):
+    """Per-user inter-arrival statistics over event timestamps: number of
+    gaps, mean gap (seconds), coefficient of variation (burstiness -- CV>1
+    is burstier than Poisson), and max gap.  Users with a single event have
+    no gaps and are excluded, matching the SQL mirror's NULL-lag drop.
+
+    Exactness: gaps are integer SECONDS (floor of the microsecond diff);
+    per-user count/sum/max/sum-of-squares are exact integer reductions
+    (sum-of-squares escalates to Python-int math if int64 would overflow
+    -- DuckDB's HUGEINT sum never overflows, so the Ray side must not
+    either), and the float mean/CV expression is written in the same op
+    order as the mirror.  Ties in ``ts`` are harmless: the multiset of
+    consecutive gaps of a sorted sequence does not depend on tie order.
+
+    Scale shape: ONE keyed exchange (hash by user), then one segmented
+    vectorized pass per partition -- same shape as user_session_ids."""
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_gaps", pa.int64()),
+            ("mean_gap_s", pa.float64()),
+            ("cv_gap", pa.float64()),
+            ("max_gap_s", pa.int64()),
+        ]
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        order = np.lexsort((ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        same_user = np.concatenate(([False], u_s[1:] == u_s[:-1]))
+        if not same_user.any():
+            return pa.Table.from_pylist([], schema=out_schema)
+        gap_all = np.concatenate(([0], np.diff(t_s)))
+        g = (gap_all[same_user] // 1_000_000).astype(np.int64)
+        gu = u_s[same_user]                      # user of each gap, sorted
+        starts = np.flatnonzero(
+            np.concatenate(([True], gu[1:] != gu[:-1]))
+        )
+        n = np.diff(np.append(starts, len(gu))).astype(np.int64)
+        sx = np.add.reduceat(g, starts)
+        mx = np.maximum.reduceat(g, starts)
+        gmax = int(g.max()) if len(g) else 0
+        if float(gmax) * gmax * len(g) >= 9.2e18:   # int64 would overflow
+            g2 = g.astype(object) * g.astype(object)
+        else:
+            g2 = g * g
+        sxx = np.add.reduceat(g2, starts).astype(np.float64)
+        nf = n.astype(np.float64)
+        sxf = sx.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = sxf / nf
+            var = (sxx - sxf * sxf / nf) / (nf - 1.0)
+            cv = np.sqrt(var) / mean
+        valid = (n >= 2) & (var > 0.0) & (sx > 0)
+        return pa.table(
+            {
+                "user_id": pa.array(gu[starts], pa.int64()),
+                "n_gaps": pa.array(n, pa.int64()),
+                "mean_gap_s": pa.array(np.round(mean, 6), pa.float64()),
+                "cv_gap": pa.array(
+                    np.round(np.where(valid, cv, 0.0), 6), pa.float64(),
+                    mask=~valid,
+                ),
+                "max_gap_s": pa.array(mx, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )
+
+
+USER_INTERARRIVAL_SQL = """
+WITH e AS (SELECT user_id::BIGINT AS user_id, epoch_us(ts) AS tu FROM events),
+g0 AS (
+  SELECT user_id,
+         (tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu)) // 1000000
+           AS gap
+  FROM e
+),
+g AS (SELECT user_id, gap FROM g0 WHERE gap IS NOT NULL),
+s AS (
+  SELECT user_id,
+         count(*)::BIGINT AS n_gaps,
+         sum(gap)::BIGINT AS sx,
+         CAST(sum(CAST(gap AS HUGEINT) * gap) AS DOUBLE) AS sxx,
+         max(gap)::BIGINT AS max_gap_s
+  FROM g GROUP BY 1
+)
+SELECT user_id, n_gaps,
+       round(CAST(sx AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+       CASE WHEN n_gaps >= 2
+                 AND (sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_gaps)
+                     / (n_gaps - 1) > 0
+                 AND sx > 0
+            THEN round(
+              sqrt((sxx - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_gaps)
+                   / (n_gaps - 1))
+              / (CAST(sx AS DOUBLE) / n_gaps), 6) END AS cv_gap,
+       max_gap_s
+FROM s
+"""

@@ -55,6 +55,8 @@ SAMPLE = [
                              # bitwise-mirrored float expression)
     "token_pmi_topk",        # bigram PMI collocations: two crc32-routed
                              # partitioned joins + string post-filter
+    "user_interarrival_stats",  # burstiness: exact integer gap reductions,
+                                # mirrored float mean/CV
 ]
 
 
