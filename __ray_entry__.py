@@ -742,6 +742,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # burstiness: per-user inter-arrival gap stats (exact integer
         # count/sum/max/sum-of-squares, mirrored float mean/CV)
         "user_interarrival_stats": _analytics("user_interarrival_stats"),
+        # windowed quantile: rolling median of hourly means per type
+        # (centi-int windows -- interpolation exact dyadic, no bridge)
+        "rolling_median_hourly": _analytics("rolling_median_hourly"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1055,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         "user_value_mad": analytics_sql("USER_VALUE_MAD_SQL"),
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "user_interarrival_stats": analytics_sql("USER_INTERARRIVAL_SQL"),
+        "rolling_median_hourly": analytics_sql("ROLLING_MEDIAN_HOURLY_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

@@ -4399,3 +4399,127 @@ SELECT user_id, n_gaps,
        max_gap_s
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Rolling median over hourly means (windowed quantile per event type)
+# ---------------------------------------------------------------------------
+
+
+def rolling_median_hourly(sf_dir: str, window: int = 5):
+    """Rolling median (ROWS ``window-1`` PRECEDING .. CURRENT) of each
+    event type's hourly mean value -- the robust smoother a tier-level
+    monitor runs where ``filter_median_simple`` runs on raw signals.
+
+    Exactness without any rounding bridge: hourly means are centi-quantized
+    to exact int64 (the cusum/ewma trick); the median of <=``window``
+    INTEGERS interpolated at q=0.5 is ``(a+b)/2`` -- exact dyadic in
+    float64 whichever lerp formula the engine uses -- so Ray and DuckDB
+    produce bit-identical doubles.
+
+    Scale shape: per-batch (type, bucket) integer partials, one hash(type)
+    exchange of hourly-bucket-bounded rows, then a vectorized
+    sliding-window sort per type (window x buckets, no per-row Python)."""
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        val_u = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        if not len(codes):
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "bucket": pa.nulls(0, pa.int64()),
+                 "sum_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64())}
+            )
+        key = codes * (1 << 44) + bucket
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(val_u[order], starts)
+        n = np.diff(np.append(starts, len(ks)))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "bucket": pa.array(bucket[sel], pa.int64()),
+                "sum_u": pa.array(sums, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("hourly_mean_c", pa.float64()),
+            ("roll_med", pa.float64()),
+        ]
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        b = _np(g["bucket"])
+        su = _np(g["sum_u"])
+        nn = _np(g["n"])
+        order = np.argsort(b, kind="stable")
+        bs = b[order]
+        starts = np.flatnonzero(np.concatenate(([True], bs[1:] != bs[:-1])))
+        ub = bs[starts]
+        usum = np.add.reduceat(su[order], starts)
+        un = np.add.reduceat(nn[order], starts)
+        x = (usum / 1_000_000.0) / un
+        xc = _half_away_c(x)                     # exact centi int64
+        m = len(xc)
+        if m == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        SENT = np.iinfo(np.int64).max
+        pad = np.concatenate((np.full(window - 1, SENT, np.int64), xc))
+        win = np.lib.stride_tricks.sliding_window_view(pad, window).copy()
+        srt = np.sort(win, axis=1)               # sentinels sort last
+        k = np.minimum(np.arange(m) + 1, window)
+        lo = (k - 1) // 2
+        hi = k // 2
+        rows = np.arange(m)
+        med = (srt[rows, lo] + srt[rows, hi]) / 2.0
+        src = g["event_type"][0].as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([src] * m, pa.string()),
+                "bucket": pa.array(ub, pa.int64()),
+                "hourly_mean_c": pa.array(xc / 100.0, pa.float64()),
+                "roll_med": pa.array(med / 100.0, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("event_type")
+        .map_groups(scan, batch_format="pyarrow")
+    )
+
+
+ROLLING_MEDIAN_HOURLY_SQL = """
+WITH agg AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         SUM(CAST(round(value * 1000000, 0) AS BIGINT)) AS sum_u,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, bucket,
+         CAST(round((sum_u / 1000000.0) / n * 100, 0) AS BIGINT) AS xc
+  FROM agg
+)
+SELECT event_type, bucket,
+       xc / 100.0 AS hourly_mean_c,
+       quantile_cont(xc, 0.5) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ) / 100.0 AS roll_med
+FROM x
+"""

@@ -57,6 +57,8 @@ SAMPLE = [
                              # partitioned joins + string post-filter
     "user_interarrival_stats",  # burstiness: exact integer gap reductions,
                                 # mirrored float mean/CV
+    "rolling_median_hourly",    # windowed quantile: rolling median of
+                                # centi-int hourly means (exact dyadic)
 ]
 
 
