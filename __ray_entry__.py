@@ -785,6 +785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocklist redaction (PII/contamination-removal shape; RE2 on
         # both sides so the oracle is value-exact incl. the rewritten text)
         "doc_redact_terms": _qual("doc_redact_terms"),
+        # canary/PII probe scan: per-probe doc + occurrence counts,
+        # zero keyed exchanges (batch x probe partials, driver reduce)
+        "canary_scan": _qual("canary_scan"),
         # BPE tokenizer training: distributed word histogram -> driver-local
         # merge learning -> distributed encode (rows-only: iterative; pinned
         # vs a naive pure-Python reference in tests/test_quality_w5.py)
@@ -1068,6 +1071,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": _qual_sql("GOPHER_REPETITION_SQL"),
         "gopher_gate": _qual_sql("GOPHER_GATE_SQL"),
         "doc_redact_terms": _qual_sql("DOC_REDACT_SQL"),
+        "canary_scan": _qual_sql("CANARY_SCAN_SQL"),
         "dedup_paragraphs": text_sql("DEDUP_PARAGRAPHS_SQL"),
         "clean_corpus_paragraphs": text_sql("CLEAN_CORPUS_PARAGRAPHS_SQL"),
         "token_vocab_topk": text_sql("TOKEN_VOCAB_TOPK_SQL"),

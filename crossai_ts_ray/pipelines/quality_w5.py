@@ -513,3 +513,91 @@ def bpe_encode_stats(sf_dir: str, num_merges: int = 24) -> rd.Dataset:
         partial, batch_format="pyarrow"
     )
     return ds.groupby("source").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Canary / probe-string scan
+# ---------------------------------------------------------------------------
+
+# benchmark-canary / PII probe strings; the last one is deliberately absent
+# so the zero-hit row shape is exercised
+CANARY_PROBES = ("order fast", "data slow", "zzz_canary_absent")
+
+
+def canary_scan(sf_dir: str, probes: tuple[str, ...] = CANARY_PROBES
+                ) -> pa.Table:
+    """Corpus-wide probe-string scan (the canary / PII audit): for each
+    probe, how many documents contain it and how many (non-overlapping)
+    occurrences exist in total.  Every probe always yields a row -- absent
+    probes report zeros, so a canary audit can assert on them.
+
+    Scale shape: vectorized ``pc.count_substring`` per (batch x probe) --
+    the probe list is audit-sized, the text column is scanned once per
+    probe inside the task; each batch collapses to ``len(probes)`` partial
+    rows, and the driver reduces #batches x #probes metadata-sized rows.
+    Zero keyed exchanges."""
+    docs = _read_docs(sf_dir, columns=("text",))
+
+    part_schema = pa.schema(
+        [
+            ("probe", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_occurrences", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        rows = []
+        for p in probes:
+            occ = pc.count_substring(text, pattern=p)
+            occ_np = occ.to_numpy(zero_copy_only=False).astype(np.int64)
+            rows.append(
+                {
+                    "probe": p,
+                    "n_docs": int((occ_np > 0).sum()),
+                    "n_occurrences": int(occ_np.sum()),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=part_schema)
+
+    parts = docs.map_batches(
+        partial, batch_format="pyarrow", batch_size=1_048_576
+    ).take_all()  # len(probes) rows per batch -- metadata-sized
+    agg: dict[str, list[int]] = {p: [0, 0] for p in probes}
+    for r in parts:
+        agg[r["probe"]][0] += r["n_docs"]
+        agg[r["probe"]][1] += r["n_occurrences"]
+    return pa.table(
+        {
+            "probe": pa.array(list(probes), pa.string()),
+            "n_docs": pa.array([agg[p][0] for p in probes], pa.int64()),
+            "n_occurrences": pa.array(
+                [agg[p][1] for p in probes], pa.int64()
+            ),
+        }
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+CANARY_SCAN_SQL = (
+    "WITH probes(probe) AS (VALUES "
+    + ", ".join(f"('{_sql_quote(p)}')" for p in CANARY_PROBES)
+    + """),
+hits AS (
+  SELECT p.probe,
+         CASE WHEN contains(d.text, p.probe) THEN 1 ELSE 0 END AS has,
+         (len(d.text) - len(replace(d.text, p.probe, ''))) // len(p.probe)
+           AS occ
+  FROM documents d CROSS JOIN probes p
+)
+SELECT probe, sum(has)::BIGINT AS n_docs, sum(occ)::BIGINT AS n_occurrences
+FROM hits GROUP BY probe
+"""
+)

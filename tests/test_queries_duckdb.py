@@ -59,6 +59,8 @@ SAMPLE = [
                                 # mirrored float mean/CV
     "rolling_median_hourly",    # windowed quantile: rolling median of
                                 # centi-int hourly means (exact dyadic)
+    "canary_scan",              # probe-string audit: zero-exchange batch x
+                                # probe partials, absent probes report zeros
 ]
 
 
