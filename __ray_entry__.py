@@ -745,6 +745,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # windowed quantile: rolling median of hourly means per type
         # (centi-int windows -- interpolation exact dyadic, no bridge)
         "rolling_median_hourly": _analytics("rolling_median_hourly"),
+        # sliding COUNT DISTINCT: 24h active users per type, all-integer,
+        # expansion-before-exchange on hash(type, target_hour)
+        "rolling_active_users": _analytics("rolling_active_users"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1062,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "churned_users": analytics_sql("CHURNED_USERS_SQL"),
         "user_interarrival_stats": analytics_sql("USER_INTERARRIVAL_SQL"),
         "rolling_median_hourly": analytics_sql("ROLLING_MEDIAN_HOURLY_SQL"),
+        "rolling_active_users": analytics_sql("ROLLING_ACTIVE_USERS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

@@ -18,6 +18,8 @@ the same kernels re-expressed as distributed grouped scans.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -4522,4 +4524,143 @@ SELECT event_type, bucket,
          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
        ) / 100.0 AS roll_med
 FROM x
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rolling 24h distinct active users per event type (sliding COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+
+def rolling_active_users(sf_dir: str, window_h: int = 24,
+                         buckets: int = 64):
+    """For every (event_type, hour) that has events: the number of DISTINCT
+    users active in the trailing ``window_h``-hour window ending at that
+    hour -- the sliding COUNT(DISTINCT) behind DAU-style health metrics.
+
+    All-integer exact (no float anywhere).  Scale shape: each batch first
+    collapses to its DISTINCT (type, hour, user) triples; each triple then
+    expands to its <=``window_h`` target hours BEFORE one
+    hash(type, target_hour) exchange -- the shuffled volume is
+    ``window_h x`` the DISTINCT-triple count (activity-bounded, not
+    event-bounded), and the key spreads evenly so a hot type cannot crush
+    one task.  Per partition, a vectorized sort counts unique users per
+    (type, target) group; target hours with no event of their own (the
+    window covers them but nothing happened AT them) are dropped, matching
+    the SQL mirror's join-on-existing-hours semantics."""
+    ev = _read_events(sf_dir, ["ts", "event_type", "user_id"])
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("target", pa.int64()),
+            ("src_h", pa.int64()),
+            ("user_id", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        uid = _np(t["user_id"]).astype(np.int64)
+        # batch-local distinct triples via lexsort boundaries (no key
+        # packing, so no range guards needed)
+        order = np.lexsort((uid, hour, codes))
+        cs, hs, us = codes[order], hour[order], uid[order]
+        first = np.concatenate(
+            ([True],
+             (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1]) | (us[1:] != us[:-1]))
+        )
+        c, h, u = cs[first], hs[first], us[first]
+        # expand each triple to its window's target hours
+        reps = np.full(len(c), window_h, np.int64)
+        tgt = np.repeat(h, reps) + np.tile(np.arange(window_h), len(c))
+        c_r = np.repeat(c, reps)
+        h_r = np.repeat(h, reps)
+        u_r = np.repeat(u, reps)
+        types = et.dictionary.take(pa.array(c_r))
+        th = np.array(
+            [zlib.crc32(s.encode()) for s in et.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        mix = th[c_r] * 1_000_003 + tgt
+        return pa.table(
+            {
+                "event_type": types.cast(pa.string()),
+                "target": pa.array(tgt, pa.int64()),
+                "src_h": pa.array(h_r, pa.int64()),
+                "user_id": pa.array(u_r, pa.int64()),
+                "prt": pa.array(hash_prt(mix, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("bucket", pa.int64()),
+            ("users_24h", pa.int64()),
+        ]
+    )
+
+    def count_distinct(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        et = g["event_type"].combine_chunks().dictionary_encode()
+        c = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tgt = _np(g["target"])
+        src = _np(g["src_h"])
+        uid = _np(g["user_id"])
+        order = np.lexsort((uid, tgt, c))
+        cs, ts_, us = c[order], tgt[order], uid[order]
+        ss = src[order]
+        new_grp = np.concatenate(
+            ([True], (cs[1:] != cs[:-1]) | (ts_[1:] != ts_[:-1]))
+        )
+        new_user = new_grp | np.concatenate(([True], us[1:] != us[:-1]))
+        gstarts = np.flatnonzero(new_grp)
+        glen = np.diff(np.append(gstarts, len(cs)))
+        n_users = np.add.reduceat(new_user.astype(np.int64), gstarts)
+        # a target hour is real iff some contributing row happened AT it
+        at = (ss == ts_).astype(np.int64)
+        has_own = np.add.reduceat(at, gstarts) > 0
+        sel = gstarts[has_own]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(order[sel])).cast(pa.string()),
+                "bucket": pa.array(ts_[sel], pa.int64()),
+                "users_24h": pa.array(n_users[has_own], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: count_distinct(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH t AS (
+  SELECT DISTINCT event_type,
+         (epoch_us(ts) // 1000000) // 3600 AS hour,
+         user_id::BIGINT AS user_id
+  FROM events
+),
+h AS (SELECT DISTINCT event_type, hour FROM t)
+SELECT h.event_type, h.hour AS bucket,
+       count(DISTINCT t.user_id)::BIGINT AS users_24h
+FROM h JOIN t ON t.event_type = h.event_type
+            AND t.hour BETWEEN h.hour - 23 AND h.hour
+GROUP BY 1, 2
 """

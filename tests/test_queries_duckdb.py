@@ -61,6 +61,8 @@ SAMPLE = [
                                 # centi-int hourly means (exact dyadic)
     "canary_scan",              # probe-string audit: zero-exchange batch x
                                 # probe partials, absent probes report zeros
+    "rolling_active_users",     # sliding COUNT DISTINCT via expansion-
+                                # before-exchange, all-integer exact
 ]
 
 
