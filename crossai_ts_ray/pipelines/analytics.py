@@ -4539,22 +4539,28 @@ def rolling_active_users(sf_dir: str, window_h: int = 24,
     hour -- the sliding COUNT(DISTINCT) behind DAU-style health metrics.
 
     All-integer exact (no float anywhere).  Scale shape: each batch first
-    collapses to its DISTINCT (type, hour, user) triples; each triple then
-    expands to its <=``window_h`` target hours BEFORE one
-    hash(type, target_hour) exchange -- the shuffled volume is
-    ``window_h x`` the DISTINCT-triple count (activity-bounded, not
-    event-bounded), and the key spreads evenly so a hot type cannot crush
-    one task.  Per partition, a vectorized sort counts unique users per
-    (type, target) group; target hours with no event of their own (the
-    window covers them but nothing happened AT them) are dropped, matching
-    the SQL mirror's join-on-existing-hours semantics."""
+    collapses to its DISTINCT (type, hour, user) triples; hours are then
+    range-BLOCKED at the window width, and each triple replicates to at
+    most TWO blocks (its own, plus the next one when its window reaches
+    into it) before one hash(type, block) exchange -- the shuffled volume
+    is <=2x the distinct-triple count (a naive expand-to-target-hours
+    design ships window_h x; measured 12x less at 10M rows).  Per
+    partition, a fully vectorized kernel merges each user's hour intervals
+    (gap <= window-1 merges), scatters +/-1 coverage diffs per block
+    target, and prefix-sums to per-target distinct-user counts -- a user's
+    merged intervals are disjoint, so coverage IS the distinct count.
+    Target hours with no event of their own (the window covers them but
+    nothing happened AT them) are dropped, matching the SQL mirror's
+    join-on-existing-hours semantics.  Duplicate triples across batches
+    are harmless: they merge into the same interval."""
+    B = window_h
     ev = _read_events(sf_dir, ["ts", "event_type", "user_id"])
 
     part_schema = pa.schema(
         [
             ("event_type", pa.string()),
-            ("target", pa.int64()),
-            ("src_h", pa.int64()),
+            ("blk", pa.int64()),
+            ("h", pa.int64()),
             ("user_id", pa.int64()),
             ("prt", pa.int64()),
         ]
@@ -4577,23 +4583,23 @@ def rolling_active_users(sf_dir: str, window_h: int = 24,
              (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1]) | (us[1:] != us[:-1]))
         )
         c, h, u = cs[first], hs[first], us[first]
-        # expand each triple to its window's target hours
-        reps = np.full(len(c), window_h, np.int64)
-        tgt = np.repeat(h, reps) + np.tile(np.arange(window_h), len(c))
-        c_r = np.repeat(c, reps)
-        h_r = np.repeat(h, reps)
-        u_r = np.repeat(u, reps)
-        types = et.dictionary.take(pa.array(c_r))
+        blk = h // B
+        fwd = (h + B - 1) // B > blk       # window reaches the next block
+        c_r = np.concatenate((c, c[fwd]))
+        h_r = np.concatenate((h, h[fwd]))
+        u_r = np.concatenate((u, u[fwd]))
+        b_r = np.concatenate((blk, blk[fwd] + 1))
         th = np.array(
             [zlib.crc32(s.encode()) for s in et.dictionary.to_pylist()],
             dtype=np.int64,
         )
-        mix = th[c_r] * 1_000_003 + tgt
+        mix = th[c_r] * 1_000_003 + b_r
         return pa.table(
             {
-                "event_type": types.cast(pa.string()),
-                "target": pa.array(tgt, pa.int64()),
-                "src_h": pa.array(h_r, pa.int64()),
+                "event_type": et.dictionary.take(pa.array(c_r)).cast(
+                    pa.string()),
+                "blk": pa.array(b_r, pa.int64()),
+                "h": pa.array(h_r, pa.int64()),
                 "user_id": pa.array(u_r, pa.int64()),
                 "prt": pa.array(hash_prt(mix, buckets), pa.int64()),
             },
@@ -4614,28 +4620,46 @@ def rolling_active_users(sf_dir: str, window_h: int = 24,
             return pa.Table.from_pylist([], schema=out_schema)
         et = g["event_type"].combine_chunks().dictionary_encode()
         c = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        tgt = _np(g["target"])
-        src = _np(g["src_h"])
+        blk = _np(g["blk"])
+        h = _np(g["h"])
         uid = _np(g["user_id"])
-        order = np.lexsort((uid, tgt, c))
-        cs, ts_, us = c[order], tgt[order], uid[order]
-        ss = src[order]
-        new_grp = np.concatenate(
-            ([True], (cs[1:] != cs[:-1]) | (ts_[1:] != ts_[:-1]))
+        order = np.lexsort((h, uid, blk, c))
+        cs, bs, us, hs = c[order], blk[order], uid[order], h[order]
+        new_seg = np.concatenate(
+            ([True], (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1]))
         )
-        new_user = new_grp | np.concatenate(([True], us[1:] != us[:-1]))
-        gstarts = np.flatnonzero(new_grp)
-        glen = np.diff(np.append(gstarts, len(cs)))
-        n_users = np.add.reduceat(new_user.astype(np.int64), gstarts)
-        # a target hour is real iff some contributing row happened AT it
-        at = (ss == ts_).astype(np.int64)
-        has_own = np.add.reduceat(at, gstarts) > 0
-        sel = gstarts[has_own]
+        new_user = new_seg | np.concatenate(([True], us[1:] != us[:-1]))
+        gap = np.concatenate(([0], hs[1:] - hs[:-1]))
+        istart = new_user | (gap > B - 1)  # a user's merged-interval starts
+        seg_id = np.cumsum(new_seg) - 1
+        s_idx = np.flatnonzero(istart)
+        e_idx = np.append(s_idx[1:] - 1, len(hs) - 1)
+        nseg = int(seg_id[-1]) + 1
+        t0 = bs[s_idx] * B                 # block start per interval
+        lo = np.maximum(hs[s_idx], t0) - t0
+        hi = np.minimum(hs[e_idx] + B - 1, t0 + B - 1) - t0
+        base = seg_id[s_idx] * (B + 1)
+        diff = np.zeros(nseg * (B + 1), np.int64)
+        np.add.at(diff, base + lo, 1)
+        np.add.at(diff, base + hi + 1, -1)
+        cov = np.cumsum(diff.reshape(nseg, B + 1), axis=1)[:, :B]
+        member = (hs // B) == bs           # replicas mark no existence
+        exist = np.zeros(nseg * B, bool)
+        exist[seg_id[member] * B + (hs[member] - bs[member] * B)] = True
+        exist = exist.reshape(nseg, B)
+        rows_seg, rows_t = np.nonzero(exist)
+        seg_first = np.flatnonzero(new_seg)
         return pa.table(
             {
-                "event_type": et.take(pa.array(order[sel])).cast(pa.string()),
-                "bucket": pa.array(ts_[sel], pa.int64()),
-                "users_24h": pa.array(n_users[has_own], pa.int64()),
+                "event_type": et.take(
+                    pa.array(order[seg_first[rows_seg]])
+                ).cast(pa.string()),
+                "bucket": pa.array(
+                    bs[seg_first][rows_seg] * B + rows_t, pa.int64()
+                ),
+                "users_24h": pa.array(
+                    cov[rows_seg, rows_t], pa.int64()
+                ),
             },
             schema=out_schema,
         )
