@@ -4688,3 +4688,103 @@ FROM h JOIN t ON t.event_type = h.event_type
             AND t.hour BETWEEN h.hour - 23 AND h.hour
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-session statistics (sessionization rollup)
+# ---------------------------------------------------------------------------
+
+
+def user_session_stats(sf_dir: str, gap_s: int = _SESSION_GAP_S,
+                       buckets: int | None = None):
+    """One row per (user, session): event count and wall duration in
+    seconds -- the sessionization rollup engagement metrics read.
+
+    All-integer exact.  Scale shape: the user_session_ids exchange and
+    segmented scan, with the per-session aggregation fused into the SAME
+    partition pass (a user's rows co-locate, so sessions never straddle
+    partitions -- no second exchange)."""
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("session_id", pa.int64()),
+            ("n_events", pa.int64()),
+            ("duration_s", pa.int64()),
+        ]
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], ts[order]
+        new_user = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        new_sess = new_user | np.concatenate(
+            ([True], np.diff(t_s) > gap_s * 1_000_000)
+        )
+        sstarts = np.flatnonzero(new_sess)
+        slen = np.diff(np.append(sstarts, len(u_s))).astype(np.int64)
+        send = np.append(sstarts[1:] - 1, len(u_s) - 1)
+        # 0-based session id within each user
+        sess_seq = np.arange(len(sstarts), dtype=np.int64)
+        ustarts_in_sess = np.flatnonzero(new_user[sstarts])
+        ubase = sess_seq[ustarts_in_sess]
+        ulen = np.diff(np.append(ustarts_in_sess, len(sstarts)))
+        sid = sess_seq - np.repeat(ubase, ulen)
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[sstarts], pa.int64()),
+                "session_id": pa.array(sid, pa.int64()),
+                "n_events": pa.array(slen, pa.int64()),
+                "duration_s": pa.array(
+                    (t_s[send] - t_s[sstarts]) // 1_000_000, pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )
+
+
+USER_SESSION_STATS_SQL = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(gap) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM g
+)
+SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
+FROM s GROUP BY 1, 2
+"""

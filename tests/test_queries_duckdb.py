@@ -63,6 +63,8 @@ SAMPLE = [
                                 # probe partials, absent probes report zeros
     "rolling_active_users",     # sliding COUNT DISTINCT via expansion-
                                 # before-exchange, all-integer exact
+    "user_session_stats",       # per-session count+duration fused into
+                                # the sessionization partition pass
 ]
 
 
