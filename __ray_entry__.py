@@ -751,6 +751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sessionization rollup: per-session event count + duration,
         # fused into the session scan's partition pass (no 2nd exchange)
         "user_session_stats": _analytics("user_session_stats"),
+        # FULL OUTER join: two hourly series side by side (one-sided hours
+        # survive with the other side NULL)
+        "type_hourly_full_join": _analytics("type_hourly_full_join"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1070,6 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median_hourly": analytics_sql("ROLLING_MEDIAN_HOURLY_SQL"),
         "rolling_active_users": analytics_sql("ROLLING_ACTIVE_USERS_SQL"),
         "user_session_stats": analytics_sql("USER_SESSION_STATS_SQL"),
+        "type_hourly_full_join": analytics_sql("TYPE_HOURLY_FULL_JOIN_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

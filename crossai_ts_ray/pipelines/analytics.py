@@ -4788,3 +4788,117 @@ SELECT user_id::BIGINT AS user_id, session_id::BIGINT AS session_id,
        (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s
 FROM s GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Full-outer join of two hourly series (side-by-side comparison)
+# ---------------------------------------------------------------------------
+
+
+def type_hourly_full_join(sf_dir: str, type_a: str = "click",
+                          type_b: str = "purchase", buckets: int = 32):
+    """Hourly event counts of two types side by side via a FULL OUTER join
+    on the hour bucket -- hours where only one type fired keep the other
+    side NULL (the comparison dashboards actually want, vs an inner join
+    silently dropping one-sided hours).
+
+    Scale shape: each side collapses to (bucket, count) partials per batch
+    and merges exactly through one hash(bucket) exchange (hourly-bounded);
+    the full join is stages/joins.keyed_equijoin(how='full') -- the right
+    side carries its bucket as a data column so the driver-visible key is
+    ``coalesce(left, right)``, mirroring SQL."""
+    import pyarrow.compute as pc
+
+    ev = _read_events(sf_dir, ["ts", "event_type"])
+    from ..stages.joins import keyed_equijoin
+
+    def side(type_name: str, col: str):
+        schema = pa.schema(
+            [("bucket", pa.int64()), (col, pa.int64()), ("prt", pa.int64())]
+        )
+
+        def part(t: pa.Table) -> pa.Table:
+            t = t.combine_chunks()
+            m = pc.equal(t["event_type"], type_name)
+            hour = (_ts_us(t["ts"]) // 1_000_000) // 3600
+            hour = hour[m.to_numpy(zero_copy_only=False)]
+            if not len(hour):
+                return pa.Table.from_pylist([], schema=schema)
+            ub, cnt = np.unique(hour, return_counts=True)
+            return pa.table(
+                {"bucket": pa.array(ub, pa.int64()),
+                 col: pa.array(cnt.astype(np.int64), pa.int64()),
+                 "prt": pa.array(hash_prt(ub, buckets), pa.int64())},
+                schema=schema,
+            )
+
+        out_schema = pa.schema([("bucket", pa.int64()), (col, pa.int64())])
+
+        def merge(g: pa.Table) -> pa.Table:
+            g = g.combine_chunks()
+            if g.num_rows == 0:
+                return pa.Table.from_pylist([], schema=out_schema)
+            b = _np(g["bucket"])
+            c = _np(g[col])
+            order = np.argsort(b, kind="stable")
+            bs = b[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], bs[1:] != bs[:-1]))
+            )
+            return pa.table(
+                {"bucket": pa.array(bs[starts], pa.int64()),
+                 col: pa.array(np.add.reduceat(c[order], starts),
+                               pa.int64())},
+                schema=out_schema,
+            )
+
+        return (
+            ev.map_batches(part, batch_format="pyarrow",
+                           batch_size=1_048_576)
+            .groupby("prt")
+            .map_groups(lambda g: merge(g.drop_columns(["prt"])),
+                        batch_format="pyarrow")
+        ), out_schema
+
+    a, a_schema = side(type_a, "a_cnt")
+    b, b_schema = side(type_b, "b_cnt")
+
+    def dup_key(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        return t.append_column("rb", t["bucket"])
+
+    b = b.map_batches(dup_key, batch_format="pyarrow")
+    b_schema = b_schema.append(pa.field("rb", pa.int64()))
+    j = keyed_equijoin(a, b, on=("bucket", "bucket"), buckets=buckets,
+                       how="full", schemas=(a_schema, b_schema))
+
+    final_schema = pa.schema(
+        [("bucket", pa.int64()), ("a_cnt", pa.int64()),
+         ("b_cnt", pa.int64())]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        key = pc.coalesce(t["bucket"], t["rb"])
+        return pa.table(
+            {"bucket": key, "a_cnt": t["a_cnt"], "b_cnt": t["b_cnt"]},
+            schema=final_schema,
+        )
+
+    return j.map_batches(finalize, batch_format="pyarrow")
+
+
+TYPE_HOURLY_FULL_JOIN_SQL = """
+WITH a AS (
+  SELECT (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         count(*)::BIGINT AS a_cnt
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+b AS (
+  SELECT (epoch_us(ts) // 1000000) // 3600 AS bucket,
+         count(*)::BIGINT AS b_cnt
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT coalesce(a.bucket, b.bucket) AS bucket, a.a_cnt, b.b_cnt
+FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+"""

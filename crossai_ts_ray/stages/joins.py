@@ -99,7 +99,11 @@ def keyed_equijoin(
 
     Returns a Dataset with all left columns plus all right columns except
     the right key; right columns whose names collide with a left column are
-    renamed with ``suffix``.  ``how`` is 'inner' or 'left'.
+    renamed with ``suffix``.  ``how`` is 'inner', 'left' or 'full' (full
+    outer: unmatched rows of EITHER side survive with the other side's
+    columns null, including the left key column -- coalesce downstream if
+    a merged key is wanted; incompatible with ``salt > 1``, which would
+    duplicate unmatched right rows).
 
     Pass ``schemas=(left_schema, right_schema)`` when a side has a long lazy
     lineage: ``Dataset.schema()`` on such a side executes part of the plan
@@ -127,8 +131,14 @@ def keyed_equijoin(
     import ray.data as rd  # noqa: F401  (callers hold Datasets already)
 
     lkey, rkey = on
+    if how not in ("inner", "left", "full"):
+        raise ValueError(f"how={how!r}: expected 'inner', 'left' or 'full'")
     if salt == "auto":
-        salt = estimate_salt(left, lkey, buckets)
+        salt = 1 if how == "full" else estimate_salt(left, lkey, buckets)
+    if how == "full" and salt > 1:
+        # salting replicates every right row into all sub-buckets, so an
+        # unmatched right row would be emitted salt times -- loud, not wrong
+        raise ValueError("salt > 1 is unsound for how='full'")
 
     # opt-in Bloom pre-filter (INNER joins only -- dropping unmatched left
     # rows changes a LEFT join's output): build a fixed-size bit array from
@@ -248,7 +258,8 @@ def keyed_equijoin(
         lmask, rmask = side == 0, side == 1
         lt = t.filter(pa.array(lmask))
         rt = t.filter(pa.array(rmask))
-        if lt.num_rows == 0 or (how == "inner" and rt.num_rows == 0):
+        empty_needs_left = lt.num_rows == 0 and how != "full"
+        if empty_needs_left or (how == "inner" and rt.num_rows == 0):
             return pa.table(
                 {n: pa.nulls(0, ty) for n, ty in zip(out_schema.names, out_schema.types)},
                 schema=out_schema,
@@ -257,12 +268,14 @@ def keyed_equijoin(
         rk = rt["__rk"].to_numpy(zero_copy_only=False)
         li = pd.DataFrame({"k": lk, "i": np.arange(len(lk), dtype=np.int64)})
         ri = pd.DataFrame({"k": rk, "j": np.arange(len(rk), dtype=np.int64)})
-        m = li.merge(ri, on="k", how="inner" if how == "inner" else "left")
-        i_idx = pa.array(m["i"].to_numpy(), pa.int64())
-        if how == "left":
-            j_idx = pa.array(pd.array(m["j"], dtype="Int64"), pa.int64())
-        else:
+        pd_how = {"inner": "inner", "left": "left", "full": "outer"}[how]
+        m = li.merge(ri, on="k", how=pd_how)
+        if how == "inner":
+            i_idx = pa.array(m["i"].to_numpy(), pa.int64())
             j_idx = pa.array(m["j"].to_numpy(np.int64), pa.int64())
+        else:  # nullable take indices: missing side -> null columns
+            i_idx = pa.array(pd.array(m["i"], dtype="Int64"), pa.int64())
+            j_idx = pa.array(pd.array(m["j"], dtype="Int64"), pa.int64())
         cols = {n: lt[n].take(i_idx) for n in lcols}
         for n in rcols_src:
             cols[rename[n]] = rt[rename[n]].take(j_idx)

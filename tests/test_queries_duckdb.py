@@ -65,6 +65,8 @@ SAMPLE = [
                                 # before-exchange, all-integer exact
     "user_session_stats",       # per-session count+duration fused into
                                 # the sessionization partition pass
+    "type_hourly_full_join",    # FULL OUTER join of two hourly series
+                                # (keyed_equijoin how='full')
 ]
 
 

@@ -79,3 +79,47 @@ def test_q18_threshold_monotone(ray_session):
     assert len(hi) <= len(lo)
     assert set(hi["o_orderkey"]) <= set(lo["o_orderkey"])
     assert (hi["sum_qty"] > 250.0).all()
+
+
+def test_full_outer_join_matches_pandas(ray_session):
+    """keyed_equijoin(how='full') == pandas outer merge on a fixture with
+    left-only, right-only, matched, and duplicate keys; salt>1 rejected."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from crossai_ts_ray.stages.joins import keyed_equijoin
+
+    lt = pa.table({"k": pa.array([1, 2, 2, 5], pa.int64()),
+                   "lv": pa.array([10, 20, 21, 50], pa.int64())})
+    rt = pa.table({"k2": pa.array([2, 3, 3, 5], pa.int64()),
+                   "rv": pa.array([200, 300, 301, 500], pa.int64())})
+    got = (
+        keyed_equijoin(rd.from_arrow(lt), rd.from_arrow(rt),
+                       on=("k", "k2"), buckets=4, how="full",
+                       schemas=(lt.schema, rt.schema))
+        .to_pandas()
+    )
+    exp = lt.to_pandas().merge(
+        rt.to_pandas(), left_on="k", right_on="k2", how="outer"
+    )[["k", "lv", "rv"]]
+
+    def canon(df):
+        return (
+            df.assign(key=df["k"].fillna(df["rv"] // 100 if "rv" in df else -1))
+            .sort_values(["lv", "rv"], na_position="last")
+            .reset_index(drop=True)[["k", "lv", "rv"]]
+        )
+
+    pd.testing.assert_frame_equal(
+        canon(got).astype("float64"), canon(exp).astype("float64")
+    )
+    # unmatched survive on BOTH sides
+    assert got["lv"].isna().sum() == 2   # right-only k=3 twice
+    assert got["rv"].isna().sum() == 1   # left-only k=1
+    with pytest.raises(ValueError):
+        keyed_equijoin(rd.from_arrow(lt), rd.from_arrow(rt),
+                       on=("k", "k2"), how="full", salt=4,
+                       schemas=(lt.schema, rt.schema))
