@@ -505,6 +505,12 @@ def _asof_q(sf_dir: str):
     return asof_last_event_value(sf_dir)
 
 
+def _asof_next_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.events_pipeline import asof_next_event_value
+
+    return asof_next_event_value(sf_dir)
+
+
 def _order_event_window_q(sf_dir: str):
     from crossai_ts_ray.pipelines.events_pipeline import order_event_window
 
@@ -522,7 +528,16 @@ SELECT o.o_orderkey,
        round(
          (SELECT e.value FROM events e
           WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
-          ORDER BY e.ts DESC LIMIT 1), 6) AS last_event_value
+          ORDER BY e.ts DESC, e.value DESC LIMIT 1), 6) AS last_event_value
+FROM orders o
+"""
+
+_ASOF_NEXT_SQL = """
+SELECT o.o_orderkey,
+       round(
+         (SELECT e.value FROM events e
+          WHERE e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+          ORDER BY e.ts ASC, e.value ASC LIMIT 1), 6) AS next_event_value
 FROM orders o
 """
 
@@ -546,6 +561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": _user_top_event_q,
         "user_running_total": _user_running_total_q,
         "asof_last_event_value": _asof_q,
+        # forward as-of (next-touch attribution): earliest event at or
+        # after the order date, same bucketed large-large shape
+        "asof_next_event_value": _asof_next_q,
         # RANGE join: per-order 7-day attribution window over the
         # customer's events (two as-of prefix lookups per bucket)
         "order_event_window": _order_event_window_q,
@@ -1008,6 +1026,7 @@ def oracle_sql() -> dict[str, str]:
         "user_top_event": _events_sql("USER_TOP_EVENT_SQL"),
         "user_running_total": _events_sql("USER_RUNNING_TOTAL_SQL"),
         "asof_last_event_value": _ASOF_SQL,
+        "asof_next_event_value": _ASOF_NEXT_SQL,
         "order_event_window": _events_sql("ORDER_EVENT_WINDOW_SQL"),
         "hourly_anomalies": _events_sql("HOURLY_ANOMALIES_SQL"),
         "window_counts_w16_o8": _WINDOW_COUNTS_SQL,

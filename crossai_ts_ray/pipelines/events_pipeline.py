@@ -314,14 +314,22 @@ def user_sessions(sf_dir: str, gap_s: int = 1800, buckets: int | None = None) ->
     )
 
 
-def asof_last_event_value(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
+def asof_last_event_value(sf_dir: str, buckets: int | None = None,
+                          direction: str = "backward",
+                          out_col: str = "last_event_value") -> rd.Dataset:
     """As-of join: for each order, the value of the customer's latest event
-    at or before the order date.
+    at or before the order date (``direction="backward"``), or of the
+    EARLIEST event at or after it (``direction="forward"`` -- the
+    next-touch attribution shape; see ``asof_next_event_value``).
+
+    Ties on the event timestamp are broken deterministically by value
+    (largest wins backward, smallest forward), mirrored in the SQL oracle's
+    ORDER BY tiebreak.
 
     Large-large shape (SURVEY.md section 2.6): BOTH sides are bucketed by
     ``hash(user key) % buckets`` (plain column + one keyed shuffle of the
     union), and each bucket runs one vectorized ``pd.merge_asof`` (sorted
-    backward search, by=key).  No side is broadcast or read on the driver;
+    search, by=key).  No side is broadcast or read on the driver;
     at stream scale neither events nor orders fits anywhere whole.  Skewed
     users can be salted by raising ``buckets``; within a bucket the cost is
     sort + one linear merge."""
@@ -394,7 +402,7 @@ def asof_last_event_value(sf_dir: str, buckets: int | None = None) -> rd.Dataset
     )
 
     out_schema = pa.schema(
-        [("o_orderkey", pa.int64()), ("last_event_value", pa.float64())]
+        [("o_orderkey", pa.int64()), (out_col, pa.float64())]
     )
 
     def merge_asof_bucket(t: pa.Table) -> pa.Table:
@@ -404,7 +412,7 @@ def asof_last_event_value(sf_dir: str, buckets: int | None = None) -> rd.Dataset
         if probe.num_rows == 0:
             return pa.table(
                 {"o_orderkey": pa.nulls(0, pa.int64()),
-                 "last_event_value": pa.nulls(0, pa.float64())},
+                 out_col: pa.nulls(0, pa.float64())},
                 schema=out_schema,
             )
         build = t.filter(pa.array(side == 0))
@@ -415,18 +423,22 @@ def asof_last_event_value(sf_dir: str, buckets: int | None = None) -> rd.Dataset
                 "okey": probe["okey"].to_numpy(zero_copy_only=False),
             }
         ).sort_values("t", kind="stable")
+        # ts tiebreak by value: merge_asof picks the LAST right row among
+        # equal t backward and the FIRST forward, so ascending-value sort
+        # yields max-value backward / min-value forward -- both mirrored
+        # in the oracle's ORDER BY
         right = pd.DataFrame(
             {
                 "key": build["key"].to_numpy(zero_copy_only=False),
                 "t": build["t"].to_numpy(zero_copy_only=False),
                 "val": build["val"].to_numpy(zero_copy_only=False),
             }
-        ).sort_values("t", kind="stable")
-        m = pd.merge_asof(left, right, on="t", by="key", direction="backward")
+        ).sort_values(["t", "val"], kind="stable")
+        m = pd.merge_asof(left, right, on="t", by="key", direction=direction)
         return pa.table(
             {
                 "o_orderkey": pa.array(m["okey"].to_numpy(np.int64), pa.int64()),
-                "last_event_value": pa.array(
+                out_col: pa.array(
                     np.round(m["val"].to_numpy(np.float64), 6), pa.float64()
                 ),
             },
@@ -434,6 +446,15 @@ def asof_last_event_value(sf_dir: str, buckets: int | None = None) -> rd.Dataset
         )
 
     return both.groupby("prt").map_groups(merge_asof_bucket, batch_format="pyarrow")
+
+
+def asof_next_event_value(sf_dir: str, buckets: int | None = None) -> rd.Dataset:
+    """Forward as-of join: for each order, the value of the customer's
+    EARLIEST event at or after the order date -- next-touch attribution.
+    Same bucketed large-large shape as asof_last_event_value."""
+    return asof_last_event_value(
+        sf_dir, buckets, direction="forward", out_col="next_event_value"
+    )
 
 
 _WINDOW_7D_US = 7 * 86_400 * 1_000_000

@@ -67,6 +67,8 @@ SAMPLE = [
                                 # the sessionization partition pass
     "type_hourly_full_join",    # FULL OUTER join of two hourly series
                                 # (keyed_equijoin how='full')
+    "asof_next_event_value",    # forward as-of (next-touch attribution),
+                                # value tiebreak mirrored in the oracle
 ]
 
 
