@@ -4806,10 +4806,16 @@ def type_hourly_full_join(sf_dir: str, type_a: str = "click",
     and merges exactly through one hash(bucket) exchange (hourly-bounded);
     the full join is stages/joins.keyed_equijoin(how='full') -- the right
     side carries its bucket as a data column so the driver-visible key is
-    ``coalesce(left, right)``, mirroring SQL."""
+    ``coalesce(left, right)``, mirroring SQL.  The two-type predicate is
+    pushed into the parquet scan (row-group stats + decode-time filter),
+    so only the compared types' rows ever leave the read."""
     import pyarrow.compute as pc
 
-    ev = _read_events(sf_dir, ["ts", "event_type"])
+    ev = read_parquet_sized(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "event_type"],
+        filter=pc.field("event_type").isin([type_a, type_b]),
+    )
     from ..stages.joins import keyed_equijoin
 
     def side(type_name: str, col: str):
