@@ -253,9 +253,12 @@ def q14_promo_revenue(sf_dir: str):
     promo = (part["p_type"].to_numpy() == "PROMO")[order]
     ref = ray.put((pk[order], promo))
 
+    from ..sources.readers import ts_window_filter
+
     items = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=ts_window_filter("l_shipdate", _Q14_LO, _Q14_HI),
     )
 
     def partial(t: pa.Table) -> pa.Table:
@@ -341,9 +344,12 @@ def q12_priority_by_flag(sf_dir: str, buckets: int | None = None):
             }
         )
 
+    from ..sources.readers import ts_window_filter
+
     items = read_parquet_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=ts_window_filter("l_shipdate", _Q12_LO, _Q12_HI),
     )
 
     def proj_items(t: pa.Table) -> pa.Table:

@@ -53,6 +53,17 @@ SMALL_TABLE_BYTES = 256 * 1024 * 1024
 _SMALL_BLOCK_BYTES = 1 * 1024 * 1024
 
 
+def ts_window_filter(field: str, lo_us: int, hi_us: int):
+    """Pyarrow scan-filter expression for ``lo <= field < hi`` over a
+    timestamp[us] column -- pass as ``filter=`` to the parquet readers so
+    row-group statistics skip non-matching groups and rows filter at
+    decode (only matching rows cross the read boundary).  Queries keep
+    their in-task masks as the exactness belt."""
+    lo = pa.scalar(int(lo_us), pa.timestamp("us"))
+    hi = pa.scalar(int(hi_us), pa.timestamp("us"))
+    return (pc.field(field) >= lo) & (pc.field(field) < hi)
+
+
 def read_parquet_sized(path, columns: list[str] | None = None, **kw) -> rd.Dataset:
     """``read_parquet`` with size-aware block planning for small tables.
 
