@@ -772,6 +772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # FULL OUTER join: two hourly series side by side (one-sided hours
         # survive with the other side NULL)
         "type_hourly_full_join": _analytics("type_hourly_full_join"),
+        # RANK / DENSE_RANK per distinct value (window family completeness)
+        "value_rank_dense": _analytics("value_rank_dense"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1093,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": analytics_sql("ROLLING_ACTIVE_USERS_SQL"),
         "user_session_stats": analytics_sql("USER_SESSION_STATS_SQL"),
         "type_hourly_full_join": analytics_sql("TYPE_HOURLY_FULL_JOIN_SQL"),
+        "value_rank_dense": analytics_sql("VALUE_RANK_DENSE_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

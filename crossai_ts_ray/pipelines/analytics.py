@@ -4908,3 +4908,94 @@ b AS (
 SELECT coalesce(a.bucket, b.bucket) AS bucket, a.a_cnt, b.b_cnt
 FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# RANK / DENSE_RANK per distinct value (window-function family completeness)
+# ---------------------------------------------------------------------------
+
+
+def value_rank_dense(sf_dir: str, buckets: int | None = None):
+    """Per event type, the RANK() and DENSE_RANK() of every DISTINCT value
+    (ascending) -- one row per (type, value), which is what rank lookups
+    consume and what keeps the output distinct-value-bounded instead of
+    row-bounded.
+
+    All-integer exact: per-batch (type, value, count) partials, one
+    hash(type) exchange of distinct-value-bounded rows, then per type a
+    vectorized sort + cumsum -- RANK of a value = rows strictly below it
+    + 1 (prefix sum of merged counts), DENSE_RANK = its run index + 1."""
+    ev = _read_events(sf_dir, ["event_type", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("value", pa.float64()),
+         ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        first = np.concatenate(
+            ([True], (cs[1:] != cs[:-1]) | (vs[1:] != vs[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(cs)))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "value": pa.array(vs[starts], pa.float64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("value", pa.float64()),
+         ("rnk", pa.int64()), ("drk", pa.int64())]
+    )
+
+    def rank_scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        v = _np(g["value"])
+        n = _np(g["n"])
+        order = np.argsort(v, kind="stable")
+        vs, ns = v[order], n[order]
+        first = np.concatenate(([True], vs[1:] != vs[:-1]))
+        starts = np.flatnonzero(first)
+        merged = np.add.reduceat(ns, starts)
+        below = np.concatenate(([0], np.cumsum(merged)[:-1]))
+        src = g["event_type"][0].as_py()
+        m = len(starts)
+        return pa.table(
+            {
+                "event_type": pa.array([src] * m, pa.string()),
+                "value": pa.array(vs[starts], pa.float64()),
+                "rnk": pa.array(below + 1, pa.int64()),
+                "drk": pa.array(np.arange(1, m + 1, dtype=np.int64),
+                                pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("event_type")
+        .map_groups(rank_scan, batch_format="pyarrow")
+    )
+
+
+VALUE_RANK_DENSE_SQL = """
+SELECT DISTINCT event_type, value,
+       rank() OVER (PARTITION BY event_type ORDER BY value) AS rnk,
+       dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS drk
+FROM events
+"""

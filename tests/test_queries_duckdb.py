@@ -69,6 +69,8 @@ SAMPLE = [
                                 # (keyed_equijoin how='full')
     "asof_next_event_value",    # forward as-of (next-touch attribution),
                                 # value tiebreak mirrored in the oracle
+    "value_rank_dense",         # RANK/DENSE_RANK per distinct value from
+                                # merged count histograms
 ]
 
 
