@@ -4999,3 +4999,90 @@ SELECT DISTINCT event_type, value,
        dense_rank() OVER (PARTITION BY event_type ORDER BY value) AS drk
 FROM events
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: per-user event-type path
+# ---------------------------------------------------------------------------
+
+
+def user_event_path(sf_dir: str, max_len: int = 64,
+                    buckets: int | None = None):
+    """Per user: the chronologically ordered path of event types (first
+    ``max_len`` events) joined with '>' plus the total event count -- the
+    ordered STRING_AGG shape funnel exploration reads.
+
+    Scale shape: one hash(user) exchange, per-partition vectorized sort;
+    the join to a path string is a per-USER Python join over an
+    explicitly CAPPED prefix (max_len), so output rows are
+    O(users x max_len chars) regardless of per-user event counts.  The
+    tie order (ts, then event_id) is total, so the oracle mirror is
+    deterministic."""
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("path", pa.string())]
+    )
+
+    def scan(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False)
+        names = et.dictionary.to_pylist()
+        order = np.lexsort((eid, ts, uid))
+        u_s, c_s = uid[order], codes[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        )
+        n = np.diff(np.append(starts, len(u_s))).astype(np.int64)
+        paths = [
+            ">".join(names[c] for c in c_s[s: s + min(int(k), max_len)])
+            for s, k in zip(starts, n)
+        ]
+        return pa.table(
+            {
+                "user_id": pa.array(u_s[starts], pa.int64()),
+                "n_events": pa.array(n, pa.int64()),
+                "path": pa.array(paths, pa.string()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan(g.drop_columns(["prt"])), batch_format="pyarrow"
+        )
+    )
+
+
+USER_EVENT_PATH_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn
+  FROM events
+)
+SELECT user_id::BIGINT AS user_id,
+       (SELECT count(*) FROM o o2 WHERE o2.user_id = o.user_id)::BIGINT
+         AS n_events,
+       string_agg(event_type, '>' ORDER BY rn) AS path
+FROM o WHERE rn <= 64
+GROUP BY user_id
+"""

@@ -71,6 +71,8 @@ SAMPLE = [
                                 # value tiebreak mirrored in the oracle
     "value_rank_dense",         # RANK/DENSE_RANK per distinct value from
                                 # merged count histograms
+    "user_event_path",          # ordered STRING_AGG: chronological path,
+                                # capped prefix, total tie order
 ]
 
 
