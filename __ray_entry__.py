@@ -584,6 +584,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source token-distribution entropy + KL vs corpus (hash(word)
         # partitioning co-locates corpus totals -- no second join)
         "source_token_entropy": _text("source_token_entropy"),
+        # grouped exact PERCENTILE_CONT over documents: per-source
+        # doc-length quantiles (curation length-gate audit)
+        "source_doclen_quantiles": _text("source_doclen_quantiles"),
         "lang_distribution": _text("lang_distribution"),
         "dedup_exact": _text("dedup_exact"),
         "dedup_minhash_pairs": _text("dedup_minhash_pairs"),
@@ -1129,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "source_token_entropy": text_sql("SOURCE_TOKEN_ENTROPY_SQL"),
+        "source_doclen_quantiles": text_sql("SOURCE_DOCLEN_QUANTILES_SQL"),
         "lang_distribution": text_sql("LANG_DISTRIBUTION_SQL"),
         "dedup_exact": text_sql("DEDUP_EXACT_SQL"),
         # the full connected-components + anti-join machinery on

@@ -3569,3 +3569,111 @@ JOIN uni u2 ON b.w2 = u2.w, n, nb
 ORDER BY pmi DESC, w1 ASC, w2 ASC
 LIMIT 30
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source document-length quantiles (grouped exact PERCENTILE_CONT)
+# ---------------------------------------------------------------------------
+
+_DOCLEN_QS = (0.25, 0.50, 0.75, 0.90)
+
+
+def source_doclen_quantiles(sf_dir: str, buckets: int = 32) -> rd.Dataset:
+    """Exact per-source document-length (token-count) quantiles with SQL
+    ``quantile_cont`` linear interpolation -- the length-distribution audit
+    a curation pipeline runs per source before setting length gates.
+
+    Scale shape: per-batch rows collapse to (source, n_tok) pairs; ONE
+    hash(source) exchange; each partition lexsorts once and gathers every
+    source's quantiles with fused floor/ceil lerp -- no per-group Python.
+    """
+    from ..stages.joins import hash_prt
+
+    docs = _read_docs(sf_dir, columns=("text", "source"))
+
+    part_schema = pa.schema(
+        [("source", pa.string()), ("n_tok", pa.int64()),
+         ("prt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        lens = pc.list_value_length(
+            pc.split_pattern(t["text"], pattern=" ")
+        ).cast(pa.int64())
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        d = src.dictionary_encode()
+        dh = np.array(
+            [zlib.crc32(s.encode()) for s in d.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        h = dh[d.indices.to_numpy(zero_copy_only=False)]
+        return pa.table(
+            {"source": src, "n_tok": lens,
+             "prt": pa.array(hash_prt(h, buckets), pa.int64())},
+            schema=part_schema,
+        )
+
+    names = [f"p{int(q * 100)}" for q in _DOCLEN_QS]
+    out_schema = pa.schema(
+        [("source", pa.string()), ("n_docs", pa.int64())]
+        + [(nm, pa.float64()) for nm in names]
+    )
+
+    def quant_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        d = t["source"].dictionary_encode().combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], c_s[1:] != c_s[:-1]))
+        )
+        n = np.diff(np.append(starts, len(c_s)))
+        cols = {
+            "source": d.dictionary.take(pa.array(c_s[starts])).cast(
+                pa.string()),
+            "n_docs": pa.array(n.astype(np.int64), pa.int64()),
+        }
+        for q, nm in zip(_DOCLEN_QS, names):
+            pos = (n - 1).astype(np.float64) * q
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.ceil(pos).astype(np.int64)
+            frac = pos - lo
+            vlo = v_s[starts + lo]
+            vhi = v_s[starts + hi]
+            cols[nm] = pa.array(
+                np.round(vlo + (vhi - vlo) * frac, 6), pa.float64()
+            )
+        return pa.table(cols, schema=out_schema)
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: quant_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SOURCE_DOCLEN_QUANTILES_SQL = """
+WITH d AS (
+  SELECT source, len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_tok, 0.25), 6) AS p25,
+       round(quantile_cont(n_tok, 0.50), 6) AS p50,
+       round(quantile_cont(n_tok, 0.75), 6) AS p75,
+       round(quantile_cont(n_tok, 0.90), 6) AS p90
+FROM d GROUP BY source
+"""

@@ -73,6 +73,8 @@ SAMPLE = [
                                 # merged count histograms
     "user_event_path",          # ordered STRING_AGG: chronological path,
                                 # capped prefix, total tie order
+    "source_doclen_quantiles",  # grouped exact PERCENTILE_CONT over the
+                                # documents table (length-gate audit)
 ]
 
 
