@@ -1,0 +1,121 @@
+"""Randomized-oracle tests for the wave-5 kernels: generate small random
+events tables (seeded), run the Ray op AND its oracle SQL through DuckDB on
+the same parquet, compare exactly.  These hit shapes the fixed driver
+testdata cannot guarantee -- hour-BLOCK boundaries in the sliding
+count-distinct, single-event users, all-tied timestamps, constant series."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _events_dir(tmp_path, rng, rows, users=7, types=3, hours=60,
+                tie_frac=0.3):
+    """Random events table with deliberate ts ties and sparse hours."""
+    ts_base = np.datetime64("2025-03-01T00:00:00.000000")
+    hour = rng.integers(0, hours, rows)
+    # sparse: drop a band of hours entirely so windows straddle gaps
+    hour = np.where((hour % 13) == 5, hour + 13, hour)
+    sec = rng.integers(0, 3600, rows)
+    sec = np.where(rng.random(rows) < tie_frac, 0, sec)  # forced ties
+    ts = ts_base + (hour * 3600 + sec).astype("timedelta64[s]").astype(
+        "timedelta64[us]")
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(rows, dtype=np.int64)),
+            "user_id": pa.array(
+                rng.integers(0, users, rows).astype(np.int64)),
+            "event_type": pa.array(
+                np.char.add("t", rng.integers(0, types, rows).astype(str))),
+            "ts": pa.array(ts),
+            "value": pa.array(np.round(rng.random(rows) * 50, 3)),
+        }
+    )
+    d = tmp_path / f"ev_{rng.integers(1 << 30)}"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, str(d / "events.parquet"), row_group_size=64)
+    return str(d)
+
+
+def _compare(name, sf_dir, query, sql):
+    import duckdb
+
+    from tools.verify_correctness import compare, to_pandas
+
+    ray_df = to_pandas(query(sf_dir))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    sql_df = con.execute(sql).df()
+    problems = [p for p in compare(name, ray_df, sql_df)
+                if "warning" not in p]
+    assert not problems, problems
+    return ray_df
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_rolling_active_users_random(ray_session, tmp_path, seed):
+    """Block-boundary stress: random sparse hours + tied timestamps."""
+    from crossai_ts_ray.pipelines.analytics import (
+        ROLLING_ACTIVE_USERS_SQL, rolling_active_users)
+
+    rng = np.random.default_rng(seed)
+    d = _events_dir(tmp_path, rng, rows=400, users=5, types=2, hours=80)
+    df = _compare("rau", d, rolling_active_users, ROLLING_ACTIVE_USERS_SQL)
+    assert len(df) > 0 and (df["users_24h"] >= 1).all()
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_rolling_median_hourly_random(ray_session, tmp_path, seed):
+    from crossai_ts_ray.pipelines.analytics import (
+        ROLLING_MEDIAN_HOURLY_SQL, rolling_median_hourly)
+
+    rng = np.random.default_rng(seed)
+    d = _events_dir(tmp_path, rng, rows=300, users=4, types=3, hours=40)
+    _compare("rmh", d, rolling_median_hourly, ROLLING_MEDIAN_HOURLY_SQL)
+
+
+@pytest.mark.parametrize("seed", [6, 7])
+def test_interarrival_random_with_single_event_users(ray_session, tmp_path,
+                                                     seed):
+    """Single-event users must vanish; all-tied-ts users get cv NULL."""
+    from crossai_ts_ray.pipelines.analytics import (
+        USER_INTERARRIVAL_SQL, user_interarrival_stats)
+
+    rng = np.random.default_rng(seed)
+    d = _events_dir(tmp_path, rng, rows=120, users=30, types=2, hours=20,
+                    tie_frac=0.8)
+    df = _compare("uis", d, user_interarrival_stats, USER_INTERARRIVAL_SQL)
+    assert (df["n_gaps"] >= 1).all()
+
+
+@pytest.mark.parametrize("seed", [8, 9])
+def test_session_stats_random(ray_session, tmp_path, seed):
+    from crossai_ts_ray.pipelines.analytics import (
+        USER_SESSION_STATS_SQL, user_session_stats)
+
+    rng = np.random.default_rng(seed)
+    d = _events_dir(tmp_path, rng, rows=250, users=6, types=2, hours=50)
+    df = _compare("uss", d, user_session_stats, USER_SESSION_STATS_SQL)
+    assert (df["duration_s"] >= 0).all()
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_value_rank_dense_random(ray_session, tmp_path, seed):
+    from crossai_ts_ray.pipelines.analytics import (
+        VALUE_RANK_DENSE_SQL, value_rank_dense)
+
+    rng = np.random.default_rng(seed)
+    d = _events_dir(tmp_path, rng, rows=200, users=5, types=3, hours=30)
+    df = _compare("vrd", d, value_rank_dense, VALUE_RANK_DENSE_SQL)
+    # dense rank within a type is 1..n_distinct with no holes
+    for _, g in df.groupby("event_type"):
+        drk = np.sort(g["drk"].to_numpy())
+        assert (drk == np.arange(1, len(g) + 1)).all()
