@@ -53,6 +53,10 @@ def run_bench(ncpu: int, sf_dir: str) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # MEASURED 2026-08-19: HASH_SHUFFLE hung >10 min on sections the
+    # default sort-based exchange finishes in <1 s (dedup_minhash_pairs
+    # 0.89 s, order_lineitem_join 0.78 s at sf0.1/32 CPUs) on this Ray
+    # build -- keep it strictly opt-in for experimentation, never default.
     if os.environ.get("GRAFT_HASH_SHUFFLE", "0") == "1":
         from ray.data.context import ShuffleStrategy
 
