@@ -780,6 +780,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered STRING_AGG: per-user chronological event-type path
         # (capped prefix, deterministic (ts, event_id) tie order)
         "user_event_path": _analytics("user_event_path"),
+        # gaps-and-islands: contiguous busy-hour runs (burst detection)
+        "busy_hour_islands": _analytics("busy_hour_islands"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1103,6 +1105,7 @@ def oracle_sql() -> dict[str, str]:
         "type_hourly_full_join": analytics_sql("TYPE_HOURLY_FULL_JOIN_SQL"),
         "value_rank_dense": analytics_sql("VALUE_RANK_DENSE_SQL"),
         "user_event_path": analytics_sql("USER_EVENT_PATH_SQL"),
+        "busy_hour_islands": analytics_sql("BUSY_HOUR_ISLANDS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

@@ -5086,3 +5086,121 @@ SELECT user_id::BIGINT AS user_id,
 FROM o WHERE rn <= 64
 GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: contiguous busy-hour runs per event type
+# ---------------------------------------------------------------------------
+
+
+def busy_hour_islands(sf_dir: str, min_count: int = 2):
+    """Contiguous runs ("islands") of hours where an event type fired at
+    least ``min_count`` times: one row per run with its start/end hour,
+    length and total events -- the gaps-and-islands shape burst detection
+    reads.
+
+    All-integer exact.  Scale shape: per-batch (type, hour) count partials
+    (hour-domain bounded), one hash(type) exchange, then a vectorized
+    island scan per type: sort hours, threshold, run boundaries where the
+    hour step exceeds 1, segment reduceat for length/total."""
+    ev = _read_events(sf_dir, ["ts", "event_type"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("h", pa.int64()), ("c", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        hour = (_ts_us(t["ts"]) // 1_000_000) // 3600
+        order = np.lexsort((hour, codes))
+        cs, hs = codes[order], hour[order]
+        first = np.concatenate(
+            ([True], (cs[1:] != cs[:-1]) | (hs[1:] != hs[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        n = np.diff(np.append(starts, len(cs)))
+        sel = order[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "h": pa.array(hs[starts], pa.int64()),
+                "c": pa.array(n.astype(np.int64), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("run_start", pa.int64()),
+            ("run_end", pa.int64()),
+            ("n_hours", pa.int64()),
+            ("total_events", pa.int64()),
+        ]
+    )
+
+    def islands(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        h = _np(g["h"])
+        c = _np(g["c"])
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        # merge duplicate hours across batch partials
+        ustarts = np.flatnonzero(
+            np.concatenate(([True], hs[1:] != hs[:-1]))
+        )
+        uh = hs[ustarts]
+        uc = np.add.reduceat(c[order], ustarts)
+        keep = uc >= min_count
+        uh, uc = uh[keep], uc[keep]
+        if not len(uh):
+            return pa.Table.from_pylist([], schema=out_schema)
+        new_run = np.concatenate(([True], np.diff(uh) > 1))
+        rstarts = np.flatnonzero(new_run)
+        rend = np.append(rstarts[1:] - 1, len(uh) - 1)
+        src = g["event_type"][0].as_py()
+        m = len(rstarts)
+        return pa.table(
+            {
+                "event_type": pa.array([src] * m, pa.string()),
+                "run_start": pa.array(uh[rstarts], pa.int64()),
+                "run_end": pa.array(uh[rend], pa.int64()),
+                "n_hours": pa.array(
+                    np.diff(np.append(rstarts, len(uh))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "total_events": pa.array(
+                    np.add.reduceat(uc, rstarts), pa.int64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("event_type")
+        .map_groups(islands, batch_format="pyarrow")
+    )
+
+
+BUSY_HOUR_ISLANDS_SQL = """
+WITH a AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS h,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT *, h - row_number() OVER (PARTITION BY event_type ORDER BY h)
+           AS grp
+  FROM a WHERE c >= 2
+)
+SELECT event_type, min(h)::BIGINT AS run_start, max(h)::BIGINT AS run_end,
+       count(*)::BIGINT AS n_hours, sum(c)::BIGINT AS total_events
+FROM b GROUP BY event_type, grp
+"""

@@ -75,6 +75,8 @@ SAMPLE = [
                                 # capped prefix, total tie order
     "source_doclen_quantiles",  # grouped exact PERCENTILE_CONT over the
                                 # documents table (length-gate audit)
+    "busy_hour_islands",        # gaps-and-islands: contiguous busy-hour
+                                # runs via row_number-difference mirror
 ]
 
 
