@@ -4769,7 +4769,7 @@ def user_session_stats(sf_dir: str, gap_s: int = _SESSION_GAP_S,
 
 USER_SESSION_STATS_SQL = """
 WITH g AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
               THEN 1 ELSE 0 END AS gap
   FROM events
@@ -4778,7 +4778,7 @@ WITH g AS (
 s AS (
   SELECT user_id, ts,
          SUM(gap) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS session_id
   FROM g
