@@ -782,6 +782,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": _analytics("user_event_path"),
         # gaps-and-islands: contiguous busy-hour runs (burst detection)
         "busy_hour_islands": _analytics("busy_hour_islands"),
+        # weekly heatmap: counts per (type, day-of-week, hour-of-day),
+        # domain-bounded combiner before one tiny exchange
+        "activity_profile": _analytics("activity_profile"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1106,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
         "value_rank_dense": analytics_sql("VALUE_RANK_DENSE_SQL"),
         "user_event_path": analytics_sql("USER_EVENT_PATH_SQL"),
         "busy_hour_islands": analytics_sql("BUSY_HOUR_ISLANDS_SQL"),
+        "activity_profile": analytics_sql("ACTIVITY_PROFILE_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

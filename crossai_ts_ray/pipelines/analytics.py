@@ -5204,3 +5204,94 @@ SELECT event_type, min(h)::BIGINT AS run_start, max(h)::BIGINT AS run_end,
        count(*)::BIGINT AS n_hours, sum(c)::BIGINT AS total_events
 FROM b GROUP BY event_type, grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week x hour-of-day activity profile
+# ---------------------------------------------------------------------------
+
+
+def activity_profile(sf_dir: str):
+    """Event counts per (event_type, day-of-week, hour-of-day) -- the
+    weekly activity heatmap a monitoring dashboard renders and seasonal
+    models condition on.  All-integer exact; domain-bounded output
+    (types x 7 x 24).
+
+    Scale shape: per-batch counts collapse to the bounded (type, dow, hod)
+    domain BEFORE one tiny exchange -- the groupby moves at most
+    types x 168 rows per batch regardless of event volume."""
+    ev = _read_events(sf_dir, ["ts", "event_type"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("dow", pa.int64()),
+         ("hod", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        us = _ts_us(t["ts"])
+        days = us // 86_400_000_000
+        dow = (days + 4) % 7        # epoch day 0 = Thursday; Sunday = 0
+        hod = (us // 3_600_000_000) % 24
+        key = codes * 168 + dow * 24 + hod
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        n = np.diff(np.append(starts, len(ks)))
+        uk = ks[starts]
+        return pa.table(
+            {
+                "event_type": et.take(
+                    pa.array(order[starts])).cast(pa.string()),
+                "dow": pa.array((uk // 24) % 7, pa.int64()),
+                "hod": pa.array(uk % 24, pa.int64()),
+                "n": pa.array(n.astype(np.int64), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("dow", pa.int64()),
+         ("hod", pa.int64()), ("n", pa.int64())]
+    )
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        key = _np(g["dow"]) * 24 + _np(g["hod"])
+        n = _np(g["n"])
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        sums = np.add.reduceat(n[order], starts)
+        uk = ks[starts]
+        src = g["event_type"][0].as_py()
+        return pa.table(
+            {
+                "event_type": pa.array([src] * len(uk), pa.string()),
+                "dow": pa.array(uk // 24, pa.int64()),
+                "hod": pa.array(uk % 24, pa.int64()),
+                "n": pa.array(sums, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=1_048_576)
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+ACTIVITY_PROFILE_SQL = """
+SELECT event_type,
+       dayofweek(ts)::BIGINT AS dow,
+       hour(ts)::BIGINT AS hod,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2, 3
+"""

@@ -77,6 +77,8 @@ SAMPLE = [
                                 # documents table (length-gate audit)
     "busy_hour_islands",        # gaps-and-islands: contiguous busy-hour
                                 # runs via row_number-difference mirror
+    "activity_profile",         # weekly dow x hod heatmap, domain-bounded
+                                # combiner (types x 168 rows per batch)
 ]
 
 
