@@ -119,3 +119,30 @@ def test_value_rank_dense_random(ray_session, tmp_path, seed):
     for _, g in df.groupby("event_type"):
         drk = np.sort(g["drk"].to_numpy())
         assert (drk == np.arange(1, len(g) + 1)).all()
+
+
+@pytest.mark.parametrize("seed,win", [(12, 6), (13, 3)])
+def test_rolling_active_users_custom_window(ray_session, tmp_path, seed,
+                                            win):
+    """The block kernel must generalize beyond the registered 24h window
+    (block width = window_h changes the replication boundary math)."""
+    from crossai_ts_ray.pipelines.analytics import rolling_active_users
+
+    rng = np.random.default_rng(seed)
+    d = _events_dir(tmp_path, rng, rows=350, users=6, types=2, hours=50)
+    sql = f"""
+WITH t AS (
+  SELECT DISTINCT event_type,
+         (epoch_us(ts) // 1000000) // 3600 AS hour,
+         user_id::BIGINT AS user_id
+  FROM events
+),
+h AS (SELECT DISTINCT event_type, hour FROM t)
+SELECT h.event_type, h.hour AS bucket,
+       count(DISTINCT t.user_id)::BIGINT AS users_24h
+FROM h JOIN t ON t.event_type = h.event_type
+            AND t.hour BETWEEN h.hour - {win - 1} AND h.hour
+GROUP BY 1, 2
+"""
+    _compare(f"rau_w{win}", d,
+             lambda sf: rolling_active_users(sf, window_h=win), sql)
