@@ -1186,3 +1186,109 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
 GROUP BY n.n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted aggregate: quantity-weighted mean price per return flag
+# ---------------------------------------------------------------------------
+
+
+def weighted_avg_price_by_flag(sf_dir: str):
+    """Quantity-weighted mean extended price per return flag -- the
+    weighted-aggregate shape (sum(w*x)/sum(w)) the plain mean family does
+    not cover.
+
+    Exactness: quantity and micro-unit price are exact int64; the weighted
+    cross sum is int64 with a loud overflow guard (DuckDB's HUGEINT sum
+    never overflows, so the Ray side escalates to Python-int math rather
+    than wrap); the final division is one mirrored float expression.
+
+    Scale shape: per-batch partials collapse to one row per flag (domain
+    = 3), one tiny exchange."""
+    ds = read_parquet_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    part_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("sw", pa.int64()),
+         ("swp", pa.float64()), ("swp_exact", pa.string())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        flag = t["l_returnflag"].combine_chunks().dictionary_encode()
+        codes = flag.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.rint(
+            t["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        pu = _micros(t["l_extendedprice"].to_numpy(zero_copy_only=False))
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        sw = np.add.reduceat(q[order], starts)
+        # per-row cross term can approach int64 at scale: escalate loudly
+        if float(q.max(initial=0)) * float(np.abs(pu).max(initial=0)) \
+                * len(q) >= 9.2e18:
+            cross = (q.astype(object) * pu.astype(object))[order]
+        else:
+            cross = (q * pu)[order]
+        swp = np.add.reduceat(cross, starts)
+        return pa.table(
+            {
+                "l_returnflag": flag.take(pa.array(order[starts])).cast(
+                    pa.string()),
+                "sw": pa.array(sw, pa.int64()),
+                "swp": pa.array(
+                    np.asarray(swp, dtype=np.float64), pa.float64()),
+                # exact integer carried as decimal string (no float loss)
+                "swp_exact": pa.array([str(int(x)) for x in swp],
+                                      pa.string()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [("l_returnflag", pa.string()), ("sum_qty", pa.int64()),
+         ("wavg_price", pa.float64())]
+    )
+
+    def finalize(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        sw = int(g["sw"].to_numpy(zero_copy_only=False).sum())
+        swp = sum(int(s) for s in g["swp_exact"].to_pylist())
+        wavg = round(float(swp) / float(sw) / 1_000_000.0, 6)
+        return pa.table(
+            {
+                "l_returnflag": pa.array([g["l_returnflag"][0].as_py()],
+                                         pa.string()),
+                "sum_qty": pa.array([sw], pa.int64()),
+                "wavg_price": pa.array([wavg], pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("l_returnflag")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+WEIGHTED_AVG_PRICE_SQL = """
+WITH l AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity, 0) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 1000000, 0) AS BIGINT) AS pu
+  FROM lineitem
+)
+SELECT l_returnflag, sum(q)::BIGINT AS sum_qty,
+       round(CAST(sum(CAST(q AS HUGEINT) * pu) AS DOUBLE)
+             / CAST(sum(q) AS DOUBLE) / 1000000.0, 6) AS wavg_price
+FROM l GROUP BY 1
+"""

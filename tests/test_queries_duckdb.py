@@ -79,6 +79,8 @@ SAMPLE = [
                                 # runs via row_number-difference mirror
     "activity_profile",         # weekly dow x hod heatmap, domain-bounded
                                 # combiner (types x 168 rows per batch)
+    "weighted_avg_price_by_flag",  # weighted aggregate sum(w*x)/sum(w),
+                                   # exact-int cross sums vs HUGEINT
 ]
 
 
