@@ -157,3 +157,40 @@ def test_kill_and_resume_compressed(ray_session, tmp_path):
     )
     assert plain.num_rows > 0
     assert_tables_bitwise_equal(plain, decoded, "compressed round-trip t60")
+
+
+def test_ray_job_cli_runs_and_resumes(tmp_path):
+    """jobs/run_rollup.py is the `ray job submit` entrypoint: a fresh
+    process (owning its own Ray session, like a job driver) runs the
+    checkpointed rollup, and a second invocation over the same --out-dir
+    skips the committed partition instead of recomputing."""
+    import json
+    import subprocess
+    import sys
+
+    from crossai_ts_ray import synth
+
+    spec = synth.SynthSpec(
+        total_rows=8000, num_sources=4, num_shards=2, mean_n_tok=24.0
+    )
+    td = synth.generate(spec, synth.default_cache_dir(spec))
+    out = str(tmp_path / "job_out")
+
+    def run():
+        r = subprocess.run(
+            [sys.executable, "jobs/run_rollup.py", "--token-dir", td,
+             "--out-dir", out, "--num-cpus", "2",
+             "--shards-per-commit", "2"],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env={**__import__("os").environ, "RAY_ADDRESS": ""},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    first = run()
+    assert first["partitions_computed"] >= 1
+    assert first["rows_per_tier"]["1m"] > 0
+    second = run()
+    assert second["partitions_computed"] == 0
+    assert second["partitions_skipped"] >= 1
+    assert second["rows_per_tier"] == first["rows_per_tier"]
