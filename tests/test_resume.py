@@ -194,3 +194,38 @@ def test_ray_job_cli_runs_and_resumes(tmp_path):
     assert second["partitions_computed"] == 0
     assert second["partitions_skipped"] >= 1
     assert second["rows_per_tier"] == first["rows_per_tier"]
+
+
+def test_ray_maintenance_cli(tmp_path):
+    """jobs/run_maintenance.py compacts + prunes a committed job output in
+    a fresh process and is idempotent on re-run."""
+    import json
+    import subprocess
+    import sys
+
+    from crossai_ts_ray import synth
+
+    spec = synth.SynthSpec(
+        total_rows=8000, num_sources=4, num_shards=2, mean_n_tok=24.0
+    )
+    td = synth.generate(spec, synth.default_cache_dir(spec))
+    out = str(tmp_path / "m_out")
+    env = {**__import__("os").environ, "RAY_ADDRESS": ""}
+
+    def run(script, *extra):
+        r = subprocess.run(
+            [sys.executable, script, "--out-dir", out, "--num-cpus", "2",
+             *extra],
+            capture_output=True, text=True, cwd="/root/repo", timeout=300,
+            env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    run("jobs/run_rollup.py", "--token-dir", td)
+    m1 = run("jobs/run_maintenance.py", "--compact-tier", "1m",
+             "--retention", "1m:40")
+    assert "1m" in m1["compaction"] and "1m" in m1["retention"]
+    m2 = run("jobs/run_maintenance.py", "--compact-tier", "1m",
+             "--retention", "1m:40")
+    assert m2["retention"]["1m"].get("files_rewritten", 0) in (0, "0")
