@@ -787,6 +787,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "activity_profile": _analytics("activity_profile"),
         # weighted aggregate: quantity-weighted mean price per flag
         "weighted_avg_price_by_flag": _rel("weighted_avg_price_by_flag"),
+        # correlated-subquery shape: rows vs their group's mean, exact
+        # integer cross-multiply comparison (no float boundary flips)
+        "above_avg_events": _analytics("above_avg_events"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1113,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
         "busy_hour_islands": analytics_sql("BUSY_HOUR_ISLANDS_SQL"),
         "activity_profile": analytics_sql("ACTIVITY_PROFILE_SQL"),
         "weighted_avg_price_by_flag": relational_sql("WEIGHTED_AVG_PRICE_SQL"),
+        "above_avg_events": analytics_sql("ABOVE_AVG_EVENTS_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

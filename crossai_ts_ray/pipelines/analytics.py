@@ -5295,3 +5295,143 @@ SELECT event_type,
        count(*)::BIGINT AS n
 FROM events GROUP BY 1, 2, 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Above-group-average filter (correlated-subquery shape)
+# ---------------------------------------------------------------------------
+
+
+def above_avg_events(sf_dir: str):
+    """Per event type: how many events exceed THEIR TYPE'S mean value --
+    the correlated-scalar-subquery shape (every row compared against its
+    group's aggregate).
+
+    Exact with no float comparison anywhere: values quantize to micro-unit
+    int64, and ``v > mean`` is evaluated as the integer cross-multiply
+    ``v_u * n > sum_u`` on both sides, so boundary rows cannot flip on
+    float noise.  Scale shape: pass 1 reduces to per-type (sum_u, n)
+    (domain-sized, broadcast via closure); pass 2 is an exchange-free
+    per-batch count -- two reads, zero shuffles."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with house imports)
+
+    ev = _read_events(sf_dir, ["event_type", "value"])
+
+    def mom_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.nulls(0, pa.string()),
+                 "sum_u": pa.nulls(0, pa.int64()),
+                 "n": pa.nulls(0, pa.int64())}
+            )
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vu = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(order[starts])).cast(
+                    pa.string()),
+                "sum_u": pa.array(np.add.reduceat(vu[order], starts),
+                                  pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(starts, len(cs))).astype(np.int64),
+                    pa.int64()),
+            }
+        )
+
+    moments = (
+        ev.map_batches(mom_partial, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .take_all()  # domain-sized: one row per type per batch
+    )
+    agg: dict[str, list[int]] = {}
+    for r in moments:
+        a = agg.setdefault(r["event_type"], [0, 0])
+        a[0] += int(r["sum_u"])
+        a[1] += int(r["n"])
+
+    out_schema = pa.schema(
+        [("event_type", pa.string()), ("n_above", pa.int64()),
+         ("n_total", pa.int64()), ("frac_above", pa.float64())]
+    )
+
+    def count_above(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vu = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        names = et.dictionary.to_pylist()
+        sums = np.array([agg[s][0] for s in names], np.int64)
+        ns = np.array([agg[s][1] for s in names], np.int64)
+        # v > mean as integer cross-multiply: v_u * n > sum_u
+        if len(vu) and float(np.abs(vu).max()) * float(ns.max()) >= 9.2e18:
+            raise ValueError(
+                "above_avg_events: v_u * n overflows int64; rescale the "
+                "quantization unit (DuckDB's BIGINT mirror overflows at the "
+                "same point)"
+            )
+        above = (vu * ns[codes]) > sums[codes]
+        order = np.argsort(codes, kind="stable")
+        cs = codes[order]
+        starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+        n_above = np.add.reduceat(above[order].astype(np.int64), starts)
+        n_tot = np.diff(np.append(starts, len(cs))).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(order[starts])).cast(
+                    pa.string()),
+                "n_above": pa.array(n_above, pa.int64()),
+                "n_total": pa.array(n_tot, pa.int64()),
+                "frac_above": pa.nulls(len(starts), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    parts = ev.map_batches(
+        count_above, batch_format="pyarrow", batch_size=1_048_576
+    ).take_all()  # domain-sized
+    fin: dict[str, list[int]] = {}
+    for r in parts:
+        a = fin.setdefault(r["event_type"], [0, 0])
+        a[0] += int(r["n_above"])
+        a[1] += int(r["n_total"])
+    keys = sorted(fin)
+    na = np.array([fin[k][0] for k in keys], np.int64)
+    nt = np.array([fin[k][1] for k in keys], np.int64)
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_above": pa.array(na, pa.int64()),
+            "n_total": pa.array(nt, pa.int64()),
+            "frac_above": pa.array(
+                np.round(na.astype(np.float64) / nt.astype(np.float64), 6),
+                pa.float64()),
+        }
+    )
+
+
+ABOVE_AVG_EVENTS_SQL = """
+WITH v AS (
+  SELECT event_type,
+         CAST(round(value * 1000000, 0) AS BIGINT) AS vu
+  FROM events
+),
+m AS (
+  SELECT event_type, sum(vu)::BIGINT AS sum_u, count(*)::BIGINT AS n
+  FROM v GROUP BY 1
+)
+SELECT v.event_type,
+       sum(CASE WHEN v.vu * m.n > m.sum_u THEN 1 ELSE 0 END)::BIGINT
+         AS n_above,
+       count(*)::BIGINT AS n_total,
+       round(sum(CASE WHEN v.vu * m.n > m.sum_u THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, 6) AS frac_above
+FROM v JOIN m USING (event_type)
+GROUP BY 1
+"""

@@ -81,6 +81,8 @@ SAMPLE = [
                                 # combiner (types x 168 rows per batch)
     "weighted_avg_price_by_flag",  # weighted aggregate sum(w*x)/sum(w),
                                    # exact-int cross sums vs HUGEINT
+    "above_avg_events",         # correlated-subquery shape, integer
+                                # cross-multiply mean comparison
 ]
 
 
