@@ -790,6 +790,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # correlated-subquery shape: rows vs their group's mean, exact
         # integer cross-multiply comparison (no float boundary flips)
         "above_avg_events": _analytics("above_avg_events"),
+        # INTERSECT set op: users active in both halves of the range
+        "users_both_halves": _analytics("users_both_halves"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1117,6 +1119,7 @@ def oracle_sql() -> dict[str, str]:
         "activity_profile": analytics_sql("ACTIVITY_PROFILE_SQL"),
         "weighted_avg_price_by_flag": relational_sql("WEIGHTED_AVG_PRICE_SQL"),
         "above_avg_events": analytics_sql("ABOVE_AVG_EVENTS_SQL"),
+        "users_both_halves": analytics_sql("USERS_BOTH_HALVES_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

@@ -5435,3 +5435,100 @@ SELECT v.event_type,
 FROM v JOIN m USING (event_type)
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Set operation: users active in BOTH halves of the time range (INTERSECT)
+# ---------------------------------------------------------------------------
+
+
+def users_both_halves(sf_dir: str, buckets: int | None = None):
+    """User ids with events in BOTH the first and second half of the
+    global time range -- the INTERSECT set-operation shape (retained-user
+    audit).  All-integer exact.
+
+    Scale shape: a tiny min/max pass pins the global midpoint; the main
+    pass collapses each batch to distinct (user, half) pairs BEFORE one
+    hash(user) exchange, and each partition emits the users carrying both
+    halves.  Shuffled volume is 2x distinct users, not events."""
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+
+    # global [min, max] from batch partials (metadata-sized)
+    def mm(t: pa.Table) -> pa.Table:
+        us = _ts_us(t["ts"])
+        if not len(us):
+            return pa.Table.from_pylist(
+                [], schema=pa.schema([("lo", pa.int64()),
+                                      ("hi", pa.int64())]))
+        return pa.table({"lo": pa.array([int(us.min())], pa.int64()),
+                         "hi": pa.array([int(us.max())], pa.int64())})
+
+    parts = ev.map_batches(mm, batch_format="pyarrow",
+                           batch_size=1_048_576).take_all()
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
+    mid = (lo + hi) // 2  # first half: ts_us <= mid (both sides mirror)
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("half", pa.int8()), ("prt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        half = (_ts_us(t["ts"]) > mid).astype(np.int64)
+        key = uid * 2 + half
+        uniq = np.unique(key)
+        u = uniq >> 1
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "half": pa.array((uniq & 1).astype(np.int8), pa.int8()),
+                "prt": pa.array(hash_prt(u, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema([("user_id", pa.int64())])
+
+    def intersect(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(g["user_id"])
+        half = g["half"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = uid * 2 + half
+        uniq = np.unique(key)           # dedup cross-batch partials
+        u = uniq >> 1
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        n_halves = np.diff(np.append(starts, len(u)))
+        both = u[starts][n_halves == 2]
+        return pa.table({"user_id": pa.array(both, pa.int64())},
+                        schema=out_schema)
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: intersect(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USERS_BOTH_HALVES_SQL = """
+WITH mm AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+mid AS (SELECT (lo + hi) // 2 AS m FROM mm)
+SELECT user_id::BIGINT AS user_id FROM events, mid
+WHERE epoch_us(ts) <= mid.m
+INTERSECT
+SELECT user_id::BIGINT AS user_id FROM events, mid
+WHERE epoch_us(ts) > mid.m
+"""

@@ -83,6 +83,8 @@ SAMPLE = [
                                    # exact-int cross sums vs HUGEINT
     "above_avg_events",         # correlated-subquery shape, integer
                                 # cross-multiply mean comparison
+    "users_both_halves",        # INTERSECT set op via distinct
+                                # (user, half) pairs, 2x-users shuffle
 ]
 
 
