@@ -5532,3 +5532,133 @@ INTERSECT
 SELECT user_id::BIGINT AS user_id FROM events, mid
 WHERE epoch_us(ts) > mid.m
 """
+
+
+# ---------------------------------------------------------------------------
+# Two-level aggregate: average over users of per-user totals
+# ---------------------------------------------------------------------------
+
+
+def avg_user_total_by_type(sf_dir: str, buckets: int | None = None):
+    """Per event type: the AVERAGE over users of each user's total value --
+    the nested-aggregate shape (aggregate of group aggregates), which a
+    single GROUP BY cannot express.
+
+    Exactness: per-(type, user) totals are exact micro-unit int64; the
+    outer average divides the exact sum of user totals by the exact user
+    count in one mirrored float expression.  Scale shape: batches collapse
+    to (type, user) partials before ONE hash(type, user) exchange; the
+    outer level reduces types x users rows to types rows."""
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_type", "user_id", "value"])
+
+    part_schema = pa.schema(
+        [("event_type", pa.string()), ("user_id", pa.int64()),
+         ("sum_u", pa.int64()), ("prt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        et = t["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = _np(t["user_id"]).astype(np.int64)
+        vu = np.rint(_np(t["value"]) * MICRO).astype(np.int64)
+        order = np.lexsort((uid, codes))
+        cs, us = codes[order], uid[order]
+        first = np.concatenate(
+            ([True], (cs[1:] != cs[:-1]) | (us[1:] != us[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        sums = np.add.reduceat(vu[order], starts)
+        sel = order[starts]
+        mix = us[starts] * 1_000_003 + cs[starts]
+        return pa.table(
+            {
+                "event_type": et.take(pa.array(sel)).cast(pa.string()),
+                "user_id": pa.array(us[starts], pa.int64()),
+                "sum_u": pa.array(sums, pa.int64()),
+                "prt": pa.array(hash_prt(mix, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    mid_schema = pa.schema(
+        [("event_type", pa.string()), ("n_users", pa.int64()),
+         ("tot_u", pa.int64())]
+    )
+
+    def inner_merge(g: pa.Table) -> pa.Table:
+        """Merge partials to exact per-(type, user) totals, then reduce to
+        per-type (n_users_in_partition, sum of user totals)."""
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=mid_schema)
+        et = g["event_type"].combine_chunks().dictionary_encode()
+        codes = et.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = _np(g["user_id"])
+        su = _np(g["sum_u"])
+        order = np.lexsort((uid, codes))
+        cs, us = codes[order], uid[order]
+        first = np.concatenate(
+            ([True], (cs[1:] != cs[:-1]) | (us[1:] != us[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        tot = np.add.reduceat(su[order], starts)
+        tcodes = cs[starts]
+        tstarts = np.flatnonzero(
+            np.concatenate(([True], tcodes[1:] != tcodes[:-1]))
+        )
+        return pa.table(
+            {
+                "event_type": et.dictionary.take(
+                    pa.array(tcodes[tstarts])).cast(pa.string()),
+                "n_users": pa.array(
+                    np.diff(np.append(tstarts, len(tcodes))).astype(
+                        np.int64), pa.int64()),
+                "tot_u": pa.array(np.add.reduceat(tot, tstarts), pa.int64()),
+            },
+            schema=mid_schema,
+        )
+
+    mids = (
+        ev.map_batches(partial, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(lambda g: inner_merge(g.drop_columns(["prt"])),
+                    batch_format="pyarrow")
+        .take_all()  # types x partitions rows -- metadata-sized
+    )
+    agg: dict[str, list[int]] = {}
+    for r in mids:
+        a = agg.setdefault(r["event_type"], [0, 0])
+        a[0] += int(r["n_users"])
+        a[1] += int(r["tot_u"])
+    keys = sorted(agg)
+    n = np.array([agg[k][0] for k in keys], np.int64)
+    tot = np.array([agg[k][1] for k in keys], np.int64)
+    avg = np.round(
+        (tot.astype(np.float64) / n.astype(np.float64)) / MICRO, 6
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(keys, pa.string()),
+            "n_users": pa.array(n, pa.int64()),
+            "avg_user_total": pa.array(avg, pa.float64()),
+        }
+    )
+
+
+AVG_USER_TOTAL_SQL = """
+WITH u AS (
+  SELECT event_type, user_id,
+         sum(CAST(round(value * 1000000, 0) AS BIGINT))::BIGINT AS sum_u
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(*)::BIGINT AS n_users,
+       round((CAST(sum(sum_u) AS DOUBLE) / count(*)::DOUBLE) / 1000000.0, 6)
+         AS avg_user_total
+FROM u GROUP BY 1
+"""

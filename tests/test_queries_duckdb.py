@@ -85,6 +85,8 @@ SAMPLE = [
                                 # cross-multiply mean comparison
     "users_both_halves",        # INTERSECT set op via distinct
                                 # (user, half) pairs, 2x-users shuffle
+    "avg_user_total_by_type",   # nested aggregate: avg over users of
+                                # exact per-user totals
 ]
 
 
