@@ -794,6 +794,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_both_halves": _analytics("users_both_halves"),
         # nested aggregate: average over users of per-user totals
         "avg_user_total_by_type": _analytics("avg_user_total_by_type"),
+        # EXCEPT set op: lapsed users (first half only)
+        "users_first_half_only": _analytics("users_first_half_only"),
         # Gini inequality coefficient per type (exact integer ranks)
         "gini_by_type": _analytics("gini_by_type"),
         # n-gram family over the corpus: global vocabulary head and
@@ -1123,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
         "above_avg_events": analytics_sql("ABOVE_AVG_EVENTS_SQL"),
         "users_both_halves": analytics_sql("USERS_BOTH_HALVES_SQL"),
         "avg_user_total_by_type": analytics_sql("AVG_USER_TOTAL_SQL"),
+        "users_first_half_only": analytics_sql("USERS_FIRST_HALF_ONLY_SQL"),
         "gini_by_type": analytics_sql("GINI_BY_TYPE_SQL"),
         "type_hourly_corr": analytics_sql("TYPE_HOURLY_CORR_SQL"),
         "type_hourly_xcorr_lag1": analytics_sql("TYPE_HOURLY_XCORR_SQL"),

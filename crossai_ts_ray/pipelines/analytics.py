@@ -5662,3 +5662,92 @@ SELECT event_type, count(*)::BIGINT AS n_users,
          AS avg_user_total
 FROM u GROUP BY 1
 """
+
+
+def users_first_half_only(sf_dir: str, buckets: int | None = None):
+    """User ids active in the FIRST half of the time range but not the
+    second -- the EXCEPT set-operation shape (lapsed-user audit);
+    same distinct-(user, half) machinery as users_both_halves."""
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "ts"])
+
+    def mm(t: pa.Table) -> pa.Table:
+        us = _ts_us(t["ts"])
+        if not len(us):
+            return pa.Table.from_pylist(
+                [], schema=pa.schema([("lo", pa.int64()),
+                                      ("hi", pa.int64())]))
+        return pa.table({"lo": pa.array([int(us.min())], pa.int64()),
+                         "hi": pa.array([int(us.max())], pa.int64())})
+
+    parts = ev.map_batches(mm, batch_format="pyarrow",
+                           batch_size=1_048_576).take_all()
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
+    mid = (lo + hi) // 2
+
+    part_schema = pa.schema(
+        [("user_id", pa.int64()), ("half", pa.int8()), ("prt", pa.int64())]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=part_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        half = (_ts_us(t["ts"]) > mid).astype(np.int64)
+        key = uid * 2 + half
+        uniq = np.unique(key)
+        u = uniq >> 1
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "half": pa.array((uniq & 1).astype(np.int8), pa.int8()),
+                "prt": pa.array(hash_prt(u, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema([("user_id", pa.int64())])
+
+    def except_scan(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        if g.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(g["user_id"])
+        half = g["half"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = uid * 2 + half
+        uniq = np.unique(key)
+        u = uniq >> 1
+        h = uniq & 1
+        starts = np.flatnonzero(np.concatenate(([True], u[1:] != u[:-1])))
+        n_halves = np.diff(np.append(starts, len(u)))
+        only_first = (n_halves == 1) & (h[starts] == 0)
+        return pa.table(
+            {"user_id": pa.array(u[starts][only_first], pa.int64())},
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: except_scan(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USERS_FIRST_HALF_ONLY_SQL = """
+WITH mm AS (
+  SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events
+),
+mid AS (SELECT (lo + hi) // 2 AS m FROM mm)
+SELECT user_id::BIGINT AS user_id FROM events, mid
+WHERE epoch_us(ts) <= mid.m
+EXCEPT
+SELECT user_id::BIGINT AS user_id FROM events, mid
+WHERE epoch_us(ts) > mid.m
+"""

@@ -87,6 +87,8 @@ SAMPLE = [
                                 # (user, half) pairs, 2x-users shuffle
     "avg_user_total_by_type",   # nested aggregate: avg over users of
                                 # exact per-user totals
+    "users_first_half_only",    # EXCEPT set op (lapsed users); non-empty
+                                # outputs proven by randomized test
 ]
 
 

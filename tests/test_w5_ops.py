@@ -146,3 +146,22 @@ GROUP BY 1, 2
 """
     _compare(f"rau_w{win}", d,
              lambda sf: rolling_active_users(sf, window_h=win), sql)
+
+
+@pytest.mark.parametrize("seed", [14, 15])
+def test_set_ops_random(ray_session, tmp_path, seed):
+    """INTERSECT/EXCEPT set ops on sparse data where lapsed users exist
+    (the driver testdata's users all span both halves, so this is the
+    test that proves the EXCEPT path emits rows)."""
+    from crossai_ts_ray.pipelines.analytics import (
+        USERS_BOTH_HALVES_SQL, USERS_FIRST_HALF_ONLY_SQL,
+        users_both_halves, users_first_half_only)
+
+    rng = np.random.default_rng(seed)
+    d = _events_dir(tmp_path, rng, rows=90, users=40, types=2, hours=60)
+    both = _compare("ubh", d, users_both_halves, USERS_BOTH_HALVES_SQL)
+    first = _compare("ufho", d, users_first_half_only,
+                     USERS_FIRST_HALF_ONLY_SQL)
+    assert len(first) > 0          # sparse data must yield lapsed users
+    # the two sets are disjoint by construction
+    assert not set(both["user_id"]) & set(first["user_id"])
