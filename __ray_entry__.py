@@ -829,6 +829,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # each term's hash partition (the text-search sibling of the
         # partitioned LSH/IVF ANN indexes)
         "inverted_index_search": _text("inverted_index_search"),
+        # BM25 ranked retrieval over the persisted length-aware inverted
+        # index: pruned per-term partition reads, one doc_id exchange,
+        # per-partition top-k prune (fixed-order float sum mirrors SQL)
+        "bm25_search": _search("bm25_search"),
+        # blocked edit-distance near-dup pairs (typo-level layer below
+        # the token-shingle dedup families; banded DP with cap early-exit)
+        "dedup_edit_pairs": _text("dedup_edit_pairs"),
+        # N-step funnel: furthest stage reached per user via gated
+        # vectorized segment minima (generalizes user_conversion)
+        "funnel_stages": _analytics("funnel_stages"),
+        # PageRank over the symmetrized MinHash near-dup graph
+        # (rows-only: iterative fixpoint in sharded rank-vector actors;
+        # pinned vs a dense NumPy reference in tests/test_graph.py)
+        "pagerank_simgraph": _graph_q,
         # Gopher-style repetition signals (top 2/3-gram + duplicated-3-gram
         # char fractions) and the per-source repetition quality gate
         "gopher_repetition": _qual("gopher_repetition"),
@@ -999,6 +1013,12 @@ def analytics_sql(name: str) -> str:
     return getattr(analytics, name)
 
 
+def _graph_q(sf_dir: str):
+    from crossai_ts_ray.pipelines.graph import pagerank_simgraph
+
+    return pagerank_simgraph(sf_dir)
+
+
 def _kmeans_q(sf_dir: str):
     from crossai_ts_ray.pipelines.ann_pipeline import kmeans_embeddings
 
@@ -1024,6 +1044,21 @@ def text_sql(name: str) -> str:
     from crossai_ts_ray.pipelines import text_pipeline
 
     return getattr(text_pipeline, name)
+
+
+def _search(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import search
+
+        return getattr(search, fn_name)(sf_dir)
+
+    return run
+
+
+def search_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import search
+
+    return getattr(search, name)
 
 
 def ann_sql(name: str) -> str:
@@ -1153,6 +1188,9 @@ def oracle_sql() -> dict[str, str]:
         "rollup_distinct_tokens": _tngram_sql("rollup_distinct_tokens_sql"),
         "token_novelty_by_bucket": _tngram_sql("token_novelty_by_bucket_sql"),
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),
+        "bm25_search": search_sql("BM25_SEARCH_SQL"),
+        "dedup_edit_pairs": text_sql("DEDUP_EDIT_PAIRS_SQL"),
+        "funnel_stages": analytics_sql("FUNNEL_STAGES_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "source_token_entropy": text_sql("SOURCE_TOKEN_ENTROPY_SQL"),
         "source_doclen_quantiles": text_sql("SOURCE_DOCLEN_QUANTILES_SQL"),

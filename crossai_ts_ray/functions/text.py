@@ -110,3 +110,35 @@ def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Unicode-code-point Levenshtein distance (matches DuckDB's
+    ``levenshtein``), vectorized row DP with the scan trick: the
+    insertion recurrence ``cur[j] = min(m[j], cur[j-1] + 1)`` unrolls to
+    ``min_i (m[i] + (j - i))``, i.e. a running minimum of ``m - idx``.
+    ``cap`` short-circuits to ``cap + 1`` once a full row exceeds it
+    (banded early exit for near-dup thresholds)."""
+    if a == b:
+        return 0
+    if len(a) < len(b):  # DP row over the shorter string
+        a, b = b, a
+    A = np.frombuffer(a.encode("utf-32-le"), np.uint32)
+    B = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+    lb = len(B)
+    if lb == 0:
+        return len(A)
+    idx = np.arange(1, lb + 1, dtype=np.int64)
+    prev = np.arange(lb + 1, dtype=np.int64)
+    for i, ca in enumerate(A, 1):
+        m = np.minimum(prev[1:] + 1, prev[:-1] + (B != ca))
+        v = np.concatenate(([np.int64(i)], m)) - np.concatenate(
+            ([np.int64(0)], idx)
+        )
+        cur = np.minimum.accumulate(v)
+        cur[1:] += idx
+        cur[0] = i
+        if cap is not None and cur.min() > cap:
+            return cap + 1
+        prev = cur
+    return int(prev[-1])

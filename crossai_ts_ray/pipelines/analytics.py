@@ -5751,3 +5751,160 @@ EXCEPT
 SELECT user_id::BIGINT AS user_id FROM events, mid
 WHERE epoch_us(ts) > mid.m
 """
+
+
+# ---------------------------------------------------------------------------
+# N-step funnel: furthest stage reached per user (strictly-ordered chain)
+# ---------------------------------------------------------------------------
+
+def funnel_stages(
+    sf_dir: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    buckets: int | None = None,
+):
+    """Greedy N-step funnel per user: ``t_0`` = first ``steps[0]`` event,
+    ``t_i`` = first ``steps[i]`` event STRICTLY after ``t_{i-1}``; emits
+    (user_id, stage reached in 1..N, t_first, t_last) for every user who
+    performed step 0 -- the generalized sibling of the 2-step
+    ``user_conversion``.
+
+    Scale shape: only funnel event types survive the map-side filter;
+    step-0 rows collapse to per-user min partials per batch, later steps'
+    rows ship raw (bounded by those types' row counts, never the stream);
+    ONE keyed exchange co-locates each user's rows, and the per-partition
+    pass is N-1 vectorized gated segment minima (searchsorted +
+    np.minimum.at), no Python loop over users.
+    """
+    import pyarrow.compute as pc
+
+    if len(steps) < 2:
+        raise ValueError("need at least two funnel steps")
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "ts", "event_type"])
+    step_of = {s: i for i, s in enumerate(steps)}
+    if len(step_of) != len(steps):
+        raise ValueError("funnel steps must be distinct")
+    nsteps = len(steps)
+
+    def fun_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"].combine_chunks()
+        si = np.full(t.num_rows, -1, np.int8)
+        for s, i in step_of.items():
+            si[pc.equal(et, s).to_numpy(zero_copy_only=False)] = i
+        keep = si >= 0
+        uid = _np(t["user_id"]).astype(np.int64)[keep]
+        ts = _ts_us(t["ts"])[keep]
+        si = si[keep]
+        # step-0 rows collapse to one min per user per batch
+        is0 = si == 0
+        su, smin = uid[is0], ts[is0]
+        if len(su):
+            order = np.argsort(su, kind="stable")
+            ks = su[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], ks[1:] != ks[:-1]))
+            )
+            su = ks[starts]
+            smin = np.minimum.reduceat(smin[order], starts)
+        u = np.concatenate([su, uid[~is0]])
+        tt = np.concatenate([smin, ts[~is0]])
+        kind = np.concatenate([np.zeros(len(su), np.int8), si[~is0]])
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "ts_us": pa.array(tt, pa.int64()),
+                "kind": pa.array(kind, pa.int8()),
+                "prt": pa.array(hash_prt(u, buckets), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("stage", pa.int64()),
+            ("t_first", pa.timestamp("us")),
+            ("t_last", pa.timestamp("us")),
+        ]
+    )
+    IMAX = np.iinfo(np.int64).max
+
+    def funnel_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"])
+        ts = _np(t["ts_us"])
+        kind = _np(t["kind"])
+        m0 = kind == 0
+        su, sts = uid[m0], ts[m0]
+        if not len(su):
+            return pa.Table.from_pylist([], schema=out_schema)
+        order = np.argsort(su, kind="stable")
+        ks = su[order]
+        starts = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        users = ks[starts]
+        t_first = np.minimum.reduceat(sts[order], starts)
+        stage = np.ones(len(users), np.int64)
+        t_prev = t_first.copy()
+        for i in range(1, nsteps):
+            mi = kind == i
+            pu, pts = uid[mi], ts[mi]
+            if not len(pu):
+                break
+            pos = np.searchsorted(users, pu)
+            pos_c = np.minimum(pos, len(users) - 1)
+            hit = (pos < len(users)) & (users[pos_c] == pu)
+            # gate: the user must be exactly at stage i, and the candidate
+            # event must be STRICTLY after the previous step's timestamp
+            ok = hit & (stage[pos_c] == i) & (pts > t_prev[pos_c])
+            nxt = np.full(len(users), IMAX, np.int64)
+            np.minimum.at(nxt, pos_c[ok], pts[ok])
+            adv = nxt != IMAX
+            stage[adv] += 1
+            t_prev[adv] = nxt[adv]
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "stage": pa.array(stage, pa.int64()),
+                "t_first": pa.array(t_first.view("datetime64[us]")),
+                "t_last": pa.array(t_prev.view("datetime64[us]")),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(fun_partial, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: funnel_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+FUNNEL_STAGES_SQL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT s0.user_id, min(e.ts) AS t1 FROM s0
+  JOIN events e ON e.user_id = s0.user_id
+   AND e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1
+),
+s2 AS (
+  SELECT s1.user_id, min(e.ts) AS t2 FROM s1
+  JOIN events e ON e.user_id = s1.user_id
+   AND e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+)
+SELECT s0.user_id::BIGINT AS user_id,
+       (1 + (s1.user_id IS NOT NULL)::INT
+          + (s2.user_id IS NOT NULL)::INT)::BIGINT AS stage,
+       s0.t0 AS t_first,
+       coalesce(s2.t2, s1.t1, s0.t0) AS t_last
+FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+LEFT JOIN s2 ON s0.user_id = s2.user_id
+"""

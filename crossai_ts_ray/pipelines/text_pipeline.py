@@ -3677,3 +3677,128 @@ SELECT source, count(*)::BIGINT AS n_docs,
        round(quantile_cont(n_tok, 0.90), 6) AS p90
 FROM d GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance near-dup pairs (typo-level entity resolution)
+# ---------------------------------------------------------------------------
+
+def dedup_edit_pairs(
+    sf_dir: str,
+    max_dist: int = 80,
+    len_div: int = 64,
+    max_block: int = 4096,
+    buckets: int = 32,
+):
+    """Near-duplicate pairs by EDIT DISTANCE with cheap blocking: docs
+    sharing (first token, ``length // len_div``) are candidates; a pair
+    survives when ``levenshtein(a, b) <= max_dist`` -- the typo-level
+    entity-resolution layer below the token-shingle families (MinHash /
+    SimHash operate on word sets; edit distance sees character edits).
+
+    Scale shape: ONE hash exchange on the blocking key ships each doc's
+    text exactly once (same bound as the exact-Jaccard verify join);
+    candidate enumeration is per-block pairwise with a banded
+    ``cap=max_dist`` early exit, and any block larger than ``max_block``
+    raises loudly (choose a finer blocking key) rather than degrading to
+    a silent quadratic blowup.  Emits (doc_a, doc_b, dist)."""
+    import pyarrow.compute as pc
+
+    from ..functions.text import levenshtein
+    from ..stages.joins import hash_prt
+
+    docs = _read_docs(sf_dir)
+
+    def block_key(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        text = t["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(text, pattern=" ")
+        fw = pc.list_element(split, 0)
+        lb = pc.divide(
+            pc.utf8_length(text).cast(pa.int64()), pa.scalar(len_div)
+        ).cast(pa.int64())
+        key = pc.binary_join_element_wise(
+            fw, pc.cast(lb, pa.string()), "\x1f"
+        )
+        h = np.array(
+            [zlib.crc32(s.encode()) for s in key.to_pylist()], np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "text": text,
+                "bk": key,
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            }
+        )
+
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+    )
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        bk = np.asarray(t["bk"].to_pylist(), dtype=object)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        order = np.lexsort((ids, bk))
+        bs = bk[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], bs[1:] != bs[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(bs)]))
+        aa, bb, dd = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s > max_block:
+                raise ValueError(
+                    f"edit-distance block {bs[s]!r} has {e - s} docs "
+                    f"(> max_block={max_block}); use a finer blocking key"
+                )
+            grp = order[s:e]
+            for i in range(len(grp)):
+                ti_ = texts[grp[i]]
+                for j in range(i + 1, len(grp)):
+                    d = levenshtein(ti_, texts[grp[j]], cap=max_dist)
+                    if d <= max_dist:
+                        aa.append(int(ids[grp[i]]))
+                        bb.append(int(ids[grp[j]]))
+                        dd.append(d)
+        return pa.table(
+            {
+                "doc_a": pa.array(aa, pa.int64()),
+                "doc_b": pa.array(bb, pa.int64()),
+                "dist": pa.array(dd, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        docs.map_batches(block_key, batch_format="pyarrow",
+                         batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: block_pairs(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+DEDUP_EDIT_PAIRS_SQL = """
+WITH d AS (
+  SELECT doc_id, text, string_split(text, ' ')[1] AS fw,
+         length(text) // 64 AS lb
+  FROM documents
+)
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       levenshtein(a.text, b.text)::BIGINT AS dist
+FROM d a JOIN d b ON a.fw = b.fw AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 80
+"""
