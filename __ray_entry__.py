@@ -843,6 +843,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only: iterative fixpoint in sharded rank-vector actors;
         # pinned vs a dense NumPy reference in tests/test_graph.py)
         "pagerank_simgraph": _graph_q,
+        # CENTERED window frame (k PRECEDING AND k FOLLOWING), int64
+        # micro-unit prefix sums like the trailing moving_stats
+        "user_value_centered_avg": _analytics("user_value_centered_avg"),
+        # Theil-Sen robust trend: median pairwise slope per user
+        # (outlier-robust companion of the OLS user_value_trend)
+        "user_value_theilsen": _analytics("user_value_theilsen"),
         # Gopher-style repetition signals (top 2/3-gram + duplicated-3-gram
         # char fractions) and the per-source repetition quality gate
         "gopher_repetition": _qual("gopher_repetition"),
@@ -1191,6 +1197,10 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": search_sql("BM25_SEARCH_SQL"),
         "dedup_edit_pairs": text_sql("DEDUP_EDIT_PAIRS_SQL"),
         "funnel_stages": analytics_sql("FUNNEL_STAGES_SQL"),
+        "user_value_centered_avg": analytics_sql(
+            "USER_VALUE_CENTERED_AVG_SQL"
+        ),
+        "user_value_theilsen": analytics_sql("USER_VALUE_THEILSEN_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "source_token_entropy": text_sql("SOURCE_TOKEN_ENTROPY_SQL"),
         "source_doclen_quantiles": text_sql("SOURCE_DOCLEN_QUANTILES_SQL"),

@@ -5908,3 +5908,219 @@ SELECT s0.user_id::BIGINT AS user_id,
 FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
 LEFT JOIN s2 ON s0.user_id = s2.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# centered window frame: ROWS BETWEEN k PRECEDING AND k FOLLOWING
+# ---------------------------------------------------------------------------
+
+def user_value_centered_avg(sf_dir: str, k: int = 2,
+                            buckets: int | None = None):
+    """Per-event CENTERED frame aggregates over each user's
+    (ts, event_id)-ordered stream: ``ROWS BETWEEN k PRECEDING AND k
+    FOLLOWING`` count and average (clipped at both partition edges, as
+    SQL clips them) -- the symmetric-smoothing companion of the trailing
+    ``user_value_moving_stats``.
+
+    Scale shape: ONE keyed exchange (hash by user); one lexsort + one
+    int64 micro-unit prefix sum serves every user's frames via clipped
+    index arithmetic.  Exactness: sums ride int64 micro-units; the
+    average mirrors the oracle's ``SUM(micro)/1e6/COUNT`` operand order.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("value", pa.float64()),
+            ("cen_cnt", pa.int64()),
+            ("cen_avg", pa.float64()),
+        ]
+    )
+
+    def scan_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"])
+        order = np.lexsort((eid, ts, uid))
+        u_s, v_s = uid[order], v[order]
+        n = len(u_s)
+        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        gid = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        g_len = np.diff(np.concatenate((starts, [n])))
+        pos = np.arange(n) - starts[gid]
+        lo = np.maximum(pos - k, 0) + starts[gid]
+        hi = np.minimum(pos + k, g_len[gid] - 1) + starts[gid]
+        v_u = np.round(v_s * 1_000_000).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(v_u)))
+        w_sum = csum[hi + 1] - csum[lo]
+        cnt = hi - lo + 1
+        avg = (w_sum / 1_000_000.0) / cnt
+        return pa.table(
+            {
+                "user_id": pa.array(u_s, pa.int64()),
+                "event_id": pa.array(eid[order], pa.int64()),
+                "ts": pa.array(ts[order].view("datetime64[us]")),
+                "value": pa.array(v_s, pa.float64()),
+                "cen_cnt": pa.array(cnt.astype(np.int64)),
+                "cen_avg": pa.array(avg, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: scan_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_VALUE_CENTERED_AVG_SQL = """
+SELECT user_id::BIGINT AS user_id, event_id::BIGINT AS event_id, ts,
+       value::DOUBLE AS value,
+       COUNT(*) OVER w::BIGINT AS cen_cnt,
+       SUM(CAST(round(value * 1000000, 0) AS BIGINT)) OVER w / 1000000.0
+         / COUNT(*) OVER w AS cen_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: median pairwise slope per user
+# ---------------------------------------------------------------------------
+
+def user_value_theilsen(sf_dir: str, max_pairs: int = 50_000_000,
+                        buckets: int | None = None):
+    """Theil-Sen estimator per user: the MEDIAN of all pairwise slopes
+    ``(v_j - v_i) / hours(t_j - t_i)`` over event pairs with strictly
+    increasing timestamps -- the outlier-robust companion of the
+    least-squares ``user_value_trend`` (a single wild value moves OLS
+    arbitrarily but shifts the slope median by one rank at most).
+
+    Scale shape: ONE keyed exchange (hash by user); each partition
+    enumerates its users' pairs with vectorized outer differences.  The
+    estimator is inherently O(n^2) per group: a group whose pair count
+    exceeds ``max_pairs`` raises loudly (at that size use the OLS trend
+    or a sampled-pairs variant) rather than silently stalling a task.
+    Exactness: each slope is one float expression mirrored verbatim in
+    the oracle; the median interpolates ``vlo + (vhi - vlo) * 0.5`` the
+    way DuckDB's ``quantile_cont`` does; output rounds to 6.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_pairs", pa.int64()),
+            ("slope_hr", pa.float64()),
+        ]
+    )
+    HOUR_US = 3600000000.0
+
+    def ts_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        v = _np(t["value"])
+        order = np.lexsort((ts, uid))
+        u_s, t_s, v_s = uid[order], ts[order], v[order]
+        n = len(u_s)
+        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        starts = np.flatnonzero(first)
+        ends = np.concatenate((starts[1:], [n]))
+        users, npairs, med = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m * (m - 1) // 2 > max_pairs:
+                raise ValueError(
+                    f"user {u_s[s]} has {m} events -> "
+                    f"{m * (m - 1) // 2} Theil-Sen pairs (> max_pairs="
+                    f"{max_pairs}); use the OLS trend or sampled pairs"
+                )
+            tt = t_s[s:e]
+            vv = v_s[s:e]
+            dt = tt[None, :] - tt[:, None]
+            iu = np.triu_indices(m, k=1)
+            dtf = dt[iu].astype(np.float64)
+            ok = dtf > 0  # equal-timestamp pairs carry no slope
+            if not ok.any():
+                continue
+            dv = (vv[None, :] - vv[:, None])[iu][ok]
+            slopes = dv / (dtf[ok] / HOUR_US)
+            slopes.sort()
+            k_ = len(slopes)
+            h = (k_ - 1) * 0.5
+            lo = int(np.floor(h))
+            hi = int(np.ceil(h))
+            users.append(int(u_s[s]))
+            npairs.append(k_)
+            med.append(
+                round(slopes[lo] + (slopes[hi] - slopes[lo]) * 0.5, 6)
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "n_pairs": pa.array(npairs, pa.int64()),
+                "slope_hr": pa.array(med, pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: ts_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+USER_VALUE_THEILSEN_SQL = """
+WITH p AS (
+  SELECT a.user_id AS user_id,
+         (b.value - a.value)
+           / ((epoch_us(b.ts) - epoch_us(a.ts)) / 3600000000.0) AS s
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id AND a.ts < b.ts
+)
+SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_pairs,
+       round(quantile_cont(s, 0.5), 6) AS slope_hr
+FROM p GROUP BY user_id
+"""

@@ -1,0 +1,99 @@
+"""Round-5 wave-6b operators: centered window frame and Theil-Sen robust
+trend — DuckDB oracle parity at sf0.001 plus robustness/edge properties."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{SF}/events.parquet'")
+    return con.sql(sql).df()
+
+
+class TestCenteredAvg:
+    def test_matches_oracle(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import (
+            USER_VALUE_CENTERED_AVG_SQL,
+            user_value_centered_avg,
+        )
+
+        key = ["user_id", "event_id"]
+        rdf = (
+            pd.DataFrame(user_value_centered_avg(SF).take_all())
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        odf = (
+            _oracle(USER_VALUE_CENTERED_AVG_SQL)
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(rdf, odf.astype(rdf.dtypes.to_dict()))
+
+    def test_frame_counts_clip_at_edges(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import (
+            user_value_centered_avg,
+        )
+
+        rdf = pd.DataFrame(user_value_centered_avg(SF, k=2).take_all())
+        assert rdf["cen_cnt"].between(1, 5).all()
+        # interior rows of a long stream see the full 2k+1 frame
+        big = rdf.groupby("user_id").size()
+        u = big.idxmax()
+        mine = rdf[rdf["user_id"] == u].sort_values(["ts", "event_id"])
+        assert (mine["cen_cnt"].iloc[2:-2] == 5).all()
+
+
+class TestTheilSen:
+    def test_matches_oracle(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import (
+            USER_VALUE_THEILSEN_SQL,
+            user_value_theilsen,
+        )
+
+        rdf = (
+            pd.DataFrame(user_value_theilsen(SF).take_all())
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        odf = (
+            _oracle(USER_VALUE_THEILSEN_SQL)
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(rdf, odf.astype(rdf.dtypes.to_dict()))
+
+    def test_robust_to_single_outlier(self):
+        # kernel-level property on a planted line: one wild value barely
+        # moves the Theil-Sen slope while it wrecks OLS
+        t = np.arange(50, dtype=np.float64)
+        v = 2.0 * t + 1.0
+        v_out = v.copy()
+        v_out[25] = 1e6
+        def theil(tv, vv):
+            iu = np.triu_indices(len(tv), k=1)
+            dt = (tv[None, :] - tv[:, None])[iu]
+            dv = (vv[None, :] - vv[:, None])[iu]
+            return float(np.median(dv / dt))
+        assert abs(theil(t, v) - 2.0) < 1e-12
+        assert abs(theil(t, v_out) - 2.0) < 0.5
+        ols = np.polyfit(t, v_out, 1)[0]
+        assert abs(ols - 2.0) > 10
+
+    def test_pair_guard_raises(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import user_value_theilsen
+
+        with pytest.raises(Exception) as ei:
+            user_value_theilsen(SF, max_pairs=1).take_all()
+        assert "max_pairs" in str(ei.value)
