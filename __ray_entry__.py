@@ -849,6 +849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Theil-Sen robust trend: median pairwise slope per user
         # (outlier-robust companion of the OLS user_value_trend)
         "user_value_theilsen": _analytics("user_value_theilsen"),
+        # time-bound funnel: each step within 24h of the previous one
+        "funnel_stages_windowed": _analytics("funnel_stages_windowed"),
         # Gopher-style repetition signals (top 2/3-gram + duplicated-3-gram
         # char fractions) and the per-source repetition quality gate
         "gopher_repetition": _qual("gopher_repetition"),
@@ -1201,6 +1203,9 @@ def oracle_sql() -> dict[str, str]:
             "USER_VALUE_CENTERED_AVG_SQL"
         ),
         "user_value_theilsen": analytics_sql("USER_VALUE_THEILSEN_SQL"),
+        "funnel_stages_windowed": analytics_sql(
+            "FUNNEL_STAGES_WINDOWED_SQL"
+        ),
         "text_stats": _TEXT_STATS_SQL,
         "source_token_entropy": text_sql("SOURCE_TOKEN_ENTROPY_SQL"),
         "source_doclen_quantiles": text_sql("SOURCE_DOCLEN_QUANTILES_SQL"),

@@ -5761,12 +5761,14 @@ def funnel_stages(
     sf_dir: str,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     buckets: int | None = None,
+    within_us: int | None = None,
 ):
     """Greedy N-step funnel per user: ``t_0`` = first ``steps[0]`` event,
-    ``t_i`` = first ``steps[i]`` event STRICTLY after ``t_{i-1}``; emits
-    (user_id, stage reached in 1..N, t_first, t_last) for every user who
-    performed step 0 -- the generalized sibling of the 2-step
-    ``user_conversion``.
+    ``t_i`` = first ``steps[i]`` event STRICTLY after ``t_{i-1}`` (and,
+    when ``within_us`` is set, at most that many microseconds after it --
+    the time-bound funnel); emits (user_id, stage reached in 1..N,
+    t_first, t_last) for every user who performed step 0 -- the
+    generalized sibling of the 2-step ``user_conversion``.
 
     Scale shape: only funnel event types survive the map-side filter;
     step-0 rows collapse to per-user min partials per batch, later steps'
@@ -5858,7 +5860,10 @@ def funnel_stages(
             hit = (pos < len(users)) & (users[pos_c] == pu)
             # gate: the user must be exactly at stage i, and the candidate
             # event must be STRICTLY after the previous step's timestamp
+            # (and inside the step deadline when one is set)
             ok = hit & (stage[pos_c] == i) & (pts > t_prev[pos_c])
+            if within_us is not None:
+                ok &= pts <= t_prev[pos_c] + within_us
             nxt = np.full(len(users), IMAX, np.int64)
             np.minimum.at(nxt, pos_c[ok], pts[ok])
             adv = nxt != IMAX
@@ -6123,4 +6128,39 @@ WITH p AS (
 SELECT user_id::BIGINT AS user_id, count(*)::BIGINT AS n_pairs,
        round(quantile_cont(s, 0.5), 6) AS slope_hr
 FROM p GROUP BY user_id
+"""
+
+
+def funnel_stages_windowed(sf_dir: str, buckets: int | None = None):
+    """Time-bound funnel: each next step must land within 24 hours of the
+    previous step's timestamp (the conversion-deadline shape)."""
+    return funnel_stages(
+        sf_dir, buckets=buckets, within_us=24 * 3600 * 1_000_000
+    )
+
+
+FUNNEL_STAGES_WINDOWED_SQL = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s1 AS (
+  SELECT s0.user_id, min(e.ts) AS t1 FROM s0
+  JOIN events e ON e.user_id = s0.user_id
+   AND e.event_type = 'click' AND e.ts > s0.t0
+   AND e.ts <= s0.t0 + INTERVAL 24 HOUR GROUP BY 1
+),
+s2 AS (
+  SELECT s1.user_id, min(e.ts) AS t2 FROM s1
+  JOIN events e ON e.user_id = s1.user_id
+   AND e.event_type = 'purchase' AND e.ts > s1.t1
+   AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY 1
+)
+SELECT s0.user_id::BIGINT AS user_id,
+       (1 + (s1.user_id IS NOT NULL)::INT
+          + (s2.user_id IS NOT NULL)::INT)::BIGINT AS stage,
+       s0.t0 AS t_first,
+       coalesce(s2.t2, s1.t1, s0.t0) AS t_last
+FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+LEFT JOIN s2 ON s0.user_id = s2.user_id
 """
