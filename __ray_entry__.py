@@ -732,6 +732,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # HDR-histogram quantile sketch with an integer-exact SQL mirror
         "props_key_stats": _semistruct("props_key_stats"),
         "hdr_value_quantiles": _semistruct("hdr_value_quantiles"),
+        # t-digest quantiles: mergeable sketch for UNBOUNDED float
+        # domains (rows-only: approximate by design; rank-error and
+        # merge-determinism contracts pinned in tests/test_tdigest.py)
+        "tdigest_value_quantiles": _semistruct("tdigest_value_quantiles"),
         # distributed full-data Lloyd k-means (rows-only: iterative float
         # fitting; pinned vs a single-process NumPy reference in
         # tests/test_kmeans.py)
@@ -836,6 +840,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocked edit-distance near-dup pairs (typo-level layer below
         # the token-shingle dedup families; banded DP with cap early-exit)
         "dedup_edit_pairs": _text("dedup_edit_pairs"),
+        # multi-blocking recall fix: prefix-key UNION suffix-key passes
+        "dedup_edit_pairs_multiblock": _text("dedup_edit_pairs_multiblock"),
         # N-step funnel: furthest stage reached per user via gated
         # vectorized segment minima (generalizes user_conversion)
         "funnel_stages": _analytics("funnel_stages"),
@@ -1198,6 +1204,9 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_search": text_sql("INVERTED_INDEX_SEARCH_SQL"),
         "bm25_search": search_sql("BM25_SEARCH_SQL"),
         "dedup_edit_pairs": text_sql("DEDUP_EDIT_PAIRS_SQL"),
+        "dedup_edit_pairs_multiblock": text_sql(
+            "DEDUP_EDIT_PAIRS_MULTIBLOCK_SQL"
+        ),
         "funnel_stages": analytics_sql("FUNNEL_STAGES_SQL"),
         "user_value_centered_avg": analytics_sql(
             "USER_VALUE_CENTERED_AVG_SQL"

@@ -422,3 +422,123 @@ SELECT event_type, max(n)::BIGINT AS n,
        {_hdr_pick('0.99')} AS p99_est
 FROM w GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# t-digest quantiles: mergeable sketch for UNBOUNDED float domains
+# ---------------------------------------------------------------------------
+
+def tdigest_value_quantiles(sf_dir: str, delta: int = 200,
+                            buckets: int = 32,
+                            combine_batch_rows: int = 1_048_576):
+    """Approximate p50/p90/p99 of ``value`` per event_type from a
+    mergeable t-digest (stages/tdigest.py) -- the float-domain companion
+    of ``hdr_value_quantiles`` (HDR needs a bounded integer domain fixed
+    up front; the t-digest's centroids adapt to whatever arrives, with
+    rank resolution densest at the tails).
+
+    Rows-only query: the sketch is approximate by design; the rank-error
+    contract (|rank(est) - q| bounded by the local centroid weight,
+    sub-0.5%% at delta=200) and the merge determinism are pinned in
+    tests/test_tdigest.py against exact np.percentile.
+
+    Scale shape: per-batch (type -> digest) combiner collapses raw rows
+    to <= delta centroids per type per batch; ONE exchange hashed on
+    type ships centroid lists (bounded by delta x batches, never rows);
+    the per-type finalize merges and reads the three quantiles."""
+    from ..stages.tdigest import build_digest, merge_digests, quantile
+
+    ev = _read_events(sf_dir, ["event_type", "value"])
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("means", pa.list_(pa.float64())),
+            ("weights", pa.list_(pa.float64())),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def digest_partial(t: pa.Table) -> pa.Table:
+        import zlib
+
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        tid = np.asarray(codes.indices, np.int64)
+        types = codes.dictionary.to_pylist()
+        v = _np(t["value"]).astype(np.float64)
+        order = np.lexsort((v, tid))
+        tid_s, v_s = tid[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], tid_s[1:] != tid_s[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(tid_s)]))
+        names, ns, ms, ws = [], [], [], []
+        for s, e in zip(starts, ends):
+            mean_a, w_a = build_digest(v_s[s:e], delta)
+            names.append(types[tid_s[s]])
+            ns.append(int(e - s))
+            ms.append(mean_a)
+            ws.append(w_a)
+        h = np.array([zlib.crc32(x.encode()) for x in names], np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "means": pa.array(ms, pa.list_(pa.float64())),
+                "weights": pa.array(ws, pa.list_(pa.float64())),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("p50", pa.float64()),
+            ("p90", pa.float64()),
+            ("p99", pa.float64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = t.to_pydict()
+        by_type: dict = {}
+        for et, n, m, w in zip(
+            df["event_type"], df["n"], df["means"], df["weights"]
+        ):
+            slot = by_type.setdefault(et, [0, []])
+            slot[0] += n
+            slot[1].append(
+                (np.asarray(m, np.float64), np.asarray(w, np.float64))
+            )
+        names = sorted(by_type)
+        rows = {"event_type": [], "n": [], "p50": [], "p90": [], "p99": []}
+        for et in names:
+            n, parts = by_type[et]
+            mm, ww = merge_digests(parts, delta)
+            p = quantile(mm, ww, [0.5, 0.9, 0.99])
+            rows["event_type"].append(et)
+            rows["n"].append(n)
+            rows["p50"].append(round(float(p[0]), 6))
+            rows["p90"].append(round(float(p[1]), 6))
+            rows["p99"].append(round(float(p[2]), 6))
+        return pa.table(rows, schema=out_schema)
+
+    return (
+        ev.map_batches(digest_partial, batch_format="pyarrow",
+                       batch_size=combine_batch_rows)
+        .groupby("prt")
+        .map_groups(
+            lambda g: finalize(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )

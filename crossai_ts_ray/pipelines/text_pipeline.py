@@ -3690,6 +3690,7 @@ def dedup_edit_pairs(
     block_words: int = 2,
     max_block: int = 4096,
     buckets: int = 32,
+    key_mode: str = "prefix",
 ):
     """Near-duplicate pairs by EDIT DISTANCE with cheap blocking: docs
     sharing (first ``block_words`` tokens, ``length // len_div``) are
@@ -3712,12 +3713,19 @@ def dedup_edit_pairs(
     + a ``cap=max_dist`` early-exit DP, and any block larger than
     ``max_block`` raises loudly (choose a finer blocking key) rather
     than degrading to a silent quadratic blowup.
+    ``key_mode`` selects the blocking view: ``"prefix"`` keys on the
+    first ``block_words`` tokens, ``"suffix"`` on the last 16 codepoints
+    — a second, independent pass that recovers pairs whose edits fall IN
+    the prefix (see ``dedup_edit_pairs_multiblock``).
+
     Emits (doc_a, doc_b, dist)."""
     import pyarrow.compute as pc
 
     from ..functions.text import levenshtein
     from ..stages.joins import hash_prt
 
+    if key_mode not in ("prefix", "suffix"):
+        raise ValueError(f"key_mode={key_mode!r}")
     docs = _read_docs(sf_dir)
 
     def block_key(t: pa.Table) -> pa.Table:
@@ -3725,12 +3733,17 @@ def dedup_edit_pairs(
         text = t["text"]
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
-        split = pc.split_pattern(text, pattern=" ")
-        # first block_words tokens joined (list_slice handles docs
-        # shorter than the prefix gracefully, like the SQL's words[1:n])
-        fw = pc.binary_join(
-            pc.list_slice(split, 0, block_words), " "
-        )
+        if key_mode == "prefix":
+            split = pc.split_pattern(text, pattern=" ")
+            # first block_words tokens joined (list_slice handles docs
+            # shorter than the prefix gracefully, like SQL's words[1:n])
+            fw = pc.binary_join(
+                pc.list_slice(split, 0, block_words), " "
+            )
+        else:
+            # last 16 codepoints (negative slicing clamps like SQL's
+            # text[-16:])
+            fw = pc.utf8_slice_codeunits(text, start=-16)
         lb = pc.divide(
             pc.utf8_length(text).cast(pa.int64()), pa.scalar(len_div)
         ).cast(pa.int64())
@@ -3830,4 +3843,89 @@ SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
        levenshtein(a.text, b.text)::BIGINT AS dist
 FROM d a JOIN d b ON a.fw = b.fw AND a.lb = b.lb AND a.doc_id < b.doc_id
 WHERE levenshtein(a.text, b.text) <= 80
+"""
+
+
+def dedup_edit_pairs_multiblock(sf_dir: str, max_dist: int = 80):
+    """Multi-pass blocked edit-distance dedup: the UNION of the prefix-key
+    and suffix-key passes, distinct on the pair -- the standard
+    multi-blocking recall fix (a variant edited in its opening words is
+    invisible to the prefix key but still shares its tail, and vice
+    versa).  Each pass is the one-exchange ``dedup_edit_pairs`` shape;
+    the union adds one pair-key exchange for the distinct.
+    Emits (doc_a, doc_b, dist)."""
+    from ..stages.joins import hash_prt
+
+    a = dedup_edit_pairs(sf_dir, max_dist=max_dist, key_mode="prefix")
+    b = dedup_edit_pairs(sf_dir, max_dist=max_dist, key_mode="suffix")
+
+    out_schema = pa.schema(
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("dist", pa.int64()),
+        ]
+    )
+
+    def add_prt(t: pa.Table, buckets: int = 16) -> pa.Table:
+        t = t.combine_chunks()
+        da = t["doc_a"].to_numpy(zero_copy_only=False)
+        db = t["doc_b"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "prt",
+            pa.array(hash_prt(da * np.int64(1 << 32) + db, buckets),
+                     pa.int64()),
+        )
+
+    def uniq(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        da = t["doc_a"].to_numpy(zero_copy_only=False)
+        db = t["doc_b"].to_numpy(zero_copy_only=False)
+        dd = t["dist"].to_numpy(zero_copy_only=False)
+        key = da * np.int64(1 << 32) + db
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        keep = order[
+            np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        ]
+        return pa.table(
+            {
+                "doc_a": pa.array(da[keep], pa.int64()),
+                "doc_b": pa.array(db[keep], pa.int64()),
+                "dist": pa.array(dd[keep], pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        a.union(b)
+        .map_batches(add_prt, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: uniq(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+DEDUP_EDIT_PAIRS_MULTIBLOCK_SQL = """
+WITH d AS (
+  SELECT doc_id, text,
+         array_to_string(string_split(text, ' ')[1:2], ' ') AS fw,
+         text[-16:] AS lw,
+         length(text) // 64 AS lb
+  FROM documents
+),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.text AS ta, b.text AS tb
+  FROM d a JOIN d b ON a.fw = b.fw AND a.lb = b.lb AND a.doc_id < b.doc_id
+  UNION
+  SELECT a.doc_id, b.doc_id, a.text, b.text
+  FROM d a JOIN d b ON a.lw = b.lw AND a.lb = b.lb AND a.doc_id < b.doc_id
+)
+SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+       levenshtein(ta, tb)::BIGINT AS dist
+FROM cand WHERE levenshtein(ta, tb) <= 80
 """
