@@ -857,6 +857,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_theilsen": _analytics("user_value_theilsen"),
         # time-bound funnel: each step within 24h of the previous one
         "funnel_stages_windowed": _analytics("funnel_stages_windowed"),
+        # market-basket lift between event-type pairs over users
+        "event_type_lift": _analytics("event_type_lift"),
+        # first-order Markov transition matrix between consecutive events
+        "event_transition_matrix": _analytics("event_transition_matrix"),
         # Gopher-style repetition signals (top 2/3-gram + duplicated-3-gram
         # char fractions) and the per-source repetition quality gate
         "gopher_repetition": _qual("gopher_repetition"),
@@ -1214,6 +1218,10 @@ def oracle_sql() -> dict[str, str]:
         "user_value_theilsen": analytics_sql("USER_VALUE_THEILSEN_SQL"),
         "funnel_stages_windowed": analytics_sql(
             "FUNNEL_STAGES_WINDOWED_SQL"
+        ),
+        "event_type_lift": analytics_sql("EVENT_TYPE_LIFT_SQL"),
+        "event_transition_matrix": analytics_sql(
+            "EVENT_TRANSITION_MATRIX_SQL"
         ),
         "text_stats": _TEXT_STATS_SQL,
         "source_token_entropy": text_sql("SOURCE_TOKEN_ENTROPY_SQL"),

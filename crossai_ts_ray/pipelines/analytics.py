@@ -6164,3 +6164,316 @@ SELECT s0.user_id::BIGINT AS user_id,
 FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
 LEFT JOIN s2 ON s0.user_id = s2.user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket lift over event types per user
+# ---------------------------------------------------------------------------
+
+def event_type_lift(sf_dir: str, buckets: int | None = None):
+    """Association strength between event-type pairs: for every unordered
+    pair (a, b), the number of users who did BOTH, each type's user
+    count, and the lift ``P(a,b) / (P(a) * P(b))`` over the user
+    population -- the market-basket shape on the event stream.
+
+    Scale shape: per-batch (user, type) dedup partials, ONE exchange
+    hashed on user; each partition emits its users' type-pairs (a user
+    has at most |type domain| types, so pairs per user are bounded by
+    the domain, not the stream); the pair/type/user counts collapse in a
+    SECOND small exchange whose cardinality is the type-domain square.
+    Float exactness: lift = (both / n_users) / ((ca / n_users) *
+    (cb / n_users)) in that literal op order, rounded to 6.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "event_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        tid = np.asarray(codes.indices, np.int64)
+        types = np.asarray(codes.dictionary.to_pylist(), dtype=object)
+        uid = _np(t["user_id"]).astype(np.int64)
+        # batch-local (user, type) dedup
+        key = uid * np.int64(1 << 20) + tid
+        if (tid >= (1 << 20)).any():
+            raise ValueError("type domain exceeds pack width")
+        _, first = np.unique(key, return_index=True)
+        u, ty = uid[first], tid[first]
+        return pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "etype": pa.array(types[ty], pa.string()),
+                "prt": pa.array(hash_prt(u, buckets), pa.int64()),
+            }
+        )
+
+    mid_schema = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("cnt", pa.int64()),
+         ("prt", pa.int64())]
+    )
+
+    def user_pairs(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=mid_schema)
+        uid = _np(t["user_id"])
+        ty = np.asarray(t["etype"].to_pylist(), dtype=object)
+        # global (user, type) dedup inside the partition
+        order = np.lexsort((ty, uid))
+        u_s, t_s = uid[order], ty[order]
+        keep = np.concatenate(
+            ([True], (u_s[1:] != u_s[:-1]) | (t_s[1:] != t_s[:-1]))
+        )
+        u_s, t_s = u_s[keep], t_s[keep]
+        starts = np.flatnonzero(
+            np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(u_s)]))
+        pa_, pb_ = [], []
+        # singles ride as (type, NULL) rows; user count as ("", NULL)
+        for s, e in zip(starts, ends):
+            ts_ = t_s[s:e]  # sorted unique types of one user
+            for i in range(len(ts_)):
+                pa_.append(ts_[i])
+                pb_.append(None)
+                for j in range(i + 1, len(ts_)):
+                    pa_.append(ts_[i])
+                    pb_.append(ts_[j])
+        pa_.extend([""] * len(starts))
+        pb_.extend([None] * len(starts))
+        tb = pa.table(
+            {
+                "a": pa.array(pa_, pa.string()),
+                "b": pa.array(pb_, pa.string()),
+                "cnt": pa.array(np.ones(len(pa_), np.int64)),
+            }
+        )
+        import zlib
+
+        h = np.array(
+            [zlib.crc32(x.encode()) for x in pa_], np.int64
+        )
+        return tb.append_column(
+            "prt", pa.array(hash_prt(h, 16), pa.int64())
+        )
+
+    out_schema = pa.schema(
+        [
+            ("type_a", pa.string()),
+            ("type_b", pa.string()),
+            ("both_users", pa.int64()),
+            ("users_a", pa.int64()),
+            ("users_b", pa.int64()),
+            ("lift", pa.float64()),
+        ]
+    )
+
+    def count_up(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        df = t.to_pydict()
+        agg: dict = {}
+        for a, b, c in zip(df["a"], df["b"], df["cnt"]):
+            agg[(a, b)] = agg.get((a, b), 0) + c
+        return pa.table(
+            {
+                "a": pa.array([k[0] for k in agg], pa.string()),
+                "b": pa.array([k[1] for k in agg], pa.string()),
+                "cnt": pa.array(list(agg.values()), pa.int64()),
+            }
+        )
+
+    counted = (
+        ev.map_batches(pair_partial, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: user_pairs(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+        .groupby("prt")
+        .map_groups(
+            lambda g: count_up(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+    # type-domain-sized finalize on the driver side of the exchange: the
+    # counted table is |domain|^2 rows regardless of stream size
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        df = t.to_pydict()
+        singles: dict = {}
+        n_users = 0
+        pairs = []
+        for a, b, c in zip(df["a"], df["b"], df["cnt"]):
+            if b is None:
+                if a == "":
+                    n_users += c
+                else:
+                    singles[a] = singles.get(a, 0) + c
+            else:
+                pairs.append((a, b, c))
+        rows = {k: [] for k in (
+            "type_a", "type_b", "both_users", "users_a", "users_b", "lift"
+        )}
+        nu = float(n_users)
+        for a, b, c in sorted(pairs):
+            ca, cb = singles[a], singles[b]
+            lift = (c / nu) / ((ca / nu) * (cb / nu))
+            rows["type_a"].append(a)
+            rows["type_b"].append(b)
+            rows["both_users"].append(c)
+            rows["users_a"].append(ca)
+            rows["users_b"].append(cb)
+            rows["lift"].append(round(lift, 6))
+        return pa.table(rows, schema=out_schema)
+
+    return (
+        counted.repartition(1)
+        .map_batches(finish, batch_format="pyarrow",
+                     batch_size=1 << 30)
+    )
+
+
+EVENT_TYPE_LIFT_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT count(DISTINCT user_id)::DOUBLE AS nu FROM events),
+s AS (SELECT event_type, count(*)::BIGINT AS c FROM ut GROUP BY 1),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS both_users
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.both_users,
+       sa.c AS users_a, sb.c AS users_b,
+       round((p.both_users / n.nu)
+             / ((sa.c / n.nu) * (sb.c / n.nu)), 6) AS lift
+FROM p, n
+JOIN s sa ON sa.event_type = p.type_a
+JOIN s sb ON sb.event_type = p.type_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# first-order transition matrix between consecutive event types per user
+# ---------------------------------------------------------------------------
+
+def event_transition_matrix(sf_dir: str, buckets: int | None = None):
+    """Markov transition counts and probabilities between CONSECUTIVE
+    events of the same user (ordered by ts, event_id): for every
+    (from_type, to_type), the transition count and
+    ``P(to | from) = cnt / sum_cnt(from)`` -- the sequence-mining
+    companion of the per-user path string (``user_event_path``).
+
+    Scale shape: ONE keyed exchange (hash by user); per partition, one
+    lexsort + shifted-pair extraction; (from, to) counts collapse
+    map-side before a type-domain-sized driver finalize.  Probability =
+    cnt / row_total in literal op order, rounded to 6.
+    """
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+
+    def add_prt(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        uid = _np(t["user_id"]).astype(np.int64)
+        return t.append_column(
+            "prt", pa.array(hash_prt(uid, buckets), pa.int64())
+        )
+
+    mid_schema = pa.schema(
+        [("f", pa.string()), ("g", pa.string()), ("cnt", pa.int64())]
+    )
+
+    def trans_partition(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=mid_schema)
+        uid = _np(t["user_id"]).astype(np.int64)
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        tid = np.asarray(codes.indices, np.int64)
+        types = codes.dictionary.to_pylist()
+        order = np.lexsort((eid, ts, uid))
+        u_s, t_s = uid[order], tid[order]
+        same = u_s[1:] == u_s[:-1]
+        f, g = t_s[:-1][same], t_s[1:][same]
+        nt = len(types)
+        key = f * nt + g
+        vals, cnts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "f": pa.array([types[int(k) // nt] for k in vals],
+                              pa.string()),
+                "g": pa.array([types[int(k) % nt] for k in vals],
+                              pa.string()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+            },
+            schema=mid_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("from_type", pa.string()),
+            ("to_type", pa.string()),
+            ("cnt", pa.int64()),
+            ("prob", pa.float64()),
+        ]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        df = t.to_pydict()
+        agg: dict = {}
+        for f, g, c in zip(df["f"], df["g"], df["cnt"]):
+            agg[(f, g)] = agg.get((f, g), 0) + c
+        row_tot: dict = {}
+        for (f, _), c in agg.items():
+            row_tot[f] = row_tot.get(f, 0) + c
+        rows = {k: [] for k in ("from_type", "to_type", "cnt", "prob")}
+        for (f, g), c in sorted(agg.items()):
+            rows["from_type"].append(f)
+            rows["to_type"].append(g)
+            rows["cnt"].append(c)
+            rows["prob"].append(round(c / row_tot[f], 6))
+        return pa.table(rows, schema=out_schema)
+
+    return (
+        ev.map_batches(add_prt, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: trans_partition(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=1 << 30)
+    )
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS g
+  FROM events
+),
+c AS (
+  SELECT f AS from_type, g AS to_type, count(*)::BIGINT AS cnt
+  FROM seq WHERE g IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, cnt,
+       round(cnt / (sum(cnt) OVER (PARTITION BY from_type))::DOUBLE, 6)
+         AS prob
+FROM c
+"""

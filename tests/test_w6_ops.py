@@ -135,3 +135,50 @@ class TestFunnelWindowed:
         # (a tighter window can skip an early B and reach a later B whose
         # C follows), but step-0 membership is identical by construction
         assert (win >= 1).all() and (unb >= 1).all()
+
+
+class TestBasketAndTransitions:
+    def test_lift_matches_oracle(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import (
+            EVENT_TYPE_LIFT_SQL,
+            event_type_lift,
+        )
+
+        key = ["type_a", "type_b"]
+        rdf = (
+            pd.DataFrame(event_type_lift(SF).take_all())
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        odf = _oracle(EVENT_TYPE_LIFT_SQL).sort_values(key).reset_index(
+            drop=True
+        )
+        pd.testing.assert_frame_equal(rdf, odf.astype(rdf.dtypes.to_dict()))
+
+    def test_transition_matches_oracle(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import (
+            EVENT_TRANSITION_MATRIX_SQL,
+            event_transition_matrix,
+        )
+
+        key = ["from_type", "to_type"]
+        rdf = (
+            pd.DataFrame(event_transition_matrix(SF).take_all())
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        odf = (
+            _oracle(EVENT_TRANSITION_MATRIX_SQL)
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(rdf, odf.astype(rdf.dtypes.to_dict()))
+
+    def test_transition_rows_sum_to_one(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import (
+            event_transition_matrix,
+        )
+
+        rdf = pd.DataFrame(event_transition_matrix(SF).take_all())
+        sums = rdf.groupby("from_type")["prob"].sum()
+        assert ((sums - 1.0).abs() < 1e-4).all()
