@@ -6017,7 +6017,8 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 # ---------------------------------------------------------------------------
 
 def user_value_theilsen(sf_dir: str, max_pairs: int = 50_000_000,
-                        buckets: int | None = None):
+                        buckets: int | None = None,
+                        sample_pairs: int | None = None):
     """Theil-Sen estimator per user: the MEDIAN of all pairwise slopes
     ``(v_j - v_i) / hours(t_j - t_i)`` over event pairs with strictly
     increasing timestamps -- the outlier-robust companion of the
@@ -6029,6 +6030,10 @@ def user_value_theilsen(sf_dir: str, max_pairs: int = 50_000_000,
     estimator is inherently O(n^2) per group: a group whose pair count
     exceeds ``max_pairs`` raises loudly (at that size use the OLS trend
     or a sampled-pairs variant) rather than silently stalling a task.
+    ``sample_pairs`` IS that scale path: groups above the threshold draw
+    that many random pairs (counter-based RNG seeded per user -- rerun
+    deterministic) and take the sampled median; groups at or below it
+    stay exact, so the oracle holds wherever sampling never triggers.
     Exactness: each slope is one float expression mirrored verbatim in
     the oracle; the median interpolates ``vlo + (vhi - vlo) * 0.5`` the
     way DuckDB's ``quantile_cont`` does; output rounds to 6.
@@ -6072,21 +6077,41 @@ def user_value_theilsen(sf_dir: str, max_pairs: int = 50_000_000,
             if m < 2:
                 continue
             if m * (m - 1) // 2 > max_pairs:
-                raise ValueError(
-                    f"user {u_s[s]} has {m} events -> "
-                    f"{m * (m - 1) // 2} Theil-Sen pairs (> max_pairs="
-                    f"{max_pairs}); use the OLS trend or sampled pairs"
+                if sample_pairs is None:
+                    raise ValueError(
+                        f"user {u_s[s]} has {m} events -> "
+                        f"{m * (m - 1) // 2} Theil-Sen pairs (> max_pairs="
+                        f"{max_pairs}); use the OLS trend or pass "
+                        f"sample_pairs for the sampled estimator"
+                    )
+                # sampled scale path: counter-based RNG seeded by the
+                # user id -- rerun-deterministic, batching-independent
+                rng = np.random.default_rng(
+                    np.uint64(u_s[s]) ^ np.uint64(0x5DEECE66D)
                 )
-            tt = t_s[s:e]
-            vv = v_s[s:e]
-            dt = tt[None, :] - tt[:, None]
-            iu = np.triu_indices(m, k=1)
-            dtf = dt[iu].astype(np.float64)
-            ok = dtf > 0  # equal-timestamp pairs carry no slope
-            if not ok.any():
-                continue
-            dv = (vv[None, :] - vv[:, None])[iu][ok]
-            slopes = dv / (dtf[ok] / HOUR_US)
+                ii = rng.integers(0, m, sample_pairs)
+                jj = rng.integers(0, m, sample_pairs)
+                lo_ = np.minimum(ii, jj)
+                hi_ = np.maximum(ii, jj)
+                tt = t_s[s:e]
+                vv = v_s[s:e]
+                dtf = (tt[hi_] - tt[lo_]).astype(np.float64)
+                ok = dtf > 0
+                if not ok.any():
+                    continue
+                dv = vv[hi_][ok] - vv[lo_][ok]
+                slopes = dv / (dtf[ok] / HOUR_US)
+            else:
+                tt = t_s[s:e]
+                vv = v_s[s:e]
+                dt = tt[None, :] - tt[:, None]
+                iu = np.triu_indices(m, k=1)
+                dtf = dt[iu].astype(np.float64)
+                ok = dtf > 0  # equal-timestamp pairs carry no slope
+                if not ok.any():
+                    continue
+                dv = (vv[None, :] - vv[:, None])[iu][ok]
+                slopes = dv / (dtf[ok] / HOUR_US)
             slopes.sort()
             k_ = len(slopes)
             h = (k_ - 1) * 0.5

@@ -182,3 +182,39 @@ class TestBasketAndTransitions:
         rdf = pd.DataFrame(event_transition_matrix(SF).take_all())
         sums = rdf.groupby("from_type")["prob"].sum()
         assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+class TestTheilSenSampled:
+    def test_sampled_path_accuracy_and_determinism(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import user_value_theilsen
+
+        # force every group onto the sampled path
+        a = (
+            pd.DataFrame(
+                user_value_theilsen(
+                    SF, max_pairs=10, sample_pairs=4000
+                ).take_all()
+            )
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            pd.DataFrame(
+                user_value_theilsen(
+                    SF, max_pairs=10, sample_pairs=4000
+                ).take_all()
+            )
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)  # rerun-deterministic
+        exact = (
+            pd.DataFrame(user_value_theilsen(SF).take_all())
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        m = a.merge(exact, on="user_id", suffixes=("_s", "_e"))
+        # sampled median tracks the exact one (value scale is ~0-100/hr)
+        spread = (m["slope_hr_s"] - m["slope_hr_e"]).abs()
+        assert spread.median() < 25.0
+        assert (m["n_pairs_s"] <= 4000).all()
