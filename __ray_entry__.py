@@ -424,6 +424,35 @@ def _corpus_ingest_q(sf_dir: str):
     return corpus_ingest_job(sf_dir)
 
 
+def _tier_range_q(sf_dir: str):
+    """Checkpointed rollup job + fine-tier retention + the spliced
+    multi-tier range query (state/query.py): recent spans answered from
+    the fine tier, aged spans from the coarse tier, gap/overlap-free.
+    Rows-only (input not a registered view); the splice contract and
+    bitwise aggregate parity vs the single-process oracle are pinned in
+    tests/test_tier_query.py."""
+    import shutil
+    import tempfile
+
+    from crossai_ts_ray import synth
+    from crossai_ts_ray.schema import Tier
+    from crossai_ts_ray.state.checkpoint import run_rollup_job
+    from crossai_ts_ray.state.query import query_range
+    from crossai_ts_ray.state.retention import apply_retention
+
+    tiers = (Tier("t60", 60), Tier("t240", 240))
+    d = synth.generate(synth.TINY, synth.default_cache_dir(synth.TINY))
+    out_dir = tempfile.mkdtemp(prefix="tier_range_q_")
+    try:
+        run_rollup_job(d, out_dir, tiers)
+        apply_retention(out_dir, {"t60": 5})
+        res = query_range(out_dir, tiers, 0, 1 << 40)
+        res = res.materialize()  # consume before the store is removed
+        return res
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def _synth_retention_q(sf_dir: str):
     """Checkpointed rollup job + per-tier retention enforcement (keep the
     last 5 finest-tier buckets per source; file-stat fast paths, atomic
@@ -659,6 +688,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # job + retention-policy enforcement (keep-last-K prune with
         # file-stat fast paths, markers, atomic rewrites)
         "synth_retention_job": _synth_retention_q,
+        # spliced multi-tier range query over the committed store
+        # (fine tier for recent spans, coarser where retention aged the
+        # fine one out; gap/overlap-free splice pinned in
+        # tests/test_tier_query.py)
+        "tier_range_query": _tier_range_q,
         # persisted exact-dedup index: two-shard incremental ingest with
         # crash-safe two-phase commits; admission stats are SQL-exact
         "corpus_ingest_job": _corpus_ingest_q,
