@@ -895,6 +895,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_lift": _analytics("event_type_lift"),
         # first-order Markov transition matrix between consecutive events
         "event_transition_matrix": _analytics("event_transition_matrix"),
+        # OHLC bars per (type, hour): associative first/last candidates,
+        # pure value moves -- no float arithmetic anywhere
+        "events_hourly_ohlc": _analytics("events_hourly_ohlc"),
+        # percentile winsorization: per-type exact bounds broadcast into
+        # an exchange-free clip pass (DuckDB quantile_cont bit-form)
+        "winsorize_values": _analytics("winsorize_values"),
         # Gopher-style repetition signals (top 2/3-gram + duplicated-3-gram
         # char fractions) and the per-source repetition quality gate
         "gopher_repetition": _qual("gopher_repetition"),
@@ -1257,6 +1263,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transition_matrix": analytics_sql(
             "EVENT_TRANSITION_MATRIX_SQL"
         ),
+        "events_hourly_ohlc": analytics_sql("EVENTS_HOURLY_OHLC_SQL"),
+        "winsorize_values": analytics_sql("WINSORIZE_VALUES_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "source_token_entropy": text_sql("SOURCE_TOKEN_ENTROPY_SQL"),
         "source_doclen_quantiles": text_sql("SOURCE_DOCLEN_QUANTILES_SQL"),

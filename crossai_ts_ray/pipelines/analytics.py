@@ -6502,3 +6502,338 @@ SELECT from_type, to_type, cnt,
          AS prob
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# hourly OHLC bars: open/high/low/close per (type, hour)
+# ---------------------------------------------------------------------------
+
+def events_hourly_ohlc(sf_dir: str, buckets: int | None = None):
+    """Open/high/low/close bars per (event_type, hour): open = value of
+    the FIRST event in the hour, close = the LAST (both under the total
+    (ts, event_id) order), high/low = max/min -- the bar-chart rollup
+    every monitoring/trading stack derives from a tick stream.
+
+    Scale shape: per-batch combiner collapses each (type, hour) to ONE
+    candidate row carrying (first_key, open, last_key, close, hi, lo,
+    cnt); candidates merge associatively in the per-partition pass after
+    ONE hash exchange on (type, hour) -- exchange bytes are bounded by
+    groups x batches, never rows.  All outputs are value moves or int
+    sums; no float arithmetic at all, so the oracle is trivially exact.
+    """
+    import zlib
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "event_type", "ts", "value"])
+    HOUR = 3600 * 1_000_000
+
+    mid_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour_us", pa.int64()),
+            ("fk_ts", pa.int64()), ("fk_id", pa.int64()),
+            ("open", pa.float64()),
+            ("lk_ts", pa.int64()), ("lk_id", pa.int64()),
+            ("close", pa.float64()),
+            ("hi", pa.float64()), ("lo", pa.float64()),
+            ("cnt", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        tid = np.asarray(codes.indices, np.int64)
+        types = codes.dictionary.to_pylist()
+        ts = _ts_us(t["ts"])
+        eid = _np(t["event_id"]).astype(np.int64)
+        v = _np(t["value"]).astype(np.float64)
+        hour = (ts // HOUR) * HOUR
+        order = np.lexsort((eid, ts, hour, tid))
+        tid, ts, eid, v, hour = (
+            tid[order], ts[order], eid[order], v[order], hour[order]
+        )
+        first = np.concatenate(
+            ([True], (tid[1:] != tid[:-1]) | (hour[1:] != hour[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        ends = np.concatenate((starts[1:], [len(tid)]))
+        last = ends - 1
+        names = [types[i] for i in tid[starts]]
+        h = np.array(
+            [
+                zlib.crc32(f"{n}\x1f{hu}".encode())
+                for n, hu in zip(names, hour[starts])
+            ],
+            np.int64,
+        )
+        his = np.maximum.reduceat(v, starts)
+        los = np.minimum.reduceat(v, starts)
+        return pa.table(
+            {
+                "event_type": pa.array(names, pa.string()),
+                "hour_us": pa.array(hour[starts], pa.int64()),
+                "fk_ts": pa.array(ts[starts], pa.int64()),
+                "fk_id": pa.array(eid[starts], pa.int64()),
+                "open": pa.array(v[starts], pa.float64()),
+                "lk_ts": pa.array(ts[last], pa.int64()),
+                "lk_id": pa.array(eid[last], pa.int64()),
+                "close": pa.array(v[last], pa.float64()),
+                "hi": pa.array(his, pa.float64()),
+                "lo": pa.array(los, pa.float64()),
+                "cnt": pa.array((ends - starts).astype(np.int64)),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=mid_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("hour", pa.timestamp("us")),
+            ("open", pa.float64()),
+            ("high", pa.float64()),
+            ("low", pa.float64()),
+            ("close", pa.float64()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        hour = _np(t["hour_us"])
+        order = np.lexsort((hour, et))
+        cols = {n: _np(t[n])[order] for n in t.schema.names
+                if n not in ("event_type", "prt")}
+        et = et[order]
+        hour = cols["hour_us"]
+        first = np.concatenate(
+            ([True], (et[1:] != et[:-1]) | (hour[1:] != hour[:-1]))
+        )
+        starts = np.flatnonzero(first)
+        ends = np.concatenate((starts[1:], [len(et)]))
+        # candidate with the smallest (fk_ts, fk_id) wins open; largest
+        # (lk_ts, lk_id) wins close -- resolve via within-group argsort
+        opens, closes = [], []
+        for s, e in zip(starts, ends):
+            fo = np.lexsort((cols["fk_id"][s:e], cols["fk_ts"][s:e]))[0]
+            lo_ = np.lexsort((cols["lk_id"][s:e], cols["lk_ts"][s:e]))[-1]
+            opens.append(cols["open"][s:e][fo])
+            closes.append(cols["close"][s:e][lo_])
+        return pa.table(
+            {
+                "event_type": pa.array(list(et[starts]), pa.string()),
+                "hour": pa.array(
+                    hour[starts].astype(np.int64).view("datetime64[us]")
+                ),
+                "open": pa.array(np.array(opens), pa.float64()),
+                "high": pa.array(
+                    np.maximum.reduceat(cols["hi"], starts), pa.float64()
+                ),
+                "low": pa.array(
+                    np.minimum.reduceat(cols["lo"], starts), pa.float64()
+                ),
+                "close": pa.array(np.array(closes), pa.float64()),
+                "n_events": pa.array(
+                    np.add.reduceat(cols["cnt"], starts).astype(np.int64)
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return (
+        ev.map_batches(combine, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: merge(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+EVENTS_HOURLY_OHLC_SQL = """
+WITH e AS (
+  SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS hour, ts,
+         event_id, value,
+         row_number() OVER (PARTITION BY event_type,
+                            time_bucket(INTERVAL 1 HOUR, ts)
+                            ORDER BY ts, event_id) AS rf,
+         row_number() OVER (PARTITION BY event_type,
+                            time_bucket(INTERVAL 1 HOUR, ts)
+                            ORDER BY ts DESC, event_id DESC) AS rl
+  FROM events
+)
+SELECT event_type, hour,
+       max(CASE WHEN rf = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rl = 1 THEN value END) AS close,
+       count(*)::BIGINT AS n_events
+FROM e GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# winsorization: clip values to per-type percentile bounds
+# ---------------------------------------------------------------------------
+
+def winsorize_values(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95,
+                     buckets: int | None = None):
+    """Every event with its value CLIPPED to that type's [q_lo, q_hi]
+    percentile band -- the standard outlier-taming transform before
+    model features.  Bounds are exact percentiles (np.percentile linear
+    interpolation == quantile_cont).
+
+    Scale shape: pass 1 computes the per-type bounds (one exchange of
+    per-type value lists -- the same shape as user_value_quantiles);
+    the |type-domain|-sized bounds table broadcasts into an
+    exchange-free pass-2 map over the stream.  The clip is a pure value
+    move (min/max against the bound), so the oracle is value-exact.
+    """
+    import ray
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["event_id", "event_type", "value"])
+
+    bschema = pa.schema(
+        [("event_type", pa.string()), ("v", pa.float64()),
+         ("prt", pa.int64())]
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        import zlib
+
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        names = et.to_pylist()
+        h = np.array([zlib.crc32(x.encode()) for x in names], np.int64)
+        return pa.table(
+            {
+                "event_type": et,
+                "v": t["value"].cast(pa.float64()),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=bschema,
+        )
+
+    qschema = pa.schema(
+        [("event_type", pa.string()), ("lo", pa.float64()),
+         ("hi", pa.float64())]
+    )
+
+    def bounds(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=qschema)
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        v = _np(t["v"])
+        order = np.lexsort((v, et))
+        et, v = et[order], v[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], et[1:] != et[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(et)]))
+        names, los, his = [], [], []
+        for s, e in zip(starts, ends):
+            vv = v[s:e]  # already ascending within the type
+            for q, acc in ((q_lo, los), (q_hi, his)):
+                h_ = (len(vv) - 1) * q
+                lo_i = int(np.floor(h_))
+                hi_i = int(np.ceil(h_))
+                f = h_ - lo_i
+                # DuckDB's quantile_cont form: lo*(1-f) + hi*f (NOT
+                # lo + (hi-lo)*f, which differs in the last ulp)
+                acc.append(vv[lo_i] * (1 - f) + vv[hi_i] * f)
+            names.append(et[s])
+        return pa.table(
+            {
+                "event_type": pa.array(names, pa.string()),
+                "lo": pa.array(los, pa.float64()),
+                "hi": pa.array(his, pa.float64()),
+            },
+            schema=qschema,
+        )
+
+    bt = pa.concat_tables(
+        ray.get(
+            [
+                ref
+                for ref in ev.map_batches(tag, batch_format="pyarrow",
+                                          batch_size=1_048_576)
+                .groupby("prt")
+                .map_groups(
+                    lambda g: bounds(g.drop_columns(["prt"])),
+                    batch_format="pyarrow",
+                )
+                .to_arrow_refs()
+            ]
+        )
+    )
+    bounds_map = {
+        n: (lo, hi)
+        for n, lo, hi in zip(
+            bt["event_type"].to_pylist(),
+            bt["lo"].to_pylist(),
+            bt["hi"].to_pylist(),
+        )
+    }
+    bref = ray.put(bounds_map)
+
+    out_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("clipped", pa.float64()),
+        ]
+    )
+
+    def clip(t: pa.Table) -> pa.Table:
+        bm = ray.get(bref)
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        names = et.to_pylist()
+        v = _np(t["value"]).astype(np.float64)
+        lo = np.array([bm[n][0] for n in names])
+        hi = np.array([bm[n][1] for n in names])
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "event_type": et,
+                "value": pa.array(v, pa.float64()),
+                "clipped": pa.array(
+                    np.minimum(np.maximum(v, lo), hi), pa.float64()
+                ),
+            },
+            schema=out_schema,
+        )
+
+    return ev.map_batches(clip, batch_format="pyarrow",
+                          batch_size=1_048_576)
+
+
+WINSORIZE_VALUES_SQL = """
+WITH b AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id::BIGINT AS event_id, e.event_type,
+       e.value::DOUBLE AS value,
+       least(greatest(e.value, b.lo), b.hi) AS clipped
+FROM events e JOIN b ON e.event_type = b.event_type
+"""

