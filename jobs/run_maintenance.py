@@ -29,6 +29,10 @@ def main(argv=None) -> int:
     p.add_argument("--min-files", type=int, default=2)
     p.add_argument("--retention", default="",
                    help="comma list of tier:keep_last_buckets")
+    p.add_argument("--audit", default="",
+                   help="cross-tier consistency audit, comma list of "
+                        "fine_name:fine_width:coarse_name:coarse_width "
+                        "pairs; nonzero exit on any mismatch")
     p.add_argument("--num-cpus", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -55,8 +59,21 @@ def main(argv=None) -> int:
             name, keep = part.split(":")
             policies[name] = int(keep)
         out["retention"] = apply_retention(args.out_dir, policies)
+    bad = 0
+    if args.audit:
+        from crossai_ts_ray.schema import Tier
+        from crossai_ts_ray.state.audit import verify_tier_consistency
+
+        out["audit"] = {}
+        for part in args.audit.split(","):
+            fn, fw, cn, cw = part.split(":")
+            rep = verify_tier_consistency(
+                args.out_dir, Tier(fn, int(fw)), Tier(cn, int(cw))
+            )
+            out["audit"][f"{fn}->{cn}"] = rep
+            bad += len(rep["mismatches"])
     print(json.dumps(out, default=str))
-    return 0
+    return 1 if bad else 0
 
 
 if __name__ == "__main__":
