@@ -898,6 +898,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # OHLC bars per (type, hour): associative first/last candidates,
         # pure value moves -- no float arithmetic anywhere
         "events_hourly_ohlc": _analytics("events_hourly_ohlc"),
+        # PSI distribution-drift score per type between time halves
+        # (Laplace-smoothed equal-width bins; fixed-order mirrored sum)
+        "value_drift_psi": _analytics("value_drift_psi"),
         # percentile winsorization: per-type exact bounds broadcast into
         # an exchange-free clip pass (DuckDB quantile_cont bit-form)
         "winsorize_values": _analytics("winsorize_values"),
@@ -1264,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
             "EVENT_TRANSITION_MATRIX_SQL"
         ),
         "events_hourly_ohlc": analytics_sql("EVENTS_HOURLY_OHLC_SQL"),
+        "value_drift_psi": analytics_sql("VALUE_DRIFT_PSI_SQL"),
         "winsorize_values": analytics_sql("WINSORIZE_VALUES_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "source_token_entropy": text_sql("SOURCE_TOKEN_ENTROPY_SQL"),

@@ -6837,3 +6837,203 @@ SELECT e.event_id::BIGINT AS event_id, e.event_type,
        least(greatest(e.value, b.lo), b.hi) AS clipped
 FROM events e JOIN b ON e.event_type = b.event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# population stability index: value-distribution drift per event type
+# ---------------------------------------------------------------------------
+
+def value_drift_psi(sf_dir: str, n_bins: int = 10,
+                    buckets: int | None = None):
+    """Population Stability Index per event type between the FIRST and
+    SECOND half of the stream's time range: equal-width value bins over
+    the global [min, max], Laplace-smoothed shares
+    ``p = (c1 + 1) / (n1 + B)`` vs ``q = (c2 + 1) / (n2 + B)``, and
+    ``PSI = sum((q - p) * ln(q / p))`` -- the standard ML-monitoring
+    drift score (PSI > 0.2 conventionally flags a shifted feature).
+
+    Scale shape: pass 1 is a 3-scalar aggregate (global min/max/mid-ts);
+    pass 2 collapses rows map-side to (type, half, bin) counts -- at most
+    ``2 x B x |types|`` partial rows per batch -- into ONE hash exchange
+    on type; the finalize is a B-term fixed-order float sum mirrored by
+    the oracle, epsilon-bias-rounded to 6 (the 10-term sum's last-ulp
+    order difference is absorbed, house convention).
+    """
+    import zlib
+
+    import pyarrow.compute as pc
+
+    if buckets is None:
+        buckets = suggest_buckets(f"{sf_dir}/events.parquet")
+    ev = _read_events(sf_dir, ["ts", "event_type", "value"])
+
+    # pass 1: global scalars (tiny)
+    def scalars(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        v = _np(t["value"])
+        ts = _ts_us(t["ts"])
+        return pa.table(
+            {
+                "vmin": pa.array([float(v.min())], pa.float64()),
+                "vmax": pa.array([float(v.max())], pa.float64()),
+                "tmin": pa.array([int(ts.min())], pa.int64()),
+                "tmax": pa.array([int(ts.max())], pa.int64()),
+            }
+        )
+
+    lo = hi = None
+    tlo = thi = None
+    for b in ev.map_batches(
+        scalars, batch_format="pyarrow", batch_size=1_048_576
+    ).iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            lo = r["vmin"] if lo is None else min(lo, r["vmin"])
+            hi = r["vmax"] if hi is None else max(hi, r["vmax"])
+            tlo = r["tmin"] if tlo is None else min(tlo, r["tmin"])
+            thi = r["tmax"] if thi is None else max(thi, r["tmax"])
+    if lo is None:
+        raise ValueError("empty events table")
+    mid = (tlo + thi) // 2
+    w = (hi - lo) / n_bins
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("half", pa.int8()),
+            ("bin", pa.int64()),
+            ("cnt", pa.int64()),
+            ("prt", pa.int64()),
+        ]
+    )
+
+    def bin_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        et = t["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        tid = np.asarray(codes.indices, np.int64)
+        types = codes.dictionary.to_pylist()
+        v = _np(t["value"]).astype(np.float64)
+        ts = _ts_us(t["ts"])
+        half = (ts > mid).astype(np.int64)
+        bn = np.minimum(
+            np.floor((v - lo) / w), n_bins - 1
+        ).astype(np.int64)
+        key = (tid * 2 + half) * n_bins + bn
+        vals, cnts = np.unique(key, return_counts=True)
+        names = [types[int(k) // (2 * n_bins)] for k in vals]
+        h = np.array(
+            [zlib.crc32(n.encode()) for n in names], np.int64
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(names, pa.string()),
+                "half": pa.array(
+                    ((vals // n_bins) % 2).astype(np.int8)
+                ),
+                "bin": pa.array(vals % n_bins, pa.int64()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+            },
+            schema=part_schema,
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_first", pa.int64()),
+            ("n_second", pa.int64()),
+            ("psi", pa.float64()),
+        ]
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=out_schema)
+        df = t.to_pydict()
+        agg: dict = {}
+        for et, hf, bn, c in zip(
+            df["event_type"], df["half"], df["bin"], df["cnt"]
+        ):
+            key = (et, int(hf), int(bn))
+            agg[key] = agg.get(key, 0) + c
+        types = sorted({k[0] for k in agg})
+        rows = {k: [] for k in out_schema.names}
+        for et in types:
+            c1 = np.array(
+                [agg.get((et, 0, b), 0) for b in range(n_bins)], np.float64
+            )
+            c2 = np.array(
+                [agg.get((et, 1, b), 0) for b in range(n_bins)], np.float64
+            )
+            n1, n2 = c1.sum(), c2.sum()
+            p = (c1 + 1.0) / (n1 + n_bins)
+            q = (c2 + 1.0) / (n2 + n_bins)
+            contrib = (q - p) * np.log(q / p)
+            acc = 0.0
+            for b in range(n_bins):  # fixed-order sum, mirrored in SQL
+                acc = acc + contrib[b]
+            rows["event_type"].append(et)
+            rows["n_first"].append(int(n1))
+            rows["n_second"].append(int(n2))
+            rows["psi"].append(float(_round6(np.array([acc]))[0]))
+        return pa.table(rows, schema=out_schema)
+
+    return (
+        ev.map_batches(bin_partial, batch_format="pyarrow",
+                       batch_size=1_048_576)
+        .groupby("prt")
+        .map_groups(
+            lambda g: finalize(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+VALUE_DRIFT_PSI_SQL = """
+WITH sc AS (
+  SELECT min(value) AS lo, max(value) AS hi,
+         (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+  FROM events
+),
+binned AS (
+  SELECT event_type,
+         (epoch_us(ts) > sc.mid)::INT AS half,
+         least(floor((value - sc.lo) / ((sc.hi - sc.lo) / 10)), 9)::BIGINT
+           AS bin
+  FROM events, sc
+),
+c AS (
+  SELECT event_type, half, bin, count(*)::BIGINT AS cnt
+  FROM binned GROUP BY 1, 2, 3
+),
+n AS (
+  SELECT event_type,
+         sum(CASE WHEN half = 0 THEN cnt ELSE 0 END)::DOUBLE AS n1,
+         sum(CASE WHEN half = 1 THEN cnt ELSE 0 END)::DOUBLE AS n2
+  FROM c GROUP BY 1
+),
+grid AS (
+  SELECT n.event_type, n.n1, n.n2, g.bin,
+         coalesce(c1.cnt, 0)::DOUBLE AS c1,
+         coalesce(c2.cnt, 0)::DOUBLE AS c2
+  FROM n
+  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) g
+  LEFT JOIN c c1 ON c1.event_type = n.event_type AND c1.half = 0
+                AND c1.bin = g.bin
+  LEFT JOIN c c2 ON c2.event_type = n.event_type AND c2.half = 1
+                AND c2.bin = g.bin
+),
+contrib AS (
+  SELECT event_type, n1, n2, bin,
+         (((c2 + 1.0) / (n2 + 10)) - ((c1 + 1.0) / (n1 + 10)))
+           * ln(((c2 + 1.0) / (n2 + 10)) / ((c1 + 1.0) / (n1 + 10)))
+           AS x
+  FROM grid
+)
+SELECT event_type, max(n1)::BIGINT AS n_first, max(n2)::BIGINT AS n_second,
+       round(sum(x) + 1e-9, 6) AS psi
+FROM contrib GROUP BY event_type
+"""

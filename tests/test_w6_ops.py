@@ -304,3 +304,50 @@ class TestOhlcAndWinsorize:
         assert 0.05 < frac < 0.15
         assert (rdf["clipped"].groupby(rdf["event_type"]).max()
                 <= rdf["value"].groupby(rdf["event_type"]).max()).all()
+
+
+class TestDriftPsi:
+    def test_matches_oracle(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import (
+            VALUE_DRIFT_PSI_SQL,
+            value_drift_psi,
+        )
+
+        rdf = (
+            pd.DataFrame(value_drift_psi(SF).take_all())
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        odf = (
+            _oracle(VALUE_DRIFT_PSI_SQL)
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(rdf, odf.astype(rdf.dtypes.to_dict()))
+
+    def test_stationary_stream_scores_near_zero(self, ray_session):
+        from crossai_ts_ray.pipelines.analytics import value_drift_psi
+
+        rdf = pd.DataFrame(value_drift_psi(SF).take_all())
+        # synthetic values are i.i.d. across time: no drift expected
+        assert (rdf["psi"] >= 0).all()
+        assert (rdf["psi"] < 0.2).all()
+
+    def test_planted_shift_is_flagged(self):
+        # kernel-level: shifting the second half's distribution must
+        # push PSI past the 0.2 convention
+        import numpy as np
+
+        rng = np.random.default_rng(2)
+        a = rng.normal(0, 1, 20_000)
+        b = rng.normal(1.5, 1, 20_000)  # shifted mean
+        lo, hi = min(a.min(), b.min()), max(a.max(), b.max())
+        w = (hi - lo) / 10
+        ba = np.minimum(np.floor((a - lo) / w), 9).astype(int)
+        bb = np.minimum(np.floor((b - lo) / w), 9).astype(int)
+        c1 = np.bincount(ba, minlength=10).astype(float)
+        c2 = np.bincount(bb, minlength=10).astype(float)
+        p = (c1 + 1) / (len(a) + 10)
+        q = (c2 + 1) / (len(b) + 10)
+        psi = float(((q - p) * np.log(q / p)).sum())
+        assert psi > 0.2
