@@ -127,7 +127,7 @@ def levenshtein(a: str, b: str, cap: int | None = None) -> int:
     B = np.frombuffer(b.encode("utf-32-le"), np.uint32)
     lb = len(B)
     if lb == 0:
-        return len(A)
+        return len(A) if cap is None else min(len(A), cap + 1)
     idx = np.arange(1, lb + 1, dtype=np.int64)
     prev = np.arange(lb + 1, dtype=np.int64)
     for i, ca in enumerate(A, 1):
@@ -141,4 +141,137 @@ def levenshtein(a: str, b: str, cap: int | None = None) -> int:
         if cap is not None and cur.min() > cap:
             return cap + 1
         prev = cur
-    return int(prev[-1])
+    d = int(prev[-1])
+    return d if cap is None else min(d, cap + 1)
+
+
+def levenshtein_one_vs_many(
+    a: str, bs: list[str], cap: int | None = None
+) -> np.ndarray:
+    """Levenshtein distance of ``a`` against MANY candidates at once:
+    the same scan-trick row DP, vectorized over the candidate axis (one
+    (k x max_len) matrix per DP row instead of k separate Python loops).
+    Returns int64 distances; entries exceeding ``cap`` are reported as
+    ``cap + 1`` (rows whose running minimum passes ``cap`` are frozen).
+    Padded columns beyond a candidate's true length cannot corrupt its
+    result: position j depends only on positions <= j, and each row is
+    read out at its own true length."""
+    k = len(bs)
+    if k == 0:
+        return np.zeros(0, np.int64)
+    A = np.frombuffer(a.encode("utf-32-le"), np.uint32)
+    la = len(A)
+    lens = np.array([len(b) for b in bs], np.int64)
+    lb_max = int(lens.max())
+    if lb_max == 0:
+        out = np.full(k, la, np.int64)
+        if cap is not None:
+            out = np.minimum(out, cap + 1)
+        return out
+    B = np.zeros((k, lb_max), np.uint32)
+    for i, b in enumerate(bs):
+        if b:
+            B[i, : len(b)] = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+    idx = np.arange(1, lb_max + 1, dtype=np.int64)
+    prev = np.broadcast_to(
+        np.arange(lb_max + 1, dtype=np.int64), (k, lb_max + 1)
+    ).copy()
+    out = np.full(k, la, np.int64)  # empty-a fallback; overwritten below
+    alive = np.ones(k, bool)
+    frozen = np.zeros(k, np.int64)
+    for i in range(1, la + 1):
+        ca = A[i - 1]
+        m = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + (B != ca))
+        v = np.concatenate(
+            (np.full((k, 1), i, np.int64), m), axis=1
+        )
+        v[:, 1:] -= idx
+        cur = np.minimum.accumulate(v, axis=1)
+        cur[:, 1:] += idx
+        prev = cur
+        if cap is not None:
+            over = alive & (cur.min(axis=1) > cap)
+            if over.any():
+                alive &= ~over
+                frozen[over] = cap + 1
+                if not alive.any():
+                    return frozen
+    res = prev[np.arange(k), lens]
+    if cap is not None:
+        res = np.where(alive, np.minimum(res, cap + 1), frozen)
+    return res.astype(np.int64)
+
+
+def levenshtein_pairs(
+    a_list: list[str], b_list: list[str], cap: int | None = None
+) -> np.ndarray:
+    """Levenshtein distance of MANY INDEPENDENT PAIRS at once: all pairs
+    advance through the row DP together (step i compares each pair's
+    own i-th left-hand character against its padded right-hand row), so
+    the per-step work is a handful of vectorized ops over a
+    (pairs x max_len) matrix instead of a Python loop per pair.  Rows
+    finish when their left string runs out (their result is read at
+    their own right-hand length) or when their running minimum exceeds
+    ``cap`` (frozen at ``cap + 1``); finished rows are compacted away,
+    so distant pairs stop costing work as soon as the cap kills them.
+    Same contract as ``levenshtein`` (cap-clamped)."""
+    k = len(a_list)
+    if k != len(b_list):
+        raise ValueError("length mismatch")
+    if k == 0:
+        return np.zeros(0, np.int64)
+    la = np.array([len(a) for a in a_list], np.int64)
+    lb = np.array([len(b) for b in b_list], np.int64)
+    la_max = int(la.max())
+    lb_max = int(lb.max())
+    res = np.zeros(k, np.int64)
+    if lb_max == 0:
+        res[:] = la if cap is None else np.minimum(la, cap + 1)
+        return res
+    A = np.zeros((k, max(la_max, 1)), np.uint32)
+    B = np.zeros((k, lb_max), np.uint32)
+    for i, (a, b) in enumerate(zip(a_list, b_list)):
+        if a:
+            A[i, : len(a)] = np.frombuffer(a.encode("utf-32-le"), np.uint32)
+        if b:
+            B[i, : len(b)] = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+    idx = np.arange(1, lb_max + 1, dtype=np.int64)
+    prev = np.broadcast_to(
+        np.arange(lb_max + 1, dtype=np.int64), (k, lb_max + 1)
+    ).copy()
+    live = np.arange(k)  # original indices of still-active rows
+    # rows whose left string is empty finish immediately
+    done0 = la[live] == 0
+    if done0.any():
+        orig = live[done0]
+        res[orig] = lb[orig] if cap is None else np.minimum(
+            lb[orig], cap + 1
+        )
+        keep = ~done0
+        live, prev, A, B = live[keep], prev[keep], A[keep], B[keep]
+    for i in range(1, la_max + 1):
+        if not len(live):
+            break
+        ca = A[:, i - 1]
+        m = np.minimum(prev[:, 1:] + 1, prev[:, :-1] + (B != ca[:, None]))
+        v = np.concatenate(
+            (np.full((len(live), 1), i, np.int64), m), axis=1
+        )
+        v[:, 1:] -= idx
+        cur = np.minimum.accumulate(v, axis=1)
+        cur[:, 1:] += idx
+        prev = cur
+        finished = la[live] == i
+        if finished.any():
+            orig = live[finished]
+            d = cur[finished, lb[orig]]
+            res[orig] = d if cap is None else np.minimum(d, cap + 1)
+        drop = finished
+        if cap is not None:
+            over = cur.min(axis=1) > cap
+            res[live[over & ~finished]] = cap + 1
+            drop = drop | over
+        if drop.any():
+            keep = ~drop
+            live, prev, A, B = live[keep], prev[keep], A[keep], B[keep]
+    return res

@@ -175,3 +175,27 @@ class TestFunnelStages:
             funnel_stages(SF, steps=("view",))
         with pytest.raises(ValueError):
             funnel_stages(SF, steps=("view", "view"))
+
+
+    def test_vectorized_kernels_match_scalar(self):
+        import random
+
+        import numpy as np
+
+        from crossai_ts_ray.functions.text import (
+            levenshtein,
+            levenshtein_one_vs_many,
+            levenshtein_pairs,
+        )
+
+        rng = random.Random(31)
+        for _ in range(60):
+            n = rng.randrange(1, 10)
+            As = ["".join(rng.choice("abc d") for _ in range(rng.randrange(0, 30))) for _ in range(n)]
+            Bs = ["".join(rng.choice("abcd e") for _ in range(rng.randrange(0, 30))) for _ in range(n)]
+            cap = rng.choice([None, 0, 4, 12])
+            want = np.array([levenshtein(a, b, cap=cap) for a, b in zip(As, Bs)])
+            assert np.array_equal(levenshtein_pairs(As, Bs, cap=cap), want)
+            got1 = levenshtein_one_vs_many(As[0], Bs, cap=cap)
+            want1 = np.array([levenshtein(As[0], b, cap=cap) for b in Bs])
+            assert np.array_equal(got1, want1)
