@@ -6246,35 +6246,48 @@ def event_type_lift(sf_dir: str, buckets: int | None = None):
         if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=mid_schema)
         uid = _np(t["user_id"])
-        ty = np.asarray(t["etype"].to_pylist(), dtype=object)
-        # global (user, type) dedup inside the partition
-        order = np.lexsort((ty, uid))
-        u_s, t_s = uid[order], ty[order]
-        keep = np.concatenate(
-            ([True], (u_s[1:] != u_s[:-1]) | (t_s[1:] != t_s[:-1]))
-        )
-        u_s, t_s = u_s[keep], t_s[keep]
-        starts = np.flatnonzero(
-            np.concatenate(([True], u_s[1:] != u_s[:-1]))
-        )
-        ends = np.concatenate((starts[1:], [len(u_s)]))
-        pa_, pb_ = [], []
+        ec = t["etype"]
+        if isinstance(ec, pa.ChunkedArray):
+            ec = ec.combine_chunks()
+        codes = ec.dictionary_encode()
+        tid = np.asarray(codes.indices, np.int64)
+        # SORTED dictionary so pair (i < j) maps to (name_i < name_j),
+        # matching the oracle's a.event_type < b.event_type
+        raw_names = codes.dictionary.to_pylist()
+        name_order = np.argsort(np.asarray(raw_names, dtype=object))
+        remap = np.empty(len(raw_names), np.int64)
+        remap[name_order] = np.arange(len(raw_names))
+        tid = remap[tid]
+        names = [raw_names[i] for i in name_order]
+        nt = len(names)
+        # dense user ids, then the whole partition's co-occurrence at
+        # once: M = U^T @ U over the (users x types) membership matrix
+        _, du = np.unique(uid, return_inverse=True)
+        n_users = int(du.max()) + 1
+        U = np.zeros((n_users, nt), np.int64)
+        U[du, tid] = 1
+        M = U.T @ U
+        iu = np.triu_indices(nt, k=1)
+        cnts = M[iu]
+        keep = cnts > 0
+        pa_ = [names[i] for i in iu[0][keep]]
+        pb_ = [names[j] for j in iu[1][keep]]
+        cc = list(cnts[keep])
         # singles ride as (type, NULL) rows; user count as ("", NULL)
-        for s, e in zip(starts, ends):
-            ts_ = t_s[s:e]  # sorted unique types of one user
-            for i in range(len(ts_)):
-                pa_.append(ts_[i])
+        diag = np.diag(M)
+        for i in range(nt):
+            if diag[i] > 0:
+                pa_.append(names[i])
                 pb_.append(None)
-                for j in range(i + 1, len(ts_)):
-                    pa_.append(ts_[i])
-                    pb_.append(ts_[j])
-        pa_.extend([""] * len(starts))
-        pb_.extend([None] * len(starts))
+                cc.append(int(diag[i]))
+        pa_.append("")
+        pb_.append(None)
+        cc.append(n_users)
         tb = pa.table(
             {
                 "a": pa.array(pa_, pa.string()),
                 "b": pa.array(pb_, pa.string()),
-                "cnt": pa.array(np.ones(len(pa_), np.int64)),
+                "cnt": pa.array(np.asarray(cc, np.int64)),
             }
         )
         import zlib
@@ -6717,13 +6730,19 @@ def winsorize_values(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95,
         et = t["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
-        names = et.to_pylist()
-        h = np.array([zlib.crc32(x.encode()) for x in names], np.int64)
+        # one crc32 per DICTIONARY VALUE, gathered to rows -- never a
+        # Python loop over the batch
+        codes = et.dictionary_encode()
+        tid = np.asarray(codes.indices, np.int64)
+        h_c = np.array(
+            [zlib.crc32(x.encode()) for x in codes.dictionary.to_pylist()],
+            np.int64,
+        )
         return pa.table(
             {
                 "event_type": et,
                 "v": t["value"].cast(pa.float64()),
-                "prt": pa.array(hash_prt(h, buckets), pa.int64()),
+                "prt": pa.array(hash_prt(h_c, buckets)[tid], pa.int64()),
             },
             schema=bschema,
         )
@@ -6737,10 +6756,17 @@ def winsorize_values(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95,
         t = t.combine_chunks()
         if t.num_rows == 0:
             return pa.Table.from_pylist([], schema=qschema)
-        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        et_col = t["event_type"]
+        if isinstance(et_col, pa.ChunkedArray):
+            et_col = et_col.combine_chunks()
+        # dictionary indices, NOT Python strings: a 10M-row partition
+        # lexsorts int codes in C, never materializing an object array
+        codes = et_col.dictionary_encode()
+        tid = np.asarray(codes.indices, np.int64)
+        dict_names = codes.dictionary.to_pylist()
         v = _np(t["v"])
-        order = np.lexsort((v, et))
-        et, v = et[order], v[order]
+        order = np.lexsort((v, tid))
+        et, v = tid[order], v[order]
         starts = np.flatnonzero(
             np.concatenate(([True], et[1:] != et[:-1]))
         )
@@ -6756,7 +6782,7 @@ def winsorize_values(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95,
                 # DuckDB's quantile_cont form: lo*(1-f) + hi*f (NOT
                 # lo + (hi-lo)*f, which differs in the last ulp)
                 acc.append(vv[lo_i] * (1 - f) + vv[hi_i] * f)
-            names.append(et[s])
+            names.append(dict_names[et[s]])
         return pa.table(
             {
                 "event_type": pa.array(names, pa.string()),
@@ -6766,21 +6792,25 @@ def winsorize_values(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95,
             schema=qschema,
         )
 
-    bt = pa.concat_tables(
-        ray.get(
-            [
-                ref
-                for ref in ev.map_batches(tag, batch_format="pyarrow",
-                                          batch_size=1_048_576)
-                .groupby("prt")
-                .map_groups(
-                    lambda g: bounds(g.drop_columns(["prt"])),
-                    batch_format="pyarrow",
-                )
-                .to_arrow_refs()
-            ]
-        )
+    parts = ray.get(
+        [
+            ref
+            for ref in ev.map_batches(tag, batch_format="pyarrow",
+                                      batch_size=1_048_576)
+            .groupby("prt")
+            .map_groups(
+                lambda g: bounds(g.drop_columns(["prt"])),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        ]
     )
+    # empty zero-column blocks appear after a groupby; drop them before
+    # the concat (they carry no schema)
+    parts = [p for p in parts if p.num_rows > 0]
+    if not parts:
+        raise ValueError("empty events table")
+    bt = pa.concat_tables([p.select(qschema.names) for p in parts])
     bounds_map = {
         n: (lo, hi)
         for n, lo, hi in zip(
@@ -6806,10 +6836,15 @@ def winsorize_values(sf_dir: str, q_lo: float = 0.05, q_hi: float = 0.95,
         et = t["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
-        names = et.to_pylist()
+        # one bound lookup per DICTIONARY VALUE, then a vectorized gather
+        codes = et.dictionary_encode()
+        tid = np.asarray(codes.indices, np.int64)
+        dn = codes.dictionary.to_pylist()
         v = _np(t["value"]).astype(np.float64)
-        lo = np.array([bm[n][0] for n in names])
-        hi = np.array([bm[n][1] for n in names])
+        lo_c = np.array([bm[n][0] for n in dn])
+        hi_c = np.array([bm[n][1] for n in dn])
+        lo = lo_c[tid]
+        hi = hi_c[tid]
         return pa.table(
             {
                 "event_id": t["event_id"].cast(pa.int64()),

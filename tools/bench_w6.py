@@ -67,16 +67,28 @@ def main():
     res: dict = {}
 
     from crossai_ts_ray.pipelines.analytics import (
+        event_transition_matrix,
+        event_type_lift,
+        events_hourly_ohlc,
         funnel_stages,
         user_value_centered_avg,
         user_value_theilsen,
+        value_drift_psi,
+        winsorize_values,
     )
+    from crossai_ts_ray.pipelines.semistruct import tdigest_value_quantiles
 
     for name, fn, sf, n_in in (
         ("funnel_stages",
          lambda d: funnel_stages(d, steps=("type_1", "type_2", "type_3")),
          ev_dir, rows),
         ("user_value_centered_avg", user_value_centered_avg, ev_dir, rows),
+        ("events_hourly_ohlc", events_hourly_ohlc, ev_dir, rows),
+        ("winsorize_values", winsorize_values, ev_dir, rows),
+        ("value_drift_psi", value_drift_psi, ev_dir, rows),
+        ("event_type_lift", event_type_lift, ev_dir, rows),
+        ("event_transition_matrix", event_transition_matrix, ev_dir, rows),
+        ("tdigest_value_quantiles", tdigest_value_quantiles, ev_dir, rows),
     ):
         best = float("inf")
         n_out = 0
