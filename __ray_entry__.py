@@ -883,6 +883,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only: iterative fixpoint in sharded rank-vector actors;
         # pinned vs a dense NumPy reference in tests/test_graph.py)
         "pagerank_simgraph": _graph_q,
+        # triangle count of the near-dup graph (wedge join; oracle
+        # composes the full MinHash-pairs SQL as a CTE)
+        "simgraph_triangles": _graph_named("simgraph_triangles"),
         # CENTERED window frame (k PRECEDING AND k FOLLOWING), int64
         # micro-unit prefix sums like the trailing moving_stats
         "user_value_centered_avg": _analytics("user_value_centered_avg"),
@@ -1080,6 +1083,21 @@ def _graph_q(sf_dir: str):
     return pagerank_simgraph(sf_dir)
 
 
+def _graph_named(fn_name: str) -> Callable[[str], Any]:
+    def run(sf_dir: str):
+        from crossai_ts_ray.pipelines import graph
+
+        return getattr(graph, fn_name)(sf_dir)
+
+    return run
+
+
+def graph_sql(name: str) -> str:
+    from crossai_ts_ray.pipelines import graph
+
+    return getattr(graph, name)
+
+
 def _kmeans_q(sf_dir: str):
     from crossai_ts_ray.pipelines.ann_pipeline import kmeans_embeddings
 
@@ -1268,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_hourly_ohlc": analytics_sql("EVENTS_HOURLY_OHLC_SQL"),
         "value_drift_psi": analytics_sql("VALUE_DRIFT_PSI_SQL"),
+        "simgraph_triangles": graph_sql("SIMGRAPH_TRIANGLES_SQL"),
         "winsorize_values": analytics_sql("WINSORIZE_VALUES_SQL"),
         "text_stats": _TEXT_STATS_SQL,
         "source_token_entropy": text_sql("SOURCE_TOKEN_ENTROPY_SQL"),

@@ -287,3 +287,137 @@ def pagerank_simgraph(
         ),
         batch_format="pyarrow",
     )
+
+
+def simgraph_triangles(sf_dir: str, buckets: int = 16,
+                       max_degree: int = 65536) -> rd.Dataset:
+    """Triangle count of the MinHash near-duplicate graph — the
+    clustering-coefficient numerator that separates chain-shaped
+    near-dup families (pairwise-transitive edits) from clique-shaped
+    ones (template stamping).  Returns one row (n_triangles, n_wedges).
+
+    Scale shape (the standard wedge-join): ONE hash exchange builds each
+    vertex's sorted neighbor list; every vertex emits its wedges (pairs
+    of larger-id neighbors — at most deg^2/2, with a loud ``max_degree``
+    guard on hub vertices); ONE partitioned equijoin on the packed
+    (y, z) key intersects wedges with the edge set.  Each triangle
+    x < y < z is counted exactly once, at its smallest vertex."""
+    from ..stages.joins import keyed_equijoin
+    from .text_pipeline import dedup_minhash_pairs
+
+    pairs = dedup_minhash_pairs(sf_dir)
+
+    def edge_key(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if (b >= (1 << 31)).any():
+            raise ValueError("doc_id exceeds pack width")
+        return pa.table(
+            {
+                "ek": pa.array(a * (1 << 31) + b, pa.int64()),
+                "one": pa.array(np.ones(len(a), np.int8)),
+            }
+        )
+
+    # pairs are query-postings-small (near-dup families); reuse for both
+    # the adjacency pass and the edge side of the join
+    pairs = pairs.materialize()
+    edges = pairs.map_batches(edge_key, batch_format="pyarrow")
+
+    def adj_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "x": pa.array(a, pa.int64()),
+                "y": pa.array(b, pa.int64()),
+                "prt": pa.array(hash_prt(a, buckets), pa.int64()),
+            }
+        )
+
+    wedge_schema = pa.schema([("ek", pa.int64()), ("w", pa.int8())])
+
+    def wedges(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.Table.from_pylist([], schema=wedge_schema)
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((y, x))
+        x, y = x[order], y[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], x[1:] != x[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(x)]))
+        eks = []
+        for s, e in zip(starts, ends):
+            deg = e - s
+            if deg > max_degree:
+                raise ValueError(
+                    f"vertex {x[s]} has degree {deg} (> max_degree="
+                    f"{max_degree}); wedge enumeration would be "
+                    f"quadratic — raise the guard deliberately"
+                )
+            nb = y[s:e]  # sorted, all > x (doc_a < doc_b edges)
+            iu = np.triu_indices(deg, k=1)
+            eks.append(nb[iu[0]] * (1 << 31) + nb[iu[1]])
+        ek = (
+            np.concatenate(eks) if eks else np.zeros(0, np.int64)
+        )
+        return pa.table(
+            {
+                "ek": pa.array(ek, pa.int64()),
+                "w": pa.array(np.ones(len(ek), np.int8)),
+            },
+            schema=wedge_schema,
+        )
+
+    wedge_ds = (
+        pairs.map_batches(adj_partial, batch_format="pyarrow")
+        .groupby("prt")
+        .map_groups(
+            lambda g: wedges(g.drop_columns(["prt"])),
+            batch_format="pyarrow",
+        )
+    )
+    n_wedges = wedge_ds.count()
+    hits = keyed_equijoin(
+        wedge_ds,
+        edges,
+        on=("ek", "ek"),
+        buckets=buckets,
+        schemas=(
+            wedge_schema,
+            pa.schema([("ek", pa.int64()), ("one", pa.int8())]),
+        ),
+    )
+    n_tri = hits.count()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([n_tri], pa.int64()),
+                "n_wedges": pa.array([n_wedges], pa.int64()),
+            }
+        )
+    )
+
+
+def _triangles_sql() -> str:
+    from .text_pipeline import DEDUP_MINHASH_PAIRS_SQL
+
+    return f"""
+WITH e AS (
+  SELECT doc_a AS a, doc_b AS b FROM ({DEDUP_MINHASH_PAIRS_SQL}) mh
+)
+SELECT
+  (SELECT count(*) FROM e e1
+     JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)::BIGINT AS n_triangles,
+  (SELECT count(*) FROM e e1
+     JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b)::BIGINT AS n_wedges
+"""
+
+
+SIMGRAPH_TRIANGLES_SQL = _triangles_sql()
