@@ -532,3 +532,114 @@ class EnginePipeline:
 
     def __repr__(self):
         return "EnginePipeline(" + " -> ".join(n for n, _ in self.steps) + ")"
+
+
+# ---------------------------------------------------------------------------
+# declarative pipelines: YAML/dict config -> EnginePipeline
+# ---------------------------------------------------------------------------
+
+# stage-type registry for config-driven construction; params map 1:1 onto
+# the dataclass fields above
+STAGE_TYPES = {
+    "window": WindowStage,
+    "rollup": RollupStage,
+    "gapfill": GapfillStage,
+    "label_encode": LabelEncodeStage,
+    "standard_scaler": StandardScalerStage,
+    "token_signal": TokenSignalStage,
+    "feature_extract": FeatureExtractStage,
+    "augment": AugmentSignalStage,
+}
+
+
+def _function_registry() -> dict:
+    """Whitelisted kernel names resolvable from config files — an explicit
+    allowlist, never getattr on arbitrary module paths (a config is data,
+    not code)."""
+    from ..functions import preprocess, properties, stats
+
+    names = {}
+    for mod in (stats, preprocess, properties):
+        for n in dir(mod):
+            if n.startswith("_"):
+                continue
+            fn = getattr(mod, n)
+            if callable(fn):
+                names[n] = fn
+    return names
+
+
+def pipeline_from_config(cfg: dict) -> EnginePipeline:
+    """Build an ``EnginePipeline`` from a config dict (typically loaded by
+    ``sources.loaders.load_yaml_config`` — the reference drives its
+    experiments from the same YAML shape,
+    /root/reference/caits/loading/_utils.py:10):
+
+        pipeline:
+          - {name: win,    type: window, params: {window: 16, overlap: 8}}
+          - {name: rollup, type: rollup, params: {width: 16}}
+
+    Function-valued params (``token_signal.fn``, ``feature_extract``
+    feature entries ``[out_col, fn_name, kwargs]``) are resolved from the
+    kernel whitelist; unknown stage types or function names raise with the
+    available options listed."""
+    steps_cfg = cfg.get("pipeline")
+    if not isinstance(steps_cfg, list) or not steps_cfg:
+        raise ValueError("config needs a non-empty 'pipeline' list")
+    funcs = _function_registry()
+
+    def resolve_fn(name: str):
+        if name not in funcs:
+            raise ValueError(
+                f"unknown kernel {name!r}; available: "
+                + ", ".join(sorted(funcs))
+            )
+        return funcs[name]
+
+    steps = []
+    for i, sc in enumerate(steps_cfg):
+        st_type = sc.get("type")
+        if st_type not in STAGE_TYPES:
+            raise ValueError(
+                f"unknown stage type {st_type!r}; available: "
+                + ", ".join(sorted(STAGE_TYPES))
+            )
+        name = sc.get("name", f"stage_{i}")
+        params = dict(sc.get("params", {}))
+        if st_type == "token_signal":
+            params["fn"] = resolve_fn(params["fn"])
+        elif st_type == "feature_extract":
+            params["features"] = [
+                (out_col, resolve_fn(fn_name), dict(kw or {}))
+                for out_col, fn_name, kw in (
+                    (f[0], f[1], f[2] if len(f) > 2 else {})
+                    for f in params["features"]
+                )
+            ]
+            if "keep_cols" in params:
+                params["keep_cols"] = tuple(params["keep_cols"])
+        elif st_type == "augment":
+            from ..functions import augment as _aug
+
+            def resolve_aug(n: str):
+                fn = getattr(_aug, n, None)
+                if fn is None or n.startswith("_"):
+                    raise ValueError(f"unknown augmentation {n!r}")
+                return fn
+
+            params["augmentations"] = [
+                {"func": resolve_aug(a["func"]),
+                 "params": dict(a.get("params", {}))}
+                for a in params["augmentations"]
+            ]
+        elif st_type == "gapfill" and "value_cols" in params:
+            params["value_cols"] = list(params["value_cols"])
+        steps.append((name, STAGE_TYPES[st_type](**params)))
+    return EnginePipeline(steps)
+
+
+def pipeline_from_yaml(path: str) -> EnginePipeline:
+    """``pipeline_from_config`` over a YAML file on disk."""
+    from ..sources.loaders import load_yaml_config
+
+    return pipeline_from_config(load_yaml_config(path))
